@@ -1,0 +1,320 @@
+"""Join operators (SURVEY.md §2B joins).
+
+Reference parity: desdb's canned queries are 2–5-way inner equi-joins of
+image/catalog/location tables with equality + IN-list predicates
+[desdb:files.py Red/Coadd — SURVEY.md §2A A6]; everything else arrives via
+arbitrary-SQL passthrough (A1). The as-of and lineage shapes come from the
+provenance walk (A7) and the time-series north star.
+
+Scale notes (100 TB):
+- Dimension joins (nation/region/customer-at-small-SF) are *broadcast* —
+  no shuffle of the fact table. Asserted in tests/test_plans.py.
+- Large-large joins (orders⋈lineitem) shuffle on the join key; AQE handles
+  skew splitting. A `merge` hint pins sort-merge where hash would spill.
+- The theta/band join avoids a full cross product by bucketing both sides
+  on a coarsened key (floor(acctbal/band)) and joining only neighbor
+  buckets — the standard range-join trick; a naive BNLJ dies at scale.
+- The as-of join is the union+window form: O(n log n) per user partition,
+  one shuffle, no range join at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+from desdb_spark.session import load_table
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+        SELECT c_custkey, c_name, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    group="joins",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈nation equi-join (the A6 shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "inner").select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+        SELECT n_name, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS total_rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    group="joins",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with explicit broadcast — zero fact-side shuffle for the join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+        )
+    )
+
+
+@register(
+    "join_sort_merge_large",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY o_orderpriority
+    """,
+    group="joins",
+)
+def join_sort_merge_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large orders⋈lineitem with a post-join predicate; sort-merge hint."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT n_name, count(o_orderkey) AS order_cnt
+        FROM nation
+        LEFT JOIN customer ON c_nationkey = n_nationkey
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY n_name
+    """,
+    group="joins",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nations kept, order counts possibly zero."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    group="joins",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 order — EXISTS → left-semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT count(*) AS no_order_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    group="joins",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — NOT EXISTS → left-anti join, counted."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("no_order_customers"))
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        SELECT c_custkey, s_suppkey
+        FROM customer JOIN supplier
+          ON c_acctbal BETWEEN s_acctbal - 0.5 AND s_acctbal + 0.5
+    """,
+    group="joins",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join, bucketized so it scales.
+
+    Instead of a broadcast-nested-loop over the full cross product, both
+    sides get a coarse bucket key floor(acctbal / band); a pair within
+    ±band can only land in the same or an adjacent bucket, so supplier is
+    exploded to its 3 candidate buckets and the join becomes an *equi*
+    join on bucket + residual predicate — shuffle-partitionable at 100 TB.
+    """
+    band = 0.5
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c_b = c.withColumn("bucket", F.floor(F.col("c_acctbal") / band))
+    s_b = s.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / band) - 1,
+                F.floor(F.col("s_acctbal") / band),
+                F.floor(F.col("s_acctbal") / band) + 1,
+            )
+        ),
+    )
+    return (
+        c_b.join(s_b, "bucket")
+        .where(F.col("c_acctbal").between(F.col("s_acctbal") - band, F.col("s_acctbal") + band))
+        .select("c_custkey", "s_suppkey")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM events c
+                 WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                   AND c.ts <= p.ts) AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+    group="joins",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest 'click' at-or-before each 'purchase', per user.
+
+    Implemented as union + running max over an event-time window — one
+    shuffle on user_id, no range join. This is the scalable form: at
+    100 TB a correlated range join is quadratic per user; the window scan
+    is O(n log n) and partition-local after the shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # 'click' < 'purchase' lexically, so an equal-ts click sorts first and
+    # is visible to the purchase — matching the oracle's c.ts <= p.ts.
+    return (
+        tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    group="joins",
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q5-shaped 5-way star join (region-restricted revenue).
+
+    Dims (supplier/nation/region, customer at fixture scale) broadcast;
+    only orders⋈lineitem shuffles. Filters sit on the scan side so
+    Catalyst pushes them below the joins.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    o_f = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+        .join(F.broadcast(c), o_f.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_lineage_walk",
+    oracle="""
+        SELECT n_name, count(*) AS item_cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    group="joins",
+)
+def join_lineage_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth provenance chain lineitem→orders→customer→nation.
+
+    The A7 srclist walk at bounded depth; the unbounded-depth variant
+    (recursive CTE + driver-loop fallback) lives in plans/lineage.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("item_cnt"))
+    )

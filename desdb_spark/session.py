@@ -1,0 +1,98 @@
+"""SparkSession + table-loading substrate (SURVEY.md §7.1 M0).
+
+Reference parity: desdb's ``Connection`` managed an Oracle session and the
+set of server-side tables [desdb:desdb.py Connection — reconstructed, see
+SURVEY.md §0]. Here the "connection" is a SparkSession and the "schema" is
+the fixture parquet directory: ``load_tables`` registers every table as a
+temp view so both the DataFrame API (EP2) and ``spark.sql`` passthrough
+(EP1, desdb's ``quick()``) work against the same catalog.
+
+Scale notes (100 TB): everything here is declarative — the reader never
+materializes on the driver. The only session-level tuning baked in is AQE
+(runtime shuffle-partition coalescing + skew-join splitting), which is the
+correct default for unknown data volumes; per-table layout decisions
+(partitioning, bucketing) belong to the writers in sources/sinks.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: All fixture tables, in FK-dependency order (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "desdb-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    Required non-default conf (SURVEY.md §7.4): the events fixture stores
+    ``timestamp[ns]`` which Spark's parquet reader rejects by default;
+    ``nanosAsLong`` surfaces it as a long that ``load_tables`` converts to a
+    microsecond timestamp, µs-exact with the DuckDB oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with schema normalization applied.
+
+    Defensive confs: the driver may hand us a session built without the
+    nanos shim / UTC timezone — both are runtime-settable, so pin them
+    here before any read.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos→micros via integer division: exact, no double round-trip.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables and register them as temp views.
+
+    Views make ``spark.sql(...)`` passthrough work — the engine analogue of
+    desdb's arbitrary-SQL ``Connection.quick()`` (SURVEY.md §2A A1).
+    """
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,135 @@
+"""Local replica of the driver's correctness gate (SURVEY.md §5.2.2).
+
+Runs every registered operator's Spark DataFrame and its DuckDB oracle SQL
+on the same parquet fixtures, then compares row count + column names +
+order-insensitive value hash. Usage:
+
+    python tools/selfcheck.py [--sf /root/testdata/sf0.01] [names...]
+
+Exit code 0 iff every checked operator matches. Operators without an oracle
+get a rows-only check (runs + row count printed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from desdb_spark.registry import all_operators  # noqa: E402
+from desdb_spark.session import TABLES, get_spark, load_tables  # noqa: E402
+
+
+def _canon_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, float):
+        # Strict bitwise compare: declared queries are responsible for
+        # rounding order-dependent aggregates (SURVEY.md §5.3).
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns.astype(str))
+    body = df[cols]
+    rows = sorted(
+        "|".join(_canon_cell(v) for v in row) for row in body.itertuples(index=False)
+    )
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(df), cols, h
+
+
+def run(sf_dir: str, names: list[str] | None) -> int:
+    ops = all_operators()
+    selected = names or sorted(ops)
+    unknown = [n for n in selected if n not in ops]
+    if unknown:
+        print(f"unknown operators: {unknown}")
+        return 2
+
+    spark = get_spark("selfcheck", shuffle_partitions=8)
+    load_tables(spark, sf_dir)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name in selected:
+        op = ops[name]
+        t0 = time.time()
+        try:
+            sdf = op.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if op.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows ({dt:.1f}s) [rows-only]")
+            continue
+        try:
+            odf = con.execute(op.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        sn, sc, sh = canonicalize(sdf)
+        on, oc, oh = canonicalize(odf)
+        if sn != on:
+            print(f"FAIL  {name}: rows spark={sn} duckdb={on}")
+            failures.append(name)
+        elif sc != oc:
+            print(f"FAIL  {name}: cols spark={sc} duckdb={oc}")
+            failures.append(name)
+        elif sh != oh:
+            print(f"FAIL  {name}: value-hash mismatch ({sn} rows)")
+            _diff_sample(sdf, odf)
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: {sn} rows ({dt:.1f}s)")
+
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+def _diff_sample(sdf: pd.DataFrame, odf: pd.DataFrame, k: int = 3) -> None:
+    cols = sorted(sdf.columns.astype(str))
+    srows = {
+        "|".join(_canon_cell(v) for v in r)
+        for r in sdf[cols].itertuples(index=False)
+    }
+    orows = {
+        "|".join(_canon_cell(v) for v in r)
+        for r in odf[cols].itertuples(index=False)
+    }
+    for label, diff in (("spark-only", srows - orows), ("duckdb-only", orows - srows)):
+        for row in list(diff)[:k]:
+            print(f"      {label}: {row[:200]}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    sys.exit(run(ap.parse_args().sf, ap.parse_args().names))
