@@ -1,1 +1,298 @@
-"""Placeholder — filled in by build milestones."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2B
+north-star; BASELINE.json north_star).
+
+Four tiers, each a different cost/recall point at 100 TB:
+
+- exact: hash-groupBy on a content digest. The shuffle carries only
+  (digest, id) — never the payload — so it scales to any corpus size.
+- MinHash+LSH: shingles → K minhashes → B bands; a band signature becomes
+  a join key, so near-dup candidate generation is an *equi-join*, not a
+  cross product. Deterministic seeds per SURVEY.md §7.3.
+- SimHash: 64-bit rotation-tolerant fingerprint via per-token hashing and
+  bit-vote aggregation; Hamming-close pairs found by banding the bits.
+- n-gram Jaccard: exact pairwise verification, applied only to candidate
+  pairs (here: full verify at fixture scale, LSH-gated at 100 TB).
+
+All of this is built-in expression work (hash/md5/explode/groupBy) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+from desdb_spark.session import load_table
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+               CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS redundant_docs
+        FROM (
+            SELECT md5(text) AS h, count(*) AS cnt
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        )
+    """,
+    group="dedup",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection via content digest (md5) + groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+    return groups.agg(
+        F.count("*").alias("dup_groups"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("redundant_docs"),
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (built-in expressions only)."""
+    toks = F.split(text, " ")
+    return F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """K seeded min-hashes of a shingle array — an array<int> signature.
+
+    ``F.hash`` is Murmur3 with a seed argument: deterministic across runs
+    and executors (SURVEY.md §7.3 determinism requirement).
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.hash(s, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+
+    The band signature is the join key — candidate generation is a
+    shuffle-partitioned equi-join on (band_id, band_sig), never a cross
+    join. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col)), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
+    sets_df = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles(F.col("text"), n)).alias("sh"),
+    )
+    a = sets_df.alias("sa")
+    b = sets_df.alias("sb")
+    return (
+        pairs.join(a, pairs.id_a == F.col("sa.id"))
+        .join(b, pairs.id_b == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_near_minhash", group="dedup")  # rows-only: algorithmic output
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified above 0.8.
+
+    Exact duplicates (planted in the fixture) are guaranteed candidates —
+    identical signatures collide in every band — so recall on them is 1.0
+    (asserted in tests/test_extensions.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d)
+    return (
+        ngram_jaccard(d, pairs)
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via explode + bit-vote hash aggregation.
+
+    Each token contributes ±1 per bit of its xxhash64; bits with positive
+    vote sums are set. Formulated as one explode + one groupBy with 64
+    codegen'd conditional sums — a map-side-combining hash agg, not a
+    per-row array scan, so it's the shape that survives 100 TB.
+    Returns (id, fp).
+    """
+
+    def mask(i: int) -> int:
+        m = 1 << i
+        return m - (1 << 64) if i == 63 else m  # keep the sign bit in long range
+
+    tok_hashes = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = tok_hashes.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fp: Column = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(mask(i)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", fp.alias("fp"))
+
+
+@register("dedup_simhash", group="dedup")  # rows-only: algorithmic output
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: identical 16-bit band → Hamming check.
+
+    Bands (4×16 bits) turn Hamming-≤3 search into equi-joins; the final
+    popcount filter verifies distance. Exact dups share all bands.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash64(d)
+    banded = fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+    """,
+    group="dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard ≥ 0.9 pairs via inverted-index join (hash-checked).
+
+    The token is the join key (inverted index), so intersection counting
+    is a shuffle equi-join — the exact-verification building block that
+    LSH gates at scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.9)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — filled in by build milestones."""
+"""Text analysis for training-data pipelines (SURVEY.md §2B north-star).
+
+Operators: token statistics, per-language corpus profile, quality scoring,
+n-gram language ID, and rolling-hash fingerprinting. Everything except the
+language-ID heuristic is built-in expression work; language ID uses the
+same explode+join shape as an inverted index, so it too stays JVM-side.
+
+Scale notes (100 TB): tokenization via ``split``/``explode`` shuffles
+(token, 1) pairs that combine map-side; per-document scoring is
+shuffle-free narrow work. The language profiler aggregates to
+(lang, source) cardinality — tiny shuffle regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+from desdb_spark.session import load_table
+
+#: BPE-ish word/punct splitter: word pieces, numbers, or single punctuation.
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+        SELECT lang, tok, count(*) AS cnt
+        FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY lang, tok
+    """,
+    group="text",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token frequencies per language (split→explode→groupBy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+        SELECT lang, source, count(*) AS doc_cnt,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    group="text",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) document counts and char-length stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("doc_cnt"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_len,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+                   AS n_bpe_tokens,
+               round(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)
+                     / greatest(length(text), 1), 6) AS word_density
+        FROM documents
+    """,
+    group="text",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: lengths, word/BPE-ish token counts,
+    word density — the filter features of a pretraining quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    n_words = F.size(words).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_len"),
+        n_words.alias("n_words"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("bigint")
+        .alias("n_spaces"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE.replace("\\s", " ")), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.round(
+            n_words.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("word_density"),
+    )
+
+
+@register("text_langid_ngram", group="text")  # rows-only: heuristic output
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (naive-Bayes-ish, trained in-corpus).
+
+    Profiles each language's top character trigrams from the corpus
+    itself (using the fixture's lang labels as supervision), then scores
+    each document by trigram overlap and predicts the argmax language.
+    Everything is explode/groupBy/join — an inverted-index shape that
+    scales; returns (doc_id, lang, predicted_lang, score).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+                lambda i: F.substring(F.col("text"), i, 3),
+            )
+        ).alias("g"),
+    )
+    # Top-200 trigrams per language form its profile.
+    lang_counts = grams.groupBy("lang", "g").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("g"))
+    profile = (
+        lang_counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 200)
+        .select(F.col("lang").alias("p_lang"), "g")
+    )
+    doc_grams = grams.select("doc_id", "lang", "g").distinct()
+    scores = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("p_lang"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted_lang"), "score")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id, md5(text) AS content_md5,
+               CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS content_hash64
+        FROM documents
+    """,
+    group="text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 digest plus a 64-bit integer fingerprint.
+
+    Engine-native 64-bit hashes differ across engines (Spark xxhash64 vs
+    DuckDB hash), so the integer fingerprint derives from the md5 prefix —
+    portable and hash-checked on both sides.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint").alias(
+            "content_hash64"
+        ),
+    )

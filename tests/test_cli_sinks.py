@@ -1,0 +1,67 @@
+"""CLI (A11) and formatted stdout writers (A2)."""
+
+from __future__ import annotations
+
+import io
+import subprocess
+import sys
+
+from desdb_spark.sources.sinks import write_stream_stdout
+from tests.conftest import SF_DIR
+
+
+def test_stdout_writer_formats(spark, tables):
+    df = tables["region"]
+    for fmt, first in [
+        ("csv", "r_regionkey,r_name"),
+        ("tsv", "r_regionkey\tr_name"),
+        ("space", "r_regionkey r_name"),
+    ]:
+        buf = io.StringIO()
+        n = write_stream_stdout(df, fmt, out=buf)
+        lines = buf.getvalue().splitlines()
+        assert n == 5
+        assert lines[0] == first
+        assert len(lines) == 6
+
+    buf = io.StringIO()
+    n = write_stream_stdout(df, "json", out=buf)
+    import json
+
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert n == 5 and len(rows) == 5
+    assert {"r_regionkey", "r_name"} == set(rows[0])
+
+
+def test_cli_query_subprocess():
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "desdb_spark.cli",
+            "-q",
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 2",
+            "--sf",
+            SF_DIR,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.strip().splitlines()
+    assert lines[0] == "r_regionkey,r_name"
+    assert len(lines) == 3
+
+
+def test_cli_empty_query_errors():
+    out = subprocess.run(
+        [sys.executable, "-m", "desdb_spark.cli"],
+        input="",
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 2

@@ -1,0 +1,111 @@
+"""North-star extension semantics: planted-duplicate recall, LSH/exact
+agreement, multimodal plumbing (SURVEY.md §5.2.3, §7.3.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from desdb_spark.extensions import dedup, multimodal, similarity
+from tests.conftest import SF_DIR
+
+
+SF_DIR_DOCS = "/root/testdata/sf0.1"  # planted exact dups exist only at sf0.1
+
+
+def _planted_dup_pairs(docs):
+    """Exact-duplicate doc pairs from the fixture (ground truth)."""
+    d = docs
+    groups = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .collect()
+    )
+    pairs = set()
+    for g in groups:
+        ids = sorted(g.ids)
+        pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    return pairs
+
+
+def _docs_with_dups(spark):
+    from desdb_spark.session import load_table
+
+    return load_table(spark, SF_DIR_DOCS, "documents")
+
+
+def test_minhash_recall_on_planted_dups(spark):
+    d = _docs_with_dups(spark)
+    truth = _planted_dup_pairs(d)
+    assert truth, "fixture should contain planted duplicates"
+    found = {(r.id_a, r.id_b) for r in dedup.minhash_candidate_pairs(d).collect()}
+    # Identical docs have identical signatures -> collide in every band.
+    assert truth <= found
+
+
+def test_minhash_verified_pairs_have_high_jaccard(spark):
+    d = _docs_with_dups(spark)
+    pairs = dedup.minhash_candidate_pairs(d)
+    verified = dedup.ngram_jaccard(d, pairs).where(F.col("jaccard") >= 0.8)
+    truth = _planted_dup_pairs(d)
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert truth <= got
+
+
+def test_simhash_exact_dups_distance_zero(spark):
+    d = _docs_with_dups(spark)
+    truth = _planted_dup_pairs(d)
+    fp = dedup.simhash64(d)
+    fps = {r.id: r.fp for r in fp.collect()}
+    for a, b in truth:
+        assert fps[a] == fps[b]
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """Every ANN hit must be a true ≥-threshold pair; recall ≥ 0.5 on the
+    fixture's weak-similarity regime (seeded, deterministic)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in similarity.dedup_embedding_cosine(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in similarity.ann_lsh_bucketed(spark, SF_DIR).collect()
+    }
+    assert set(approx) <= set(exact)
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
+
+
+def test_knn_topk_matches_bruteforce_pairs(spark):
+    """Block-matmul top-k ≡ expression-based pairwise top-k."""
+    e = similarity.load_table(spark, SF_DIR, "embeddings")
+    brute = (
+        similarity._pairs(e)
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(50)
+        .collect()
+    )
+    fast = similarity.knn_cosine_topk(spark, SF_DIR).collect()
+    assert [(r.vec_a, r.vec_b) for r in fast] == [(r.vec_a, r.vec_b) for r in brute]
+    for f, b in zip(fast, brute):
+        assert abs(f.cos_sim - b.cos_sim) < 1e-6
+
+
+def test_multimodal_decode_batches(spark):
+    out = multimodal.multimodal_decode_features(spark, SF_DIR).collect()
+    assert len(out) == 500
+    for r in out[:20]:
+        assert r.n_bytes > 0
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+
+
+def test_multimodal_unknown_type_raises(spark):
+    m = multimodal.media_table(spark, SF_DIR).withColumn(
+        "media_type", F.lit("video")
+    )
+    with pytest.raises(Exception, match="no decoder for media_type"):
+        m.select("doc_id", "media_type", "payload").mapInPandas(
+            multimodal.fake_decode_media, schema=multimodal.DECODE_SCHEMA
+        ).collect()
