@@ -42,7 +42,13 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # Fixture shuffles at sf0.1 are ~600k rows; 4 partitions keeps task
     # scheduling overhead below the work per task (BASELINE.md guidance).
-    spark = get_spark("bench", shuffle_partitions=4)
+    # 4 MB split size parallelizes the ~10 MB fixture scans across cores
+    # (the 128 MB default is right for real file sizes, wrong for sf0.1).
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4194304"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
     ops = all_operators()

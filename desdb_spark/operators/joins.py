@@ -141,18 +141,26 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_anti",
     oracle="""
-        SELECT count(*) AS no_order_customers FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        SELECT count(*) AS no_urgent_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
     """,
     group="joins",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — NOT EXISTS → left-anti join, counted."""
+    """Customers with no urgent orders — NOT EXISTS → left-anti join, counted.
+
+    (The priority predicate keeps the result non-degenerate: every fixture
+    customer has *some* order at sf0.01.)
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .agg(F.count("*").alias("no_order_customers"))
+        .agg(F.count("*").alias("no_urgent_customers"))
     )
 
 

@@ -95,14 +95,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-        SELECT c_custkey FROM customer
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         EXCEPT
-        SELECT o_custkey AS c_custkey FROM orders
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     """,
     group="sorts_sets",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): customer keys that never appear in orders."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.subtract(o)
+    """EXCEPT (distinct): customers with finished but no open orders.
+
+    (customer-minus-orders would be the desdb shape, but every fixture
+    customer has orders at sf0.01 — this variant keeps the check
+    non-degenerate.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)

@@ -1,0 +1,64 @@
+"""Connection API parity (A1-A4) and distributed sync manifest (A10)."""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+
+import numpy as np
+
+from desdb_spark.api import Connection
+from desdb_spark.sources.sync import sync_files
+from tests.conftest import SF_DIR
+
+
+def test_connection_quick_shapes(spark):
+    conn = Connection(SF_DIR, spark=spark)
+    dicts = conn.quick("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    assert len(dicts) == 5 and dicts[0]["r_regionkey"] == 0
+    lists = conn.quick("SELECT r_regionkey FROM region", lists=True)
+    assert sorted(x[0] for x in lists) == [0, 1, 2, 3, 4]
+    arr = conn.quick_numpy("SELECT r_regionkey, r_name FROM region")
+    assert isinstance(arr, np.recarray) or arr.dtype.names == ("r_regionkey", "r_name")
+    assert len(arr) == 5
+
+
+def test_connection_quickwrite_and_describe(spark):
+    conn = Connection(SF_DIR, spark=spark)
+    buf = io.StringIO()
+    n = conn.quickWrite("SELECT r_regionkey FROM region", fmt="csv", out=buf)
+    assert n == 5
+    assert buf.getvalue().splitlines()[0] == "r_regionkey"
+    cols = conn.describe("lineitem")
+    assert {c["name"] for c in cols} >= {"l_orderkey", "l_shipdate"}
+    assert conn.list_tables()[0] == "customer"
+
+
+def test_sync_files_manifest(spark):
+    src_dir = tempfile.mkdtemp(prefix="sync_src_")
+    dst_dir = tempfile.mkdtemp(prefix="sync_dst_")
+    files = []
+    for i in range(10):
+        p = os.path.join(src_dir, f"f{i}.dat")
+        with open(p, "wb") as fh:
+            fh.write(b"x" * (100 + i))
+        files.append((p, os.path.join(dst_dir, f"sub{i % 2}", f"f{i}.dat")))
+    files.append((os.path.join(src_dir, "missing.dat"), os.path.join(dst_dir, "m.dat")))
+
+    pairs = spark.createDataFrame(files, "src string, dst string")
+    m1 = {r.status: c for r, c in _count_status(sync_files(pairs, parallelism=4))}
+    assert m1 == {"copied": 10, "failed": 1}
+    # Second run: idempotent — everything already present is skipped.
+    m2 = {r.status: c for r, c in _count_status(sync_files(pairs, parallelism=4))}
+    assert m2 == {"skipped": 10, "failed": 1}
+    assert os.path.getsize(files[3][1]) == 103
+
+
+def _count_status(manifest):
+    from pyspark.sql import functions as F
+
+    return [
+        (r, r.cnt)
+        for r in manifest.groupBy("status").agg(F.count("*").alias("cnt")).collect()
+    ]
