@@ -35,6 +35,7 @@ _OP_MODULES = (
     "desdb_spark.operators.projections",
     "desdb_spark.operators.joins",
     "desdb_spark.operators.aggregates",
+    "desdb_spark.operators.aggregates_ext",
     "desdb_spark.operators.windows",
     "desdb_spark.operators.sorts_sets",
     "desdb_spark.functions.scalars",
@@ -43,6 +44,7 @@ _OP_MODULES = (
     "desdb_spark.sources.sinks",
     "desdb_spark.plans.lineage",
     "desdb_spark.streaming.windows",
+    "desdb_spark.streaming.stateful",
     "desdb_spark.extensions.dedup",
     "desdb_spark.extensions.similarity",
     "desdb_spark.extensions.text",

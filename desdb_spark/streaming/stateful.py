@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md north-star: "applyInPandasWithState for custom stateful
+operators").
+
+The operator: a per-user running profile (event count, value sum, last
+event time) maintained in explicit group state across micro-batches —
+the building block for online feature stores / per-entity counters that
+windowed aggregation can't express (state survives indefinitely, emits
+every batch, evicts via processing-time timeout).
+
+Scale notes: state lives in the state store keyed by user_id — shuffled
+once per batch on the grouping key, RocksDB-backed in production
+(``spark.sql.streaming.stateStore.providerClass``), bounded by the
+timeout eviction (here GroupStateTimeout.NoTimeout for the demo; real
+deployments set ProcessingTimeTimeout and drop idle entities).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from desdb_spark.registry import register
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
+STATE_SCHEMA = "n bigint, s double, last long"
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this batch's events into the user's running (n, sum, last_ts)."""
+    n, s, last = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        last = max(last, int(pdf["ts"].astype("int64").max()))
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 4)],
+            "last_ts": [pd.Timestamp(last, unit="us")],
+        }
+    )
+
+
+def stateful_user_profile(events_stream: DataFrame) -> DataFrame:
+    """Apply the stateful per-user fold to a *streaming* events DataFrame."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("stream_stateful_profile", group="streaming")  # rows-only: streaming op
+def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end run: events file stream → applyInPandasWithState →
+    memory sink (availableNow). With one batch over a complete input the
+    final state equals the batch groupBy — asserted in
+    tests/test_streaming_stateful.py."""
+    stage = tempfile.mkdtemp(prefix="desdb_stateful_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "ts", "value")
+    )
+    name = "stateful_profile_demo"
+    q = (
+        stateful_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
