@@ -26,10 +26,10 @@ from desdb_spark.session import load_table
     oracle="""
         SELECT * FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
-                   row_number() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-                   rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk,
-                   dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+                   CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS drnk
             FROM orders
         ) WHERE rn <= 3
     """,

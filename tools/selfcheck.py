@@ -47,14 +47,35 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+def _kind(dtype, series: pd.Series) -> str:
+    k = dtype.kind
+    if k in "iu":
+        return f"int{dtype.itemsize * 8}"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "ts"
+    if k == "b":
+        return "bool"
+    if k == "O":
+        sample = next((v for v in series if v is not None), None)
+        if isinstance(sample, (int,)):
+            return "int64"
+        if isinstance(sample, float):
+            return "float"
+        return "obj"
+    return "obj"
+
+
 def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns.astype(str))
     body = df[cols]
+    typed = [f"{c}:{_kind(body[c].dtype, body[c])}" for c in cols]
     rows = sorted(
         "|".join(_canon_cell(v) for v in row) for row in body.itertuples(index=False)
     )
     h = hashlib.md5("\n".join(rows).encode()).hexdigest()
-    return len(df), cols, h
+    return len(df), typed, h
 
 
 def run(sf_dir: str, names: list[str] | None) -> int:
