@@ -208,3 +208,55 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.where(F.col("cos_sim") >= 0.45).orderBy("vec_a", "vec_b")
+
+
+@register("ann_ivf_kmeans", group="similarity")  # rows-only: approximate output
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means cells (pyspark.ml, seeded) + within-cell search.
+
+    The inverted-file pattern: a k-means fit partitions vectors into
+    coarse cells; each query searches only its own cell's vectors via the
+    same blocked-GEMM kernel as knn_cosine_topk. At 100 TB the fit runs on
+    a sample, cells become the shuffle key, and nprobe>1 adds neighbor
+    cells for recall — here nprobe=1 with k=8 cells on the fixture.
+    Returns per-vector nearest in-cell neighbor (vec_id, nn_id, cos_sim).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=8, seed=42, maxIter=10).fit(vecs.select("features"))
+    assigned = model.transform(vecs).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+
+    def cell_nn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_id", "nn_id", "cos_sim"]).astype(
+                {"vec_id": "int64", "nn_id": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["emb"].to_numpy())
+        n = np.linalg.norm(M, axis=1)
+        S = (M @ M.T) / np.outer(n, n)
+        np.fill_diagonal(S, -2.0)
+        S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+        # Deterministic argmax: highest sim, lowest id on ties.
+        order = np.lexsort((np.broadcast_to(ids, S.shape), -S), axis=1)
+        best = order[:, 0]
+        return pd.DataFrame(
+            {"vec_id": ids, "nn_id": ids[best], "cos_sim": S[np.arange(len(ids)), best]}
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(cell_nn, schema="vec_id bigint, nn_id bigint, cos_sim double")
+        .orderBy("vec_id")
+    )

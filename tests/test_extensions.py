@@ -109,3 +109,28 @@ def test_multimodal_unknown_type_raises(spark):
         m.select("doc_id", "media_type", "payload").mapInPandas(
             multimodal.fake_decode_media, schema=multimodal.DECODE_SCHEMA
         ).collect()
+
+
+def test_ann_ivf_kmeans_nn_sanity(spark):
+    """IVF nn output: no self-matches; sims are valid cosines; and the
+    in-cell nearest neighbor is never better than the global exact one."""
+    out = similarity.ann_ivf_kmeans(spark, SF_DIR).collect()
+    assert out, "IVF should produce neighbors"
+    assert all(r.vec_id != r.nn_id for r in out)
+    assert all(-1.000001 <= r.cos_sim <= 1.000001 for r in out)
+    # Global exact best-sim per vector (from the pairwise helper) bounds
+    # the in-cell result from above.
+    from pyspark.sql import functions as F
+    e = similarity.load_table(spark, SF_DIR, "embeddings")
+    pairs = similarity._pairs(e)
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"), "cos_sim"
+        )
+    )
+    best = {
+        r.vec_a: r.m
+        for r in sym.groupBy("vec_a").agg(F.max("cos_sim").alias("m")).collect()
+    }
+    for r in out:
+        assert r.cos_sim <= best[r.vec_id] + 1e-6
