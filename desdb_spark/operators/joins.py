@@ -326,3 +326,65 @@ def join_lineage_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("item_cnt"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (direction='backward') or the earliest with
+    ``right.on >= left.on`` ('forward'), matched within ``by`` groups.
+
+    Implementation: union both sides tagged, one window pass per group —
+    one shuffle on ``by``, O(n log n) per group, no range join. This is
+    the scalable form of the fixture-bound ``join_asof`` operator and of
+    pandas.merge_asof / DuckDB ASOF JOIN semantics (ties: right rows at
+    exactly left.on DO match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    l_tag = left.select(
+        F.col(by).alias("_by"), F.col(on).alias("_on"), F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in (on, by)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(by).alias("_by"), F.col(on).alias("_on"), F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (on, by)],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # Right rows sort before left rows at equal _on (ties match).
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(F.col("_on").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+                   for c in right_cols]
+        )
+    else:
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(F.col("_on").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+                   for c in right_cols]
+        )
+    out_cols = (
+        [F.col("_by").alias(by), F.col("_on").alias(on)]
+        + [F.col(c) for c in left.columns if c not in (on, by)]
+        + [F.col(f"_f_{c}").alias(c) for c in right_cols]
+    )
+    return filled.where(F.col("_is_left") == 1).select(*out_cols)

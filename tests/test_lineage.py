@@ -46,3 +46,30 @@ def test_loop_respects_max_depth(spark):
     out = lineage.lineage_walk_loop(edges, roots, max_depth=5).collect()
     assert len(out) == 1
     assert out[0].depth == 5
+
+
+def test_generic_asof_join_matches_merge_asof_semantics(spark):
+    """asof_join == the correlated-subquery definition, both directions."""
+    from datetime import datetime
+
+    from desdb_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), "a"),
+         (1, datetime(2024, 1, 1, 12, 0), "b"),
+         (2, datetime(2024, 1, 1, 11, 0), "c")],
+        "uid bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0), 10.0),
+         (1, datetime(2024, 1, 1, 10, 0), 20.0),   # tie with left 'a' -> matches
+         (1, datetime(2024, 1, 1, 11, 0), 30.0),
+         (2, datetime(2024, 1, 1, 11, 30), 40.0)],
+        "uid bigint, ts timestamp, px double",
+    )
+    back = {(r.uid, r.tag): r.px for r in
+            asof_join(left, right, on="ts", by="uid").collect()}
+    assert back == {(1, "a"): 20.0, (1, "b"): 30.0, (2, "c"): None}
+    fwd = {(r.uid, r.tag): r.px for r in
+           asof_join(left, right, on="ts", by="uid", direction="forward").collect()}
+    assert fwd == {(1, "a"): 20.0, (1, "b"): None, (2, "c"): 40.0}
