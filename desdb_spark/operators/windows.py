@@ -137,3 +137,35 @@ def window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(4) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+    """,
+    group="windows",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile per customer.
+
+    percent_rank and cume_dist order by the bare value (ties collapse
+    identically in any engine); ntile requires the total (value, key)
+    order for a deterministic assignment.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w_val = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    w_total = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )

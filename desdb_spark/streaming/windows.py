@@ -177,3 +177,18 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def dedup_within_watermark_stream(
+    events_stream: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``.
+
+    Unlike plain streaming dropDuplicates (whose key state grows forever),
+    the watermark bounds how long each key is remembered — the only
+    viable dedup shape for an unbounded 100 TB/day stream. Batch-mode
+    semantics are covered by stream_dedup_stateful's oracle.
+    """
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
