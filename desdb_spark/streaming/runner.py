@@ -1,0 +1,65 @@
+"""Shared harness for the real ``readStream`` demo operators.
+
+Two concerns the per-op code was getting wrong (ADVICE r1):
+
+- ``awaitTermination(timeout)`` returns ``False`` on timeout; ignoring it
+  meant a hung query could be read mid-flight as a silently partial
+  result. Here a timeout raises, and the query is stopped in ``finally``
+  either way.
+- Each run staged a symlink tempdir and memory-sink name that were never
+  cleaned / never unique, so a second invocation in the same session
+  could clash or leak. Sink names get a per-process sequence number and
+  the staging dir is removed once the query has terminated (the memory
+  sink holds its batches in memory, so the result outlives the source
+  files).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Per-process sequence so repeated invocations never reuse a sink name.
+_SINK_SEQ = itertools.count()
+
+
+def stage_file_source(src_file: str, prefix: str) -> str:
+    """Stage a single parquet file under a fresh tempdir (the file stream
+    source requires a *directory*; fixture trees are read-only)."""
+    stage = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(src_file, os.path.join(stage, os.path.basename(src_file)))
+    return stage
+
+
+def run_available_now(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name_prefix: str,
+    output_mode: str,
+    stage_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink with trigger=availableNow
+    and return the sink table once the query has fully terminated."""
+    name = f"{name_prefix}_{next(_SINK_SEQ)}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming query {name!r} did not terminate within {timeout_sec}s"
+            )
+    finally:
+        query.stop()
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.table(name)

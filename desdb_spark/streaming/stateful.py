@@ -17,8 +17,6 @@ deployments set ProcessingTimeTimeout and drop idle entities).
 
 from __future__ import annotations
 
-import os
-import tempfile
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -41,7 +39,10 @@ def _update_user_profile(
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].astype("int64").max()))
+        # Pin the epoch unit explicitly: Arrow may deliver ts at ns or us
+        # resolution depending on the batch path, and a bare astype(int64)
+        # would silently change unit — `last` is always epoch-MICROseconds.
+        last = max(last, int(pdf["ts"].astype("datetime64[us]").astype("int64").max()))
     state.update((n, s, last))
     yield pd.DataFrame(
         {
@@ -69,9 +70,11 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end run: events file stream → applyInPandasWithState →
     memory sink (availableNow). With one batch over a complete input the
     final state equals the batch groupBy — asserted in
-    tests/test_streaming_stateful.py."""
-    stage = tempfile.mkdtemp(prefix="desdb_stateful_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    tests/test_streaming_stateful.py. Idempotent: unique sink name +
+    staged-source cleanup per call (streaming/runner.py)."""
+    from desdb_spark.streaming.runner import run_available_now, stage_file_source
+
+    stage = stage_file_source(f"{sf_dir}/events.parquet", "desdb_stateful_src_")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -79,14 +82,6 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         .select("user_id", "ts", "value")
     )
-    name = "stateful_profile_demo"
-    q = (
-        stateful_user_profile(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    return run_available_now(
+        spark, stateful_user_profile(stream), "stateful_profile_demo", "update", stage_dir=stage
     )
-    q.awaitTermination(120)
-    return spark.table(name)

@@ -147,14 +147,12 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete, ordered-enough input the 10-min watermark drops nothing, so
     row counts match the batch tumbling query; the late-row drop itself is
     asserted in tests/test_streaming.py with a hand-built late stream.
+    Idempotent: unique sink name + staged-source cleanup per call
+    (streaming/runner.py).
     """
-    import os
-    import tempfile
+    from desdb_spark.streaming.runner import run_available_now, stage_file_source
 
-    # The file stream source requires a *directory*; the fixture tree is
-    # read-only, so stage a symlink under /tmp.
-    stage = tempfile.mkdtemp(prefix="desdb_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = stage_file_source(f"{sf_dir}/events.parquet", "desdb_stream_src_")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -167,16 +165,7 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.col("window.start").alias("window_start"), "event_type", "cnt")
     )
-    name = "late_data_demo"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    return run_available_now(spark, agg, "late_data_demo", "complete", stage_dir=stage)
 
 
 def dedup_within_watermark_stream(

@@ -27,6 +27,26 @@ def test_streaming_final_equals_batch(spark):
     assert stream_rows == batch_rows
 
 
+def test_streaming_demo_ops_idempotent(spark):
+    """Double invocation in one session must not clash on the memory-sink
+    name, must return identical results, and must clean its staging dirs
+    (ADVICE r1: leaked tempdirs + fixed queryName)."""
+    import glob
+
+    from desdb_spark.streaming.windows import stream_late_data_watermark
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/desdb_stream_src_*"))
+    r1 = stream_late_data_watermark(spark, SF_DIR)
+    r2 = stream_late_data_watermark(spark, SF_DIR)
+    a = sorted(map(tuple, r1.collect()))
+    b = sorted(map(tuple, r2.collect()))
+    assert a == b and len(a) > 0
+    # Staging dirs created by these runs are removed once the query
+    # terminates (pre-existing dirs from other processes are not ours).
+    after = set(glob.glob(f"{tempfile.gettempdir()}/desdb_stream_src_*"))
+    assert after - before == set()
+
+
 def test_watermark_drops_late_rows(spark):
     """Two availableNow runs over one checkpoint; run 2 delivers a row older
     than the watermark established in run 1 → append-mode output must never

@@ -10,16 +10,23 @@ from tests.conftest import SF_DIR
 
 
 def test_stateful_profile_matches_batch(spark, tables):
-    out = {r.user_id: (r.n_events, r.sum_value) for r in
+    out = {r.user_id: (r.n_events, r.sum_value, r.last_ts) for r in
            stream_stateful_profile(spark, SF_DIR).collect()}
     batch = {
-        r.user_id: (r.n, round(r.s, 4))
+        r.user_id: (r.n, round(r.s, 4), r.last)
         for r in tables["events"]
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("ts").alias("last"),
+        )
         .collect()
     }
     assert set(out) == set(batch)
-    for uid, (n, s) in batch.items():
+    for uid, (n, s, last) in batch.items():
         assert out[uid][0] == n
         assert abs(out[uid][1] - s) < 1e-6
+        # last_ts must equal the batch max(ts) exactly (µs precision) —
+        # guards the epoch-unit regression flagged in ADVICE r1.
+        assert out[uid][2] == last, (uid, out[uid][2], last)
