@@ -68,8 +68,16 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: DataFrame cache keyed by (spark application id, sf_dir, table name).
+#: DataFrames are immutable logical plans, so reuse is always safe; the win
+#: is skipping repeated file-listing + schema inference + analysis for every
+#: operator invocation in one session (~100 ms of py4j/Catalyst fixed cost
+#: per read at fixture scale — the dominant term vs the DuckDB baseline).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with schema normalization applied.
+    """Read one fixture table with schema normalization applied (memoized).
 
     Defensive confs: the driver may hand us a session built without the
     nanos shim / UTC timezone — both are runtime-settable, so pin them
@@ -77,10 +85,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos→micros via integer division: exact, no double round-trip.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
