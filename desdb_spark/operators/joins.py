@@ -348,7 +348,14 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
-    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    if right_cols is None:  # explicit [] means "keys only", not "all columns"
+        right_cols = [c for c in right.columns if c not in (on, by)]
+    clashes = set(right_cols) & {c for c in left.columns if c not in (on, by)}
+    if clashes:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(clashes)} collide with left columns; "
+            "rename or project before joining"
+        )
     l_tag = left.select(
         F.col(by).alias("_by"), F.col(on).alias("_on"), F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in (on, by)],

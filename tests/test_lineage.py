@@ -73,3 +73,15 @@ def test_generic_asof_join_matches_merge_asof_semantics(spark):
     fwd = {(r.uid, r.tag): r.px for r in
            asof_join(left, right, on="ts", by="uid", direction="forward").collect()}
     assert fwd == {(1, "a"): 20.0, (1, "b"): None, (2, "c"): 40.0}
+
+    # Explicit [] means "keys only", not "all right columns" (ADVICE r1).
+    keys_only = asof_join(left, right, on="ts", by="uid", right_cols=[])
+    assert set(keys_only.columns) == {"uid", "ts", "tag"}
+
+    # A right column that collides with a left column must raise, not
+    # silently produce duplicate output columns.
+    import pytest
+
+    clash = right.withColumnRenamed("px", "tag")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, clash, on="ts", by="uid")

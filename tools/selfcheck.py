@@ -13,6 +13,7 @@ get a rows-only check (runs + row count printed).
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import hashlib
 import math
 import sys
@@ -38,10 +39,17 @@ def _canon_cell(v) -> str:
         return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        # Spark hands DATE as datetime.date; DuckDB hands it as
+        # datetime64 midnight — canonicalize both to the same string.
+        return v.isoformat() + "T00:00:00"
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple)) or type(v).__name__ in ("ndarray", "MaskedArray"):
+        # tolist() maps numpy scalars to Python and masked entries (DuckDB
+        # NULL-in-list) to None, matching Spark's None-in-list.
+        items = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_canon_cell(x) for x in items) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
@@ -63,6 +71,8 @@ def _kind(dtype, series: pd.Series) -> str:
             return "int64"
         if isinstance(sample, float):
             return "float"
+        if isinstance(sample, _dt.date):  # date or datetime objects
+            return "ts"
         return "obj"
     return "obj"
 
