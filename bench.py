@@ -46,7 +46,7 @@ HEADLINE = [
     "dedup_exact_docs",
 ]
 
-RUNS = 3
+RUNS = 5  # re-execution is cheap post-warmup; 5 medians out a GC outlier
 
 
 def median(xs: list[float]) -> float:

@@ -156,9 +156,17 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             order = np.lexsort((b, a, -s))[:k]  # local top-k, ties by ids
             yield pd.DataFrame({"vec_a": a[order], "vec_b": b[order], "cos_sim": s[order]})
 
-    blocks = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).mapInPandas(block_topk, schema="vec_a bigint, vec_b bigint, cos_sim double")
+    # Spread the query side across the cluster before the GEMM: a small
+    # fixture file arrives as 1 input split, which would serialize the
+    # whole kernel through one task. The shuffled payload is just
+    # (id, vector) — cheap at any scale — and each partition's GEMM runs
+    # in parallel against the broadcast index.
+    nparts = spark.sparkContext.defaultParallelism
+    blocks = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(nparts)
+        .mapInPandas(block_topk, schema="vec_a bigint, vec_b bigint, cos_sim double")
+    )
     return blocks.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(k)
 
 
