@@ -296,3 +296,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.9)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over undirected (id_a, id_b) edges by min-label
+    propagation: every vertex converges to the smallest id reachable from
+    it. Returns (id, comp).
+
+    Each iteration is one equi-join + one min-groupBy — both shuffle on the
+    vertex id, so an N-edge graph costs O(N) per round and O(diameter)
+    rounds. ``localCheckpoint`` (eager) truncates the lineage so plans stay
+    flat across iterations. Near-dup graphs are unions of small cliques —
+    diameter is tiny — so the loop converges in 2-3 rounds; for adversarial
+    long-chain graphs at 100 TB the two-phase large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") halves rounds to
+    O(log d) with the same per-round shape, and checkpoints should go to
+    reliable storage instead of executor memory.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_cluster_components", group="dedup")  # rows-only: iterative algorithm
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: near-dup pairs (MinHash→Jaccard≥0.8) as edges,
+    connected components as cluster assignment (cluster_id = min doc_id in
+    the component). This is the canonical "keep one per cluster" shape a
+    pretraining dedup pass needs — pair output alone under-deletes when
+    dups chain (A~B, B~C but A!~C). Iterative, so no SQL oracle; planted
+    chain/clique semantics are asserted in tests/test_extensions.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d)
+    edges = ngram_jaccard(d, pairs).where(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")

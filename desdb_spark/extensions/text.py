@@ -175,3 +175,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_hash64"
         ),
     )
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, source, n_chars, text,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS BIGINT) AS n_words,
+                   round(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                              AS DOUBLE) / greatest(length(text), 1), 6) AS word_density
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars, n_words, word_density
+        FROM scored
+        WHERE n_chars >= 100 AND word_density >= 0.05
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    group="text",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4-style pretraining gate: score → filter → exact-dedup.
+
+    One declarative plan chaining the pipeline stages a training-data pass
+    runs per shard: per-document quality signals (length, word count, word
+    density), threshold filters, then keep-first exact dedup on the content
+    digest (row_number over md5(text), min doc_id wins). All built-in
+    expressions: the filters prune before the dedup shuffle, and the only
+    shuffle key is the digest — payload text never shuffles twice.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    n_words = F.size(words).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        n_words.alias("n_words"),
+        F.round(
+            n_words.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("word_density"),
+    )
+    filtered = scored.where((F.col("n_chars") >= 100) & (F.col("word_density") >= 0.05))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        filtered.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "n_words", "word_density")
+    )

@@ -42,21 +42,21 @@ _REGISTRY: dict[str, Operator] = {}
 #: the union of the two rounds' files covers all 72 registered operators
 #: (SURVEY.md §2C).
 _OP_MODULES = (
-    # --- slots 1-24: groups with no driver row in round 1 ---
+    # --- slots 1-28: ops new in round 2 + groups with no driver row in r1 ---
     "desdb_spark.streaming.windows",  # 5 ops
     "desdb_spark.streaming.stateful",  # 1 op
-    "desdb_spark.extensions.dedup",  # 4 ops
+    "desdb_spark.extensions.dedup",  # 5 ops
     "desdb_spark.extensions.similarity",  # 4 ops
-    "desdb_spark.extensions.text",  # 5 ops
+    "desdb_spark.extensions.text",  # 6 ops
     "desdb_spark.extensions.multimodal",  # 2 ops
-    "desdb_spark.sources.sinks",  # 3 ops (sink_json unchecked in r1)
-    # --- slots 25-50: core relational ops, all driver-green in round 1 ---
+    "desdb_spark.sources.sinks",  # 5 ops (sink_json + roundtrips unchecked in r1)
+    # --- slots 29-50: core relational ops, all driver-green in round 1 ---
     "desdb_spark.operators.scans",  # 4 ops
     "desdb_spark.operators.projections",  # 3 ops
     "desdb_spark.functions.paths",  # 1 op
     "desdb_spark.operators.joins",  # 10 ops
-    "desdb_spark.operators.aggregates",  # 9 ops (last lands at slot 51)
-    # --- slots 52-72: all driver-green in round 1 (union coverage) ---
+    "desdb_spark.operators.aggregates",  # 9 ops (window cuts inside this group)
+    # --- slots 51-76: all driver-green in round 1 (union coverage) ---
     "desdb_spark.operators.windows",  # 5 ops
     "desdb_spark.operators.sorts_sets",  # 5 ops
     "desdb_spark.functions.scalars",  # 5 ops

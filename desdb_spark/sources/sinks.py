@@ -27,10 +27,19 @@ from desdb_spark.registry import register
 from desdb_spark.session import load_table
 
 
+def _stage_dir(spark: SparkSession, fmt: str) -> str:
+    """Deterministic per-(session, fmt) staging path: repeated invocations
+    overwrite in place instead of leaking a fresh tempdir per call."""
+    import os
+
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"desdb_stage_{fmt}_{app}")
+
+
 def _roundtrip(df: DataFrame, fmt: str) -> DataFrame:
     """Write df out in ``fmt``, read it back, return count-by-format proof."""
     spark = df.sparkSession
-    out = tempfile.mkdtemp(prefix=f"desdb_sink_{fmt}_")
+    out = _stage_dir(spark, fmt)
     writer = df.write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(out)
@@ -72,6 +81,51 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write→read round trip — the quickWrite JSON format."""
     return _roundtrip(_sample(spark, sf_dir), "json")
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys,
+           round(sum(o_totalprice), 2) AS sum_price,
+           max(o_orderdate) AS max_date
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _source_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Stage orders out as ``fmt`` text, read it back as a *source*, and
+    aggregate — the aggregate is hash-checked against the same SQL on the
+    original parquet, so any type-fidelity loss in the text round trip
+    (doubles, timestamps, quoting) fails the differential gate.
+    """
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    out = _stage_dir(spark, f"src_{fmt}")
+    if fmt == "csv":
+        proj.write.mode("overwrite").option("header", True).csv(out)
+        back = spark.read.option("header", True).schema(proj.schema).csv(out)
+    else:
+        proj.write.mode("overwrite").json(out)
+        back = spark.read.schema(proj.schema).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@register("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE, group="sources")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a *source*: header + explicit schema, value-fidelity checked."""
+    return _source_roundtrip(spark, sf_dir, "csv")
+
+
+@register("source_json_roundtrip", oracle=_ROUNDTRIP_ORACLE, group="sources")
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a *source*: explicit schema, value-fidelity checked."""
+    return _source_roundtrip(spark, sf_dir, "json")
 
 
 def write_stream_stdout(df: DataFrame, fmt: str = "csv", out=None) -> int:

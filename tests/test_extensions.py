@@ -134,3 +134,51 @@ def test_ann_ivf_kmeans_nn_sanity(spark):
     }
     for r in out:
         assert r.cos_sim <= best[r.vec_id] + 1e-6
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a chain merges transitively (A~B, B~C => one
+    cluster) and disjoint cliques stay separate."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cluster_components_cover_planted_dups(spark):
+    """Every planted exact-dup pair lands in the same cluster, and each
+    cluster is labeled by its minimum doc_id."""
+    d = _docs_with_dups(spark)
+    truth = _planted_dup_pairs(d)
+    assert truth
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_cluster_components(spark, SF_DIR_DOCS).collect()
+    }
+    for a, b in truth:
+        assert clusters.get(a) == clusters.get(b), (a, b)
+    for doc_id, cid in clusters.items():
+        assert cid <= doc_id
+
+
+def test_pipeline_quality_filter_semantics(spark):
+    """Survivors respect thresholds and contain no duplicate texts; the
+    kept doc of each dup group is the minimum doc_id."""
+    from desdb_spark.extensions.text import pipeline_quality_filter
+    from desdb_spark.session import load_table
+
+    out = pipeline_quality_filter(spark, SF_DIR_DOCS).collect()
+    assert out
+    assert all(r.n_chars >= 100 and r.word_density >= 0.05 for r in out)
+    kept = {r.doc_id for r in out}
+    d = load_table(spark, SF_DIR_DOCS, "documents")
+    md5_of = {
+        r.doc_id: r.h for r in d.select("doc_id", F.md5("text").alias("h")).collect()
+    }
+    seen_hashes = [md5_of[i] for i in kept]
+    assert len(seen_hashes) == len(set(seen_hashes))  # exact-deduped
+    # planted dup pairs: at most one survivor per pair, and it's the min id
+    for a, b in _planted_dup_pairs(d):
+        assert not (a in kept and b in kept)
