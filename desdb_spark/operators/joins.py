@@ -395,3 +395,34 @@ def asof_join(
         + [F.col(f"_f_{c}").alias(c) for c in right_cols]
     )
     return filled.where(F.col("_is_left") == 1).select(*out_cols)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: pre-salt the fact side, replicate the dim.
+
+    AQE's skew-join splitting (enabled session-wide) is the first line of
+    defense, but it only splits *shuffle* partitions it can observe at
+    runtime; pre-salting is the tool when one key dominates so hard that a
+    single key exceeds an executor (power-law join keys at 100 TB), or for
+    join types AQE won't split. Each fact row gets a deterministic salt in
+    [0, salt) from a hash of its full row (any distribution is correct —
+    the salt only spreads rows), and the dim side is exploded ``salt``
+    ways, so (key, salt) equi-join partitions the hot key into ``salt``
+    tasks. Dim replication cost: |dim| × salt rows — use for small/medium
+    dims only.
+    """
+    keys = on if isinstance(on, list) else [on]
+    salt_col = F.pmod(
+        F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])), F.lit(salt)
+    ).cast("int")
+    f = fact.withColumn("_salt", salt_col)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return f.join(d, [*keys, "_salt"], how).drop("_salt")

@@ -168,6 +168,42 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(spark, agg, "late_data_demo", "complete", stage_dir=stage)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join within a time interval.
+
+    The canonical enrich-one-stream-with-another shape (clicks⋈impressions):
+    rows join when keys match and ``right_ts`` lies within ±interval of
+    ``left_ts``. Both sides carry a watermark and the join condition bounds
+    the time difference, so Spark can size and EVICT the join state — the
+    only formulation that survives an unbounded stream; an unconstrained
+    stream-stream join must buffer both streams forever. Works identically
+    on batch DataFrames (minus the watermark), which is how the test
+    oracles it.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {interval}")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def dedup_within_watermark_stream(
     events_stream: DataFrame, keys: list[str], watermark: str = "10 minutes"
 ) -> DataFrame:
