@@ -50,6 +50,7 @@ _OP_MODULES = (
     "desdb_spark.extensions.text",  # 6 ops
     "desdb_spark.extensions.multimodal",  # 2 ops
     "desdb_spark.sources.sinks",  # 5 ops (sink_json + roundtrips unchecked in r1)
+    "desdb_spark.sources.filecatalog",  # 1 op (custom DataSource scan, new in r2)
     # --- slots 29-50: core relational ops, all driver-green in round 1 ---
     "desdb_spark.operators.scans",  # 4 ops
     "desdb_spark.operators.projections",  # 3 ops

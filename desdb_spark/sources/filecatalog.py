@@ -112,3 +112,36 @@ class FileCatalogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return FileCatalogReader(dict(self.options))
+
+
+def register_filecatalog(spark) -> None:
+    """Idempotently register the DataSource with a session."""
+    try:
+        spark.dataSource.register(FileCatalogDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+
+
+def _register_op() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from desdb_spark.registry import register
+
+    @register("source_filecatalog_scan", group="sources")  # rows-only: fs metadata
+    def source_filecatalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Query the fixture directory itself through the custom DataSource:
+        the A8/A10 archive-scan shape (release listing / sync planning) as a
+        plain DataFrame query. Sizes/mtimes are environment metadata, so the
+        driver check is rows-only; listing semantics are pytest-covered in
+        tests/test_filecatalog.py."""
+        register_filecatalog(spark)
+        df = spark.read.format("filecatalog").option("path", sf_dir).load()
+        return (
+            df.select(
+                "path", "depth", (F.col("size_bytes") > 0).alias("non_empty")
+            ).orderBy("path")
+        )
+
+
+_register_op()
