@@ -75,6 +75,7 @@ def main() -> None:
     dfs = {name: ops[name].fn(spark, sf_dir) for name in HEADLINE}
     for df in dfs.values():
         df.count()
+        df.toPandas()  # warm the Arrow collect path too, not just execution
 
     # Local-mode action floor: median wall time of a no-work action.
     floor_runs = []
