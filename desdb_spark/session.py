@@ -76,15 +76,25 @@ def get_spark(
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with schema normalization applied (memoized).
-
-    Defensive confs: the driver may hand us a session built without the
-    nanos shim / UTC timezone — both are runtime-settable, so pin them
-    here before any read.
-    """
+def pin_session_confs(spark: SparkSession) -> None:
+    """Pin runtime-settable confs any fixture read depends on: the driver
+    may hand us a session built without the nanos shim / UTC timezone.
+    Every code path that reads fixture parquet directly (not just through
+    ``load_table``) must call this first — the events table stores
+    timestamp[ns], which schema inference rejects without the shim."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # A stock session means nobody tuned parallelism: 200 shuffle tasks per
+    # op is pure scheduling overhead at fixture scale. Respect any
+    # non-default setting (bench pins 4, selfcheck 8).
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with schema normalization applied (memoized)."""
+    pin_session_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:

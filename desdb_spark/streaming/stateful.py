@@ -72,8 +72,10 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state equals the batch groupBy — asserted in
     tests/test_streaming_stateful.py. Idempotent: unique sink name +
     staged-source cleanup per call (streaming/runner.py)."""
+    from desdb_spark.session import pin_session_confs
     from desdb_spark.streaming.runner import run_available_now, stage_file_source
 
+    pin_session_confs(spark)  # direct read below; driver session may be vanilla
     stage = stage_file_source(f"{sf_dir}/events.parquet", "desdb_stateful_src_")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
