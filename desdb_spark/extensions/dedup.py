@@ -129,6 +129,27 @@ def minhash_candidate_pairs(
     )
 
 
+def inverted_index_tokens(docs: DataFrame, max_token_df: int | None = None) -> DataFrame:
+    """(doc_id, tok) inverted index with an optional document-frequency cap.
+
+    A token appearing in d documents contributes d² join rows to pairwise
+    intersection counting — one pathological stopword can dominate the
+    whole shuffle. ``max_token_df`` drops tokens above the cap from the
+    *candidate-generation* index (standard df-pruning). Note the recall
+    caveat: a pair overlapping ONLY in ultra-common tokens is missed, which
+    is exactly why the primary 100 TB near-dup path is MinHash LSH
+    (df-insensitive); this cap is for the inverted-index tier only.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    if max_token_df is None:
+        return toks
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rare = df_counts.where(F.col("df") <= max_token_df).select("tok")
+    return toks.join(F.broadcast(rare), "tok").select("doc_id", "tok")
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
     sets_df = docs.select(
@@ -276,9 +297,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH gates at scale.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
+    toks = inverted_index_tokens(d)  # exact here; df-cap knob gates at scale
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = toks.alias("a")
     b = toks.alias("b")

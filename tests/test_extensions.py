@@ -182,3 +182,16 @@ def test_pipeline_quality_filter_semantics(spark):
     # planted dup pairs: at most one survivor per pair, and it's the min id
     for a, b in _planted_dup_pairs(d):
         assert not (a in kept and b in kept)
+
+
+def test_inverted_index_df_cap(spark):
+    """df-pruning drops only tokens above the cap; uncapped index is exact."""
+    docs = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2"), (3, "common rare1")],
+        "doc_id bigint, text string",
+    )
+    full = dedup.inverted_index_tokens(docs).collect()
+    assert len(full) == 6
+    capped = dedup.inverted_index_tokens(docs, max_token_df=2).collect()
+    toks = {r.tok for r in capped}
+    assert "common" not in toks and {"rare1", "rare2"} <= toks
