@@ -63,3 +63,54 @@ def run_available_now(
         if stage_dir is not None:
             shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.table(name)
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Stream → idempotent keyed upsert into a parquet target via
+    ``foreachBatch`` (trigger=availableNow, blocks until done).
+
+    The production exactly-once sink shape: foreachBatch hands each
+    micro-batch to arbitrary *batch* code together with a batch id that
+    Structured Streaming replays deterministically from the checkpoint, so
+    a crash between write and commit re-runs the same batch and the
+    keyed-overwrite merge makes the replay a no-op. Here the merge is
+    read-union-dedup-rewrite (parquet has no row-level merge); on a lake
+    format (Delta/Iceberg) the body becomes a real MERGE INTO and the
+    rewrite cost drops to the touched files.
+    """
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = (
+                existing.join(batch.select(*keys), keys, "left_anti").unionByName(batch)
+            )
+        except Exception:  # noqa: BLE001 — first batch: target doesn't exist yet
+            merged = batch
+        # Rewrite via a staging dir: the merge plan reads target_path, so an
+        # in-place overwrite would clobber its own input mid-job.
+        stage = target_path.rstrip("/") + "._staging"
+        merged.write.mode("overwrite").parquet(stage)
+        final = spark.read.parquet(stage)
+        final.write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    query = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(f"foreachBatch upsert did not finish in {timeout_sec}s")
+    finally:
+        query.stop()

@@ -72,3 +72,45 @@ def test_stream_stream_interval_join_matches_batch(spark):
     finally:
         shutil.rmtree(stage_l, ignore_errors=True)
         shutil.rmtree(stage_r, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_idempotent(spark):
+    """Two availableNow passes over overlapping inputs: keys stay unique and
+    later values win only for new batches; re-running with no new data is a
+    no-op (the exactly-once merge shape)."""
+    from desdb_spark.streaming.runner import run_foreach_batch_upsert
+
+    src = tempfile.mkdtemp(prefix="fbu_src_")
+    tgt = tempfile.mkdtemp(prefix="fbu_tgt_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="fbu_ckpt_")
+    try:
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k bigint, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run():
+            run_foreach_batch_upsert(
+                spark,
+                spark.readStream.schema(schema).parquet(src),
+                tgt,
+                keys=["k"],
+                checkpoint=ckpt,
+            )
+
+        run()
+        first = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+        assert first == {1: "a", 2: "b"}
+        # New file with an overlapping key and a new key.
+        spark.createDataFrame(
+            [(2, "b2"), (3, "c")], "k bigint, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run()
+        second = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+        assert second in ({1: "a", 2: "b", 3: "c"}, {1: "a", 2: "b2", 3: "c"})
+        assert len(spark.read.parquet(tgt).collect()) == 3
+        run()  # no new data: no-op
+        assert {r.k: r.v for r in spark.read.parquet(tgt).collect()} == second
+    finally:
+        for d in (src, ckpt, tgt.rsplit("/", 1)[0]):
+            shutil.rmtree(d, ignore_errors=True)
