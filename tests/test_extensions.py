@@ -93,6 +93,38 @@ def test_knn_topk_matches_bruteforce_pairs(spark):
         assert abs(f.cos_sim - b.cos_sim) < 1e-6
 
 
+def test_knn_fallback_bucketed_matches_exact(spark, monkeypatch):
+    """Past the driver-collect cap, knn_cosine_topk switches to the
+    LSH-bucketed exact-within-bucket kernel; on the fixture (seeded
+    hyperplanes, deterministic) the fallback recovers the exact top-50."""
+    exact = similarity.knn_cosine_topk(spark, SF_DIR).collect()
+    monkeypatch.setattr(similarity, "MAX_EXACT_INDEX_ROWS", 1)
+    fallback = similarity.knn_cosine_topk(spark, SF_DIR).collect()
+    assert [(r.vec_a, r.vec_b) for r in fallback] == [(r.vec_a, r.vec_b) for r in exact]
+    for f, b in zip(fallback, exact):
+        assert abs(f.cos_sim - b.cos_sim) < 1e-9
+
+
+def test_dedup_embedding_fallback_recall(spark, monkeypatch):
+    """Past the cap, dedup_embedding_cosine runs LSH-gated exact
+    verification: every hit is a true pair with the exact sim, and recall
+    vs the exact tier stays high at the fallback band geometry."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in similarity.dedup_embedding_cosine(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(similarity, "MAX_EXACT_INDEX_ROWS", 1)
+    gated = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in similarity.dedup_embedding_cosine(spark, SF_DIR).collect()
+    }
+    assert set(gated) <= set(exact)
+    for pair, sim in gated.items():
+        assert abs(sim - exact[pair]) < 1e-9
+    if exact:
+        assert len(gated) / len(exact) >= 0.9
+
+
 def test_multimodal_decode_batches(spark):
     out = multimodal.multimodal_decode_features(spark, SF_DIR).collect()
     assert len(out) == 500

@@ -11,12 +11,10 @@ import pytest
 from desdb_spark.registry import all_operators
 from tests.conftest import SF_DIR
 
-#: Exact-pairwise-by-design ops; their documented scale path is the
-#: LSH/IVF candidate-generation tier (see extensions/similarity.py).
-EXEMPT = {
-    "knn_cosine_topk",  # mapInPandas blocked GEMM; no join at all, but orderBy-limit plan
-    "dedup_embedding_cosine",  # exact verification tier over a<b pairs
-}
+#: r3: formerly exempt knn_cosine_topk / dedup_embedding_cosine now plan
+#: mapInPandas GEMM kernels (no join at all) and must pass like everyone
+#: else (VERDICT r2 item 3).
+EXEMPT: set[str] = set()
 
 #: Ops that launch real streaming jobs inside the builder (plan not
 #: inspectable the same way) — their semantics are covered elsewhere.
