@@ -53,9 +53,13 @@ def _rev():
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top unshipped orders by revenue for one segment.
 
-    Plan shape at scale: customer is the selective dim (segment filter
-    pushed to its scan) and broadcasts; orders⋈lineitem is the only
-    shuffle; the top-10 is TakeOrderedAndProject (no global sort).
+    Plan shape at scale: the segment filter is pushed to the customer scan;
+    orders⋈lineitem is the big shuffle; the top-10 is TakeOrderedAndProject
+    (no global sort). Customer gets NO broadcast hint (r4, ADVICE r3): it
+    scales linearly with SF (~15M rows/TB), so a hard hint OOMs at 100 TB —
+    AQE + autoBroadcastJoinThreshold pick broadcast when (and only when)
+    the filtered side actually fits. Only fixed-cardinality nation/region
+    keep hints in this module.
     """
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
@@ -66,7 +70,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -98,9 +102,12 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where customer and supplier are
     co-national, one region, one order-year.
 
-    Six-way join; all of region/nation/supplier/customer broadcast (their
-    100 TB analogues are still dim-sized), so the only shuffle is
-    orders⋈lineitem on orderkey — same star discipline as
+    Six-way join. Only nation/region carry broadcast hints — they are
+    fixed-cardinality (25/5 rows at any SF). Customer and supplier scale
+    linearly with SF, so they get no hint (r4, ADVICE r3): AQE broadcasts
+    them at fixture scale and falls back to shuffle joins at 100 TB where a
+    forced broadcast would OOM. The orders⋈lineitem orderkey shuffle stays
+    the dominant exchange either way — same star discipline as
     join_multiway_star (operators/joins.py).
     """
     c = load_table(spark, sf_dir, "customer")
@@ -114,9 +121,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -147,7 +154,11 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="relational_ext",
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top customers by revenue lost to returned items."""
+    """TPC-H Q10 shape: top customers by revenue lost to returned items.
+
+    Customer joins without a broadcast hint (r4, ADVICE r3 — it scales with
+    SF); nation keeps its hint (25 rows at any SF).
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -157,7 +168,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))

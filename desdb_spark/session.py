@@ -68,12 +68,44 @@ def get_spark(
     return builder.getOrCreate()
 
 
-#: DataFrame cache keyed by (spark application id, sf_dir, table name).
-#: DataFrames are immutable logical plans, so reuse is always safe; the win
-#: is skipping repeated file-listing + schema inference + analysis for every
-#: operator invocation in one session (~100 ms of py4j/Catalyst fixed cost
-#: per read at fixture scale — the dominant term vs the DuckDB baseline).
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: DataFrame cache keyed by (spark application id, sf_dir, table name,
+#: file fingerprint). DataFrames are immutable logical plans, so reuse is
+#: safe while the underlying files are unchanged; the win is skipping
+#: repeated file-listing + schema inference + analysis for every operator
+#: invocation in one session (~100 ms of py4j/Catalyst fixed cost per read
+#: at fixture scale — the dominant term vs the DuckDB baseline). The
+#: fingerprint (ADVICE r3) makes a rewritten table produce a fresh read —
+#: the cached DataFrame's InMemoryFileIndex snapshots the file listing, so
+#: without it a rewrite within one session would serve stale data.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap identity of a table's files: (path, mtime_ns, size) per file.
+
+    Local-filesystem stat only; non-local paths (or stat failures) degrade
+    to a constant path-only key — i.e. the pre-r4 no-invalidation behavior
+    — rather than raising. Object-store users should call
+    ``clear_table_cache`` explicitly after rewrites.
+    """
+    root = os.path.join(sf_dir.rstrip("/"), f"{name}.parquet")
+    try:
+        if os.path.isfile(root):
+            st = os.stat(root)
+            return ((root, st.st_mtime_ns, st.st_size),)
+        out = []
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out.append((p, st.st_mtime_ns, st.st_size))
+        return tuple(out) or ((root, None, None),)
+    except OSError:
+        return ((root, None, None),)
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
 
 
 def pin_session_confs(spark: SparkSession) -> None:
@@ -95,7 +127,12 @@ def pin_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with schema normalization applied (memoized)."""
     pin_session_confs(spark)
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        name,
+        table_fingerprint(sf_dir, name),
+    )
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

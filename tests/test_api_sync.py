@@ -55,6 +55,32 @@ def test_sync_files_manifest(spark):
     assert os.path.getsize(files[3][1]) == 103
 
 
+def test_sync_files_url_fetch_arm(spark):
+    """file:// sources ride the remote-fetch branch (urllib open → streamed
+    copy → atomic rename → Content-Length skip), so the des-sync remote arm
+    is fully exercised with no network (VERDICT r2 item 10)."""
+    src_dir = tempfile.mkdtemp(prefix="sync_url_src_")
+    dst_dir = tempfile.mkdtemp(prefix="sync_url_dst_")
+    files = []
+    for i in range(5):
+        p = os.path.join(src_dir, f"u{i}.dat")
+        with open(p, "wb") as fh:
+            fh.write(b"y" * (200 + i))
+        files.append((f"file://{p}", os.path.join(dst_dir, f"u{i}.dat")))
+    files.append((f"file://{src_dir}/nope.dat", os.path.join(dst_dir, "nope.dat")))
+
+    pairs = spark.createDataFrame(files, "src string, dst string")
+    m1 = {r.status: c for r, c in _count_status(sync_files(pairs, parallelism=2))}
+    assert m1 == {"copied": 5, "failed": 1}
+    for i in range(5):
+        assert os.path.getsize(files[i][1]) == 200 + i
+    # No in-flight temp files left behind by the atomic rename.
+    assert not [f for f in os.listdir(dst_dir) if f.endswith("__inflight__")]
+    # Idempotent second pass: Content-Length matches → skipped.
+    m2 = {r.status: c for r, c in _count_status(sync_files(pairs, parallelism=2))}
+    assert m2 == {"skipped": 5, "failed": 1}
+
+
 def _count_status(manifest):
     from pyspark.sql import functions as F
 
