@@ -73,6 +73,17 @@ def main() -> None:
     # timing loop. Also warms JVM code paths, parquet footers, and the knn
     # broadcast index (memoized per session).
     dfs = {name: ops[name].fn(spark, sf_dir) for name in HEADLINE}
+
+    # Cold first action (r4, VERDICT r2 item 2): the very first execution of
+    # the first headline query on a fresh session — JVM/codegen warmup,
+    # parquet footer reads, scheduler spin-up all billed. Reported next to
+    # the warm medians so round-over-round deltas can be attributed to
+    # machine noise vs plan changes (warm times ride the floor; cold does
+    # not).
+    t0 = time.perf_counter()
+    dfs[HEADLINE[0]].count()
+    cold_first_action = round(time.perf_counter() - t0, 4)
+
     for df in dfs.values():
         df.count()
         df.toPandas()  # warm the Arrow collect path too, not just execution
@@ -107,6 +118,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "floor_sec": floor,
+                "cold_first_action_sec": cold_first_action,
             }
         )
     )

