@@ -4,7 +4,9 @@ Full-outer join reconciliation, correlation/covariance aggregates, and the
 conditional scalar family — three more canned-query shapes a desdb user
 issued as literal SQL through ``Connection.quick()`` [desdb:desdb.py quick
 — reconstructed, SURVEY.md §0 / §2A A1]. Pure built-in expression work, no
-UDFs; determinism per SURVEY.md §5.3 (floats rounded, totals ordered).
+UDFs; determinism per SURVEY.md §5.3 (floats rounded; no top-level sort —
+the driver hash is order-insensitive, and a full-table global sort would
+be a gratuitous range-exchange at 100 TB).
 """
 
 from __future__ import annotations
@@ -25,7 +27,6 @@ from desdb_spark.session import load_table
                round(sum(o_totalprice), 2) AS total_spent
         FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
         GROUP BY coalesce(c_custkey, o_custkey)
-        ORDER BY custkey
     """,
     group="relational_ext2",
 )
@@ -36,8 +37,12 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: FULL OUTER cannot broadcast (both sides must surface
     unmatched rows), so the plan is the honest one — both sides shuffle on
-    custkey into a sort-merge full-outer join, then the groupBy reuses that
-    same key, so Catalyst plans no second exchange.
+    custkey into a sort-merge full-outer join. The groupBy key is the
+    *derived* coalesce expression, so Catalyst can't prove co-partitioning
+    and plans a second exchange — but only after a partial aggregate that
+    has already collapsed to one row per key (both join sides hash on the
+    same key, so each key's rows are co-located), i.e. the second shuffle
+    ships ~|keys| rows, not the join output.
     """
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders").select(
@@ -51,7 +56,6 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
         )
-        .orderBy("custkey")
     )
 
 
@@ -65,7 +69,6 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(stddev_samp(l_quantity), 6) AS std_qty
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag
     """,
     group="relational_ext2",
 )
@@ -84,7 +87,6 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
             F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -99,7 +101,6 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(greatest(o_totalprice, 150000.0), 2) AS price_floor,
                round(least(o_totalprice, 150000.0), 2) AS price_cap
         FROM orders
-        ORDER BY o_orderkey
     """,
     group="relational_ext2",
 )
@@ -118,4 +119,4 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("X")).alias("status_x"),
         F.round(F.greatest("o_totalprice", F.lit(150000.0)), 2).alias("price_floor"),
         F.round(F.least("o_totalprice", F.lit(150000.0)), 2).alias("price_cap"),
-    ).orderBy("o_orderkey")
+    )
