@@ -561,7 +561,12 @@ def _ivf_assign(vecs: DataFrame, centers, nprobe: int) -> DataFrame:
     """(vec_id, emb, cell, probe_rank) — each vector's ``nprobe`` nearest
     centroids by Euclidean distance, Arrow-batched NumPy against the
     broadcast centroid matrix (k×dim is tiny at any corpus size).
-    probe_rank 0 is the home cell (identical to pyspark.ml's transform)."""
+    probe_rank 0 is the home cell (identical to pyspark.ml's transform).
+
+    Shuffle note: the probe side ships each embedding ×nprobe through the
+    cell join — a small constant (2-8), unlike the ×bands×2 the LSH op
+    used to pay, so the id-only/re-attach restructuring isn't worth the
+    extra join here."""
     import numpy as np
 
     C = centers  # (k, dim) ndarray, closed over → shipped with the task

@@ -42,6 +42,38 @@ def test_oracle_sql_parses_in_duckdb():
                 pytest.fail(f"oracle for {name} failed to bind: {e}")
 
 
+def test_driver_window_union_coverage():
+    """Rotation discipline (VERDICT r2/r3 item 1): every operator past the
+    driver's 50-slot hash window must hold a green row in the most recent
+    CORRECTNESS file, and brand-new ops must sit inside the window — so the
+    union of consecutive rounds always covers the full registry with
+    staleness ≤ 1 round."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver CORRECTNESS artifacts yet")
+    latest = json.load(open(files[-1]))
+    seen_any = set()
+    for f in files:
+        seen_any |= set(json.load(open(f)))
+    ops = list(all_operators())
+    window, rest = ops[:50], ops[50:]
+    for name in rest:
+        row = latest.get(name)
+        assert row is not None, f"{name} is past slot 50 with no row in {files[-1]}"
+        ok = row.get("hash_match") or (
+            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+        )
+        assert ok, f"{name} past slot 50 but latest driver row not green: {row}"
+    for name in ops:
+        if name not in seen_any:
+            assert name in window, f"brand-new op {name} must register inside slot 50"
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 
