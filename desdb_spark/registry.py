@@ -73,6 +73,8 @@ _OP_MODULES = (
     # change is plan-only, re-proven in SELFCHECK_r04_sf0.1.log)
     "desdb_spark.operators.relational_ext3",  # 8 ops (NEW in r4, outside the
     # window — selfcheck-verified this round, rotate into slots 1-50 in r5)
+    "desdb_spark.extensions.pipeline_analytics",  # 5 ops (NEW in r4, outside
+    # the window — selfcheck-verified this round, rotate in r5)
     "desdb_spark.plans.lineage",  # library surface, no registered ops
 )
 

@@ -65,3 +65,20 @@ def test_cli_empty_query_errors():
         cwd="/root/repo",
     )
     assert out.returncode == 2
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """The partitioned write→read op must plan real partition pruning:
+    the event_type IN filter resolves against directory names, so only
+    2 of 5 partition directories are scanned (the 100 TB pattern for
+    bounded-cardinality partition columns)."""
+    from desdb_spark.extensions.pipeline_analytics import sink_partitioned_parquet
+
+    df = sink_partitioned_parquet(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "click" in plan and "purchase" in plan, plan
+    # The pruned scan must not carry a post-scan row filter on event_type
+    # (pruning happens at file listing, not per row).
+    rows = {r.event_type for r in df.collect()}
+    assert rows == {"click", "purchase"}
