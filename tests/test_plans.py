@@ -59,3 +59,70 @@ def test_band_join_is_equi_not_cross(spark):
     plan = _plan(joins.join_theta_range(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_pushes_all_predicates_and_prunes_columns(spark):
+    """Q6 is the pushdown showcase: every predicate reaches the parquet
+    scan and ReadSchema carries only the 4 needed lineitem columns."""
+    from desdb_spark.operators import relational_ext3
+
+    plan = _plan(relational_ext3.scan_agg_q6(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], pushed[0]
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read
+    for col in ("l_orderkey", "l_partkey", "l_tax", "l_returnflag"):
+        assert col not in read, read
+
+
+def test_q18_top100_uses_take_ordered(spark):
+    """The having-IN large-orders query must plan TakeOrderedAndProject,
+    never a global sort before the limit."""
+    from desdb_spark.operators import relational_ext3
+
+    plan = _plan(relational_ext3.subq_having_in_q18(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q22_plans_scalar_subquery_not_join(spark):
+    """The global-average threshold must be a ScalarSubquery (computed
+    once, inlined) — not a join of any kind against the 1-row aggregate."""
+    from desdb_spark.operators import relational_ext3
+
+    df = relational_ext3.subq_scalar_antijoin_q22(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Subquery" in plan or "subquery" in plan, plan
+    # the anti-join (NOT EXISTS) is the only join in the plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_broadcasts_only_nation_arms(spark):
+    """Both nation roles broadcast (fixed cardinality); the orderkey
+    exchange stays the only big shuffle — no BNLJ from the pair filter."""
+    from desdb_spark.operators import relational_ext3
+
+    plan = _plan(relational_ext3.join_two_dim_pair_q7(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_reuses_partkey_exchange(spark):
+    """The per-part average and the fact⋈avg join hash on the same key;
+    Catalyst must not plan two separate lineitem shuffles on l_partkey.
+    We assert structurally: at most one Exchange hashpartitioning on
+    l_partkey feeds the join (the other side reuses or chains)."""
+    from desdb_spark.operators import relational_ext3
+
+    plan = _plan(relational_ext3.subq_scalar_per_group_q17(spark, SF_DIR))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_0-9#]+)", plan)
+    partkey_exchanges = [e for e in exchanges if e.startswith("l_partkey")]
+    # lineitem appears twice (fact + avg input); both hash on l_partkey.
+    # AQE may reuse — accept <= 2 but never more.
+    assert len(partkey_exchanges) <= 2, plan
