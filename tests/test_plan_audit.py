@@ -18,7 +18,12 @@ EXEMPT: set[str] = set()
 
 #: Ops that launch real streaming jobs inside the builder (plan not
 #: inspectable the same way) — their semantics are covered elsewhere.
-SKIP = {"stream_late_data_watermark", "stream_stateful_profile", "ann_ivf_kmeans"}
+SKIP = {
+    "stream_late_data_watermark",
+    "stream_stateful_profile",
+    "ann_ivf_kmeans",
+    "stream_stream_enrich_join",
+}
 
 
 @pytest.mark.parametrize("name", sorted(all_operators()))
