@@ -76,6 +76,7 @@ _OP_MODULES = (
     "desdb_spark.extensions.pipeline_analytics",  # 5 ops (NEW in r4, outside
     # the window — selfcheck-verified this round, rotate in r5)
     "desdb_spark.streaming.joins",  # 1 op (NEW in r4, outside the window)
+    "desdb_spark.sources.lake",  # 1 op (NEW in r4, outside the window)
     "desdb_spark.plans.lineage",  # library surface, no registered ops
 )
 
