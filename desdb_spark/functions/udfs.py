@@ -109,3 +109,49 @@ def udtf_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.round(F.col("col"), 6).alias("val"),
     )
+
+
+@register(
+    "udtf_python_sentences",
+    oracle="""
+        SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, sentence,
+               CAST(length(sentence) AS INT) AS n_chars
+        FROM (SELECT doc_id,
+                     unnest(string_split(text, '. ')) AS sentence,
+                     unnest(range(1, len(string_split(text, '. ')) + 1)) AS i
+              FROM documents) d
+    """,
+    group="udfs",
+)
+def udtf_python_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based Python UDTF (Spark 4 API): sentence-split each document
+    via LATERAL, yielding (sent_idx, sentence, n_chars) rows.
+
+    API-parity surface for the desdb user's table-function habit
+    [desdb:desdb.py quick over Oracle TABLE() — reconstructed, SURVEY.md
+    §2A A1]: this demonstrates the full UDTF lifecycle (class, register,
+    LATERAL join in SQL). It is deliberately the ONLY Python-row-path
+    table function in the registry — for anything expressible with
+    explode/posexplode/split, the built-in path (udtf_explode_unnest
+    above) is 10-100x faster and stays in codegen; a UDTF earns its cost
+    only when per-row logic genuinely needs Python. Scale shape: the
+    UDTF is embarrassingly parallel per partition, no shuffle at all.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s, len(s)
+
+    spark.udtf.register("sentence_split_py", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM udtf_docs, LATERAL sentence_split_py(text) s
+        """
+    )
