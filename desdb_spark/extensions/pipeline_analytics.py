@@ -246,3 +246,103 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "events_minute_gapfill",
+    oracle="""
+        WITH spine AS (
+          SELECT ts_min FROM generate_series(
+              TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-01-01 02:00:00',
+              INTERVAL 1 MINUTE) AS t(ts_min)),
+        cnts AS (
+          SELECT date_trunc('minute', ts) AS ts_min,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+            AND ts <= TIMESTAMP '2024-01-01 02:00:00'
+          GROUP BY date_trunc('minute', ts))
+        SELECT spine.ts_min, coalesce(n, 0) AS n_events
+        FROM spine LEFT JOIN cnts ON spine.ts_min = cnts.ts_min
+    """,
+    group="pipeline_analytics",
+)
+def events_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense minute spine over a 2-hour window, left-joined with event
+    counts and zero-filled — the gap-filling primitive behind every
+    regular time-series chart or downstream resampler (sparse event data
+    must become a dense grid).
+
+    Scale shape: the spine is generated (sequence+explode, 121 rows —
+    never read from disk) and broadcast to the counts side; the counts
+    aggregate prunes events at the scan by the pushed time-range filter
+    and partial-aggregates per minute before its shuffle. At 100 TB the
+    spine stays O(window/step) regardless of data volume — generation
+    cost is independent of the fact table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.sql(
+        """
+        SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-01 02:00:00',
+                                INTERVAL 1 MINUTE)) AS ts_min
+        """
+    )
+    cnts = (
+        e.where(
+            (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-01-01 02:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("cnt_min"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(cnts, spine.ts_min == cnts.cnt_min, "left")
+        .select("ts_min", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+@register(
+    "profile_table_summary",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_price,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS last_order,
+               round(avg(o_totalprice), 2) AS avg_price,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        FROM orders
+    """,
+    group="pipeline_analytics",
+)
+def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: row count, key cardinality, null census,
+    value ranges, rounded mean — the describe-before-you-query step of
+    catalog exploration (desdb users ran exactly this against Oracle
+    dictionary views; here it is one distributed aggregate over the
+    data itself [desdb:desdb.py describe — reconstructed, SURVEY.md §2A
+    A4]).
+
+    Scale shape: a single global aggregate — every measure
+    partial-aggregates map-side except the two exact count-distincts,
+    which expand to a two-phase hash agg keyed on the distinct column;
+    the final exchange carries one row per task. For
+    billions-of-distinct-keys profiling swap in
+    approx_count_distinct (agg_approx_count_distinct op) — exact
+    distinct is the right default at dimension-table cardinalities.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
