@@ -422,3 +422,43 @@ def subq_scalar_antijoin_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "window_time_range_rolling",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW),
+                 2) AS spend_90d
+        FROM orders
+    """,
+    group="relational_ext3",
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 90-day spend per customer: a RANGE window frame bounded by
+    a time interval, not a row count — the moving-aggregate shape row
+    frames cannot express when order timestamps are irregular.
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    orders on epoch seconds with a -90-day lower bound — value-identical
+    to DuckDB's INTERVAL PRECEDING frame (both bounds inclusive, and
+    RANGE treats same-date peers identically, so date ties cannot change
+    the sum). Scale shape: one shuffle on o_custkey, per-partition sort
+    on the order date; the frame is computed in a single pass with a
+    sliding aggregate — no self-join, no explode of the 90-day window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )
