@@ -77,6 +77,10 @@ _OP_MODULES = (
     # the window — selfcheck-verified this round, rotate in r5)
     "desdb_spark.streaming.joins",  # 1 op (NEW in r4, outside the window)
     "desdb_spark.sources.lake",  # 1 op (NEW in r4, outside the window)
+    "desdb_spark.operators.relational_ext4",  # 6 ops (NEW in r4, outside the
+    # window — selfcheck-verified this round, rotate into slots 1-50 in r5)
+    "desdb_spark.extensions.corpus_timeseries",  # 5 ops (NEW in r4, outside
+    # the window — selfcheck-verified this round, rotate in r5)
     "desdb_spark.plans.lineage",  # library surface, no registered ops
 )
 
