@@ -37,50 +37,48 @@ _REGISTRY: dict[str, Operator] = {}
 #: The window therefore ROTATES each round so no operator's driver row is
 #: ever more than one round stale (VERDICT r2 "Next round" item 1), and
 #: `tools/selfcheck.py` runs ALL registered operators every round as the
-#: full-coverage backstop. Round 4 window (VERDICT r3 item 1): the 38 ops
-#: whose latest driver row is round 2 (scans, projections, paths, joins,
-#: streaming, text, multimodal, sinks, filecatalog) come first, then
-#: similarity + dedup — re-verified because round 4 CHANGES them (adaptive
-#: LSH geometry, slim candidate shuffle, IVF multi-probe, prefix-filtered
-#: Jaccard) — then the 3 ops new in round 4. Slots 51+ are all r3-green
-#: (CORRECTNESS_r03), max one round stale. relational_ext sits outside the
-#: window despite its r4 broadcast-hint removal: that change is physical-
-#: plan-only, and the committed SELFCHECK_r04_sf0.1.log re-proves its
-#: hashes at r4 HEAD.
+#: full-coverage backstop. Round 5 window: round 4 ended without driver
+#: artifacts (no CORRECTNESS_r04.json exists), so the 33 ops that round 4
+#: added have NO driver row at all — they fill the window first, together
+#: with similarity + dedup (changed in r4, so their r3 rows predate the
+#: current code). The r2-latest modules (scans/joins/streaming/text/...)
+#: stay outside: their code is unchanged since their green r2 rows and
+#: every one is re-proven at current HEAD by the committed
+#: SELFCHECK_r05_sf0.1.log. With 121+ registered ops and a 50-slot driver
+#: window, union staleness can no longer be held to one round; priority is
+#: never-checked > changed-since-checked > oldest-green.
 _OP_MODULES = (
-    # --- driver window (slots 1-50): current-round verification ---
-    "desdb_spark.operators.scans",  # 4 ops (slots 1-4, r2-latest)
-    "desdb_spark.operators.projections",  # 3 ops (slots 5-7, r2-latest)
-    "desdb_spark.functions.paths",  # 1 op (slot 8, r2-latest)
-    "desdb_spark.operators.joins",  # 10 ops (slots 9-18, r2-latest)
-    "desdb_spark.streaming.windows",  # 5 ops (slots 19-23, r2-latest)
-    "desdb_spark.streaming.stateful",  # 1 op (slot 24, r2-latest)
-    "desdb_spark.extensions.text",  # 6 ops (slots 25-30, r2-latest)
-    "desdb_spark.extensions.multimodal",  # 2 ops (slots 31-32, r2-latest)
-    "desdb_spark.sources.sinks",  # 5 ops (slots 33-37, r2-latest)
-    "desdb_spark.sources.filecatalog",  # 1 op (slot 38, r2-latest)
-    "desdb_spark.extensions.similarity",  # 4 ops (slots 39-42, changed in r4)
-    "desdb_spark.extensions.dedup",  # 5 ops (slots 43-47, changed in r4)
-    "desdb_spark.operators.relational_ext2",  # 3 ops (slots 48-50, NEW in r4)
-    # --- slots 51+: all r3-green (CORRECTNESS_r03), max one round stale ---
-    "desdb_spark.operators.aggregates",  # 9 ops
-    "desdb_spark.operators.windows",  # 5 ops
-    "desdb_spark.operators.sorts_sets",  # 5 ops
-    "desdb_spark.functions.scalars",  # 5 ops
-    "desdb_spark.functions.udfs",  # 3 ops
-    "desdb_spark.operators.aggregates_ext",  # 3 ops
+    # --- driver window (slots 1-50): never-checked + changed-in-r4 ---
+    "desdb_spark.operators.relational_ext2",  # 3 ops (NEW r4, no driver row)
+    "desdb_spark.operators.relational_ext3",  # 9 ops (NEW r4, no driver row)
+    "desdb_spark.extensions.pipeline_analytics",  # 7 ops (NEW r4)
+    "desdb_spark.streaming.joins",  # 1 op (NEW r4)
+    "desdb_spark.sources.lake",  # 1 op (NEW r4)
+    "desdb_spark.operators.relational_ext4",  # 6 ops (NEW r4)
+    "desdb_spark.extensions.corpus_timeseries",  # 5 ops (NEW r4)
+    "desdb_spark.functions.udfs",  # 4 ops (udtf_python_sentences NEW r4)
+    "desdb_spark.extensions.similarity",  # 4 ops (changed in r4)
+    "desdb_spark.extensions.dedup",  # 5 ops (changed in r4)
+    # 45 slots used; round-5 modules insert here as they land.
+    "desdb_spark.operators.scans",  # 4 ops (r2-green, code unchanged)
+    "desdb_spark.functions.paths",  # 1 op (r2-green, code unchanged)
+    # --- slots 51+: r2/r3-green, code unchanged since their driver row,
+    # re-proven at HEAD by the committed full-registry selfcheck log ---
+    "desdb_spark.operators.projections",  # 3 ops (r2-green)
+    "desdb_spark.operators.joins",  # 10 ops (r2-green)
+    "desdb_spark.streaming.windows",  # 5 ops (r2-green)
+    "desdb_spark.streaming.stateful",  # 1 op (r2-green)
+    "desdb_spark.extensions.text",  # 6 ops (r2-green)
+    "desdb_spark.extensions.multimodal",  # 2 ops (r2-green)
+    "desdb_spark.sources.sinks",  # 5 ops (r2-green)
+    "desdb_spark.sources.filecatalog",  # 1 op (r2-green)
+    "desdb_spark.operators.aggregates",  # 9 ops (r3-green)
+    "desdb_spark.operators.windows",  # 5 ops (r3-green)
+    "desdb_spark.operators.sorts_sets",  # 5 ops (r3-green)
+    "desdb_spark.functions.scalars",  # 5 ops (r3-green)
+    "desdb_spark.operators.aggregates_ext",  # 3 ops (r3-green)
     "desdb_spark.operators.relational_ext",  # 11 ops (r3-green; r4 hint
-    # change is plan-only, re-proven in SELFCHECK_r04_sf0.1.log)
-    "desdb_spark.operators.relational_ext3",  # 8 ops (NEW in r4, outside the
-    # window — selfcheck-verified this round, rotate into slots 1-50 in r5)
-    "desdb_spark.extensions.pipeline_analytics",  # 5 ops (NEW in r4, outside
-    # the window — selfcheck-verified this round, rotate in r5)
-    "desdb_spark.streaming.joins",  # 1 op (NEW in r4, outside the window)
-    "desdb_spark.sources.lake",  # 1 op (NEW in r4, outside the window)
-    "desdb_spark.operators.relational_ext4",  # 6 ops (NEW in r4, outside the
-    # window — selfcheck-verified this round, rotate into slots 1-50 in r5)
-    "desdb_spark.extensions.corpus_timeseries",  # 5 ops (NEW in r4, outside
-    # the window — selfcheck-verified this round, rotate in r5)
+    # change is plan-only, re-proven in SELFCHECK logs)
     "desdb_spark.plans.lineage",  # library surface, no registered ops
 )
 
