@@ -57,11 +57,11 @@ _OP_MODULES = (
     "desdb_spark.operators.relational_ext4",  # 6 ops (NEW r4)
     "desdb_spark.extensions.corpus_timeseries",  # 5 ops (NEW r4)
     "desdb_spark.functions.udfs",  # 4 ops (udtf_python_sentences NEW r4)
+    "desdb_spark.operators.relational_ext5",  # 8 ops (NEW r5: TPC-H
+    # Q2/Q8/Q9/Q11/Q12/Q16/Q20/Q21 adapted — completes the 22-query suite)
     "desdb_spark.extensions.similarity",  # 4 ops (changed in r4)
-    "desdb_spark.extensions.dedup",  # 5 ops (changed in r4)
-    # 45 slots used; round-5 modules insert here as they land.
-    "desdb_spark.operators.scans",  # 4 ops (r2-green, code unchanged)
-    "desdb_spark.functions.paths",  # 1 op (r2-green, code unchanged)
+    "desdb_spark.extensions.dedup",  # 5 ops (changed in r4; the tail past
+    # slot 50 holds green r3 driver rows + selfcheck-log lines at r4/r5 HEAD)
     # --- slots 51+: r2/r3-green, code unchanged since their driver row,
     # re-proven at HEAD by the committed full-registry selfcheck log ---
     "desdb_spark.operators.projections",  # 3 ops (r2-green)
