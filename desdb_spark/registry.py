@@ -59,6 +59,8 @@ _OP_MODULES = (
     "desdb_spark.functions.udfs",  # 4 ops (udtf_python_sentences NEW r4)
     "desdb_spark.operators.relational_ext5",  # 8 ops (NEW r5: TPC-H
     # Q2/Q8/Q9/Q11/Q12/Q16/Q20/Q21 adapted — completes the 22-query suite)
+    "desdb_spark.extensions.training_prep",  # 5 ops (NEW r5: deterministic
+    # sampling / splits / packing / mix weights for training pipelines)
     "desdb_spark.extensions.similarity",  # 4 ops (changed in r4)
     "desdb_spark.extensions.dedup",  # 5 ops (changed in r4; the tail past
     # slot 50 holds green r3 driver rows + selfcheck-log lines at r4/r5 HEAD)
