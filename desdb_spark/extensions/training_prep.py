@@ -194,10 +194,11 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes.
 
     Scale shape: one groupBy shuffle over the (source × lang) key space;
-    the normalizer is a second aggregate over the ALREADY-aggregated
-    ~hundreds of cells (never re-reads documents) and joins back through
-    a constant key → 1-row BroadcastHashJoin (plan-audit rule: no
-    nested-loop).
+    the normalizer is a SQL scalar subquery over the ALREADY-aggregated
+    ~hundreds of cells (never re-reads documents), planned as a
+    ``ScalarSubquery`` that inlines as a literal — no join at all (a
+    constant-key equi-join constant-folds into the BNLJ the fleet plan
+    audit forbids).
     """
     d = load_table(spark, sf_dir, "documents")
     g = d.groupBy("source", "lang").agg(
@@ -205,17 +206,13 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_tokens()).cast("bigint").alias("n_tokens"),
     )
     g = g.withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
-    total = g.agg(F.sum("w").alias("tw")).withColumn("k", F.lit(1))
-    return (
-        g.withColumn("k", F.lit(1))
-        .join(F.broadcast(total), "k")
-        .select(
-            "source",
-            "lang",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("w") / F.col("tw"), 6).alias("mix_weight"),
-        )
+    g.createOrReplaceTempView("mixw_cells")
+    return spark.sql(
+        """
+        SELECT source, lang, n_docs, n_tokens,
+               round(w / (SELECT sum(w) FROM mixw_cells), 6) AS mix_weight
+        FROM mixw_cells
+        """
     )
 
 

@@ -249,13 +249,13 @@ def subq_global_threshold_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     selects rows at every SF — a fixed fraction-of-total would go
     empty at small SF and select everything at large SF).
 
-    Scale shape: the per-part aggregate is computed once and reused for
-    both the rows and the global total (Spark dedups the shared subplan
-    under AQE reuse; at worst it is one extra pass over the ~part-count
-    aggregate, never over lineitem). The scalar total joins through a
-    constant key → BroadcastHashJoin on a 1-row side, not a nested-loop
-    (plan-audit rule). Region pruning happens before the partkey
-    shuffle via the broadcast dim chain.
+    Scale shape: the threshold is declared as a SQL scalar subquery so
+    Catalyst plans a ``ScalarSubquery`` — the 1-row mean runs as its own
+    tiny job over the ~part-count aggregate (never re-reading lineitem)
+    and inlines into the filter as a literal, with NO join at all (a
+    constant-key equi-join gets constant-folded into the BNLJ the fleet
+    plan audit forbids — same lesson as Q22). Region pruning happens
+    before the partkey shuffle via the broadcast dim chain.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -268,12 +268,13 @@ def subq_global_threshold_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("v"))
     )
-    total = val.agg((1.5 * F.avg("v")).alias("thr")).withColumn("k", F.lit(1))
-    return (
-        val.withColumn("k", F.lit(1))
-        .join(F.broadcast(total), "k")
-        .where(F.col("v") > F.col("thr"))
-        .select(F.col("l_partkey").alias("partkey"), F.round("v", 2).alias("value"))
+    val.createOrReplaceTempView("q11_val")
+    return spark.sql(
+        """
+        SELECT l_partkey AS partkey, round(v, 2) AS value
+        FROM q11_val
+        WHERE v > (SELECT 1.5 * avg(v) FROM q11_val)
+        """
     )
 
 
