@@ -56,14 +56,22 @@ _OP_MODULES = (
     "desdb_spark.sources.lake",  # 1 op (NEW r4)
     "desdb_spark.operators.relational_ext4",  # 6 ops (NEW r4)
     "desdb_spark.extensions.corpus_timeseries",  # 5 ops (NEW r4)
-    "desdb_spark.functions.udfs",  # 4 ops (udtf_python_sentences NEW r4)
     "desdb_spark.operators.relational_ext5",  # 8 ops (NEW r5: TPC-H
     # Q2/Q8/Q9/Q11/Q12/Q16/Q20/Q21 adapted — completes the 22-query suite)
     "desdb_spark.extensions.training_prep",  # 5 ops (NEW r5: deterministic
     # sampling / splits / packing / mix weights for training pipelines)
-    "desdb_spark.extensions.similarity",  # 4 ops (changed in r4)
-    "desdb_spark.extensions.dedup",  # 5 ops (changed in r4; the tail past
-    # slot 50 holds green r3 driver rows + selfcheck-log lines at r4/r5 HEAD)
+    "desdb_spark.operators.temporal",  # 1 op (NEW r5: SCD2 history build)
+    "desdb_spark.extensions.quality_ext",  # 2 ops (NEW r5: repetition score,
+    # int8 quantization audit)
+    "desdb_spark.operators.joins_ext",  # 1 op (NEW r5: salted skew join
+    # under the external differential)
+    "desdb_spark.extensions.similarity",  # 4 ops (changed in r4; slot 50 is
+    # knn_cosine_topk — the 3 past the window hold green r3 driver rows plus
+    # selfcheck-log lines at r4/r5 HEAD)
+    "desdb_spark.extensions.dedup",  # 5 ops (changed in r4; r3 driver rows
+    # + selfcheck-log lines at r4/r5 HEAD)
+    "desdb_spark.functions.udfs",  # 4 ops (3 r3-green; udtf_python_sentences
+    # NEW r4 — green in committed SELFCHECK_r04/r05 logs)
     # --- slots 51+: r2/r3-green, code unchanged since their driver row,
     # re-proven at HEAD by the committed full-registry selfcheck log ---
     "desdb_spark.operators.projections",  # 3 ops (r2-green)
