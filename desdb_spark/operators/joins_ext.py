@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from desdb_spark.operators.joins import salted_join
 from desdb_spark.registry import register
 from desdb_spark.session import load_table
 
@@ -44,6 +43,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow salt column. The skew-balance bound itself is asserted on a
     power-law fixture in tests/test_scale_round4.py.
     """
+    # Imported lazily: a module-level import would pull operators.joins in
+    # ahead of its _OP_MODULES slot and register its 10 ops inside the
+    # driver window, displacing the never-checked ops this window exists
+    # to cover.
+    from desdb_spark.operators.joins import salted_join
+
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = salted_join(
