@@ -240,8 +240,8 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n,
                round(avg(val), 6) AS mean_val,
                round(stddev_samp(val), 6) AS std_val,
-               round(min(val), 6) AS min_val,
-               round(max(val), 6) AS max_val
+               round(CAST(min(val) AS DOUBLE), 6) AS min_val,
+               round(CAST(max(val) AS DOUBLE), 6) AS max_val
         FROM (SELECT unnest(embedding) AS val,
                      unnest(range(0, len(embedding))) AS dim
               FROM embeddings)

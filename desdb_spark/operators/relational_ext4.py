@@ -271,7 +271,8 @@ def window_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CASE WHEN monetary >= 1500000.0 THEN 'M1' ELSE 'M0' END)
                    AS segment,
                CAST(count(*) AS BIGINT) AS n_cust,
-               round(avg(monetary), 2) AS avg_monetary,
+               floor(sum(CAST(round(monetary * 100, 0) AS BIGINT)) * 1.0
+                     / count(*)) / 100.0 AS avg_monetary,
                round(sum(monetary), 2) AS total_monetary
         FROM per_cust
         GROUP BY 1
@@ -291,7 +292,10 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second tiny aggregate. No window, no global sort, no join. The
     monetary sum is rounded before both the threshold test and the
     segment rollup, so flag membership is bitwise-identical in both
-    engines.
+    engines. The segment average is computed as floor of integer cents
+    (not round(avg)): a real fixture segment lands on an exact half-cent
+    (194 469 371.31 / 58 = ….195), where HALF_UP (Spark) and DuckDB
+    disagree — floor over integer cents is boundary-free.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -310,7 +314,14 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust.groupBy(segment.alias("segment"))
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+            (
+                F.floor(
+                    F.sum(F.round(F.col("monetary") * 100, 0).cast("bigint"))
+                    * F.lit(1.0)
+                    / F.count("*")
+                )
+                / 100.0
+            ).alias("avg_monetary"),
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
     )
