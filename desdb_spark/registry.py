@@ -68,6 +68,8 @@ _OP_MODULES = (
     "desdb_spark.extensions.stats_monitor",  # 2 ops (NEW r5: chi-square
     # independence, trailing-window anomaly)
     "desdb_spark.sources.formats_ext",  # 1 op (NEW r5: ORC roundtrip)
+    "desdb_spark.operators.relational_ext6",  # 2 ops (NEW r5: CDC merge
+    # upsert, per-segment deciles)
     "desdb_spark.extensions.similarity",  # 4 ops (changed in r4; slot 50 is
     # knn_cosine_topk — the 3 past the window hold green r3 driver rows plus
     # selfcheck-log lines at r4/r5 HEAD)
