@@ -45,10 +45,12 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) the engine session.
 
-    Required non-default conf (SURVEY.md §7.4): the events fixture stores
-    ``timestamp[ns]`` which Spark's parquet reader rejects by default;
-    ``nanosAsLong`` surfaces it as a long that ``load_tables`` converts to a
-    microsecond timestamp, µs-exact with the DuckDB oracle.
+    The events fixture stores ``timestamp[ns]``; how the parquet reader
+    surfaces it has drifted across PySpark 4.1.2 builds (``nanosAsLong`` →
+    bigint in older builds; the conf is silently ignored in the current one,
+    which reads TIMESTAMP(NANOS) as timestamp_ntz). The conf is still set
+    as best-effort for older builds; the dtype-conditional
+    ``normalize_events_ts`` is the real shim — never rely on the conf.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
     builder = (
@@ -110,10 +112,10 @@ def clear_table_cache() -> None:
 
 def pin_session_confs(spark: SparkSession) -> None:
     """Pin runtime-settable confs any fixture read depends on: the driver
-    may hand us a session built without the nanos shim / UTC timezone.
-    Every code path that reads fixture parquet directly (not just through
-    ``load_table``) must call this first — the events table stores
-    timestamp[ns], which schema inference rejects without the shim."""
+    may hand us a session built without UTC timezone / AQE. The UTC pin is
+    load-bearing for events: ``normalize_events_ts`` casts timestamp_ntz →
+    timestamp, which is wall-clock-exact only under UTC. ``nanosAsLong``
+    stays as best-effort for older builds that reject TIMESTAMP(NANOS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -122,6 +124,34 @@ def pin_session_confs(spark: SparkSession) -> None:
     # non-default setting (bench pins 4, selfcheck 8).
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to a session-TZ ``timestamp``,
+    whatever the parquet reader surfaced it as.
+
+    The fixture stores ``timestamp[ns]``, which different PySpark builds
+    surface differently (observed drift within this project's lifetime):
+
+    - ``bigint`` — when ``spark.sql.legacy.parquet.nanosAsLong`` is honored:
+      nanos→micros via integer division (exact, no double round-trip).
+    - ``timestamp_ntz`` — current PySpark 4.1.2 ignores the legacy conf and
+      reads TIMESTAMP(NANOS) as NTZ truncated to micros. Cast to ``timestamp``
+      under the pinned UTC session TZ — wall-clock identical, µs-exact with
+      the DuckDB oracle (verified: 2024-01-01 00:09:58.778549 both paths).
+    - ``timestamp`` — already normalized; pass through.
+
+    Works on both batch and streaming DataFrames (pure column expression).
+    Every code path that reads events parquet — batch ``load_table`` or a
+    ``readStream`` source — MUST route through this instead of hand-rolling
+    the conversion, or environment drift breaks it silently (VERDICT r4).
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -137,9 +167,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos→micros via integer division: exact, no double round-trip.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     _TABLE_CACHE[key] = df
     return df
 

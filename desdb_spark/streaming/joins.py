@@ -36,7 +36,7 @@ def stream_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stateful operator under test, and stacking a complete-mode agg on
     a stream-stream join is exactly the multi-stateful-operator shape
     Spark restricts."""
-    from desdb_spark.session import pin_session_confs
+    from desdb_spark.session import normalize_events_ts, pin_session_confs
     from desdb_spark.streaming.runner import run_available_now, stage_file_source
     from desdb_spark.streaming.windows import stream_stream_interval_join
 
@@ -45,11 +45,7 @@ def stream_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def _stream():
-        return (
-            spark.readStream.schema(schema)
-            .parquet(stage)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        return normalize_events_ts(spark.readStream.schema(schema).parquet(stage))
 
     views = _stream().where(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("view_ts")

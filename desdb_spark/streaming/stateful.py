@@ -72,18 +72,15 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state equals the batch groupBy — asserted in
     tests/test_streaming_stateful.py. Idempotent: unique sink name +
     staged-source cleanup per call (streaming/runner.py)."""
-    from desdb_spark.session import pin_session_confs
+    from desdb_spark.session import normalize_events_ts, pin_session_confs
     from desdb_spark.streaming.runner import run_available_now, stage_file_source
 
     pin_session_confs(spark)  # direct read below; driver session may be vanilla
     stage = stage_file_source(f"{sf_dir}/events.parquet", "desdb_stateful_src_")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("user_id", "ts", "value")
-    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema).parquet(stage)
+    ).select("user_id", "ts", "value")
     return run_available_now(
         spark, stateful_user_profile(stream), "stateful_profile_demo", "update", stage_dir=stage
     )

@@ -150,16 +150,14 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Idempotent: unique sink name + staged-source cleanup per call
     (streaming/runner.py).
     """
-    from desdb_spark.session import pin_session_confs
+    from desdb_spark.session import normalize_events_ts, pin_session_confs
     from desdb_spark.streaming.runner import run_available_now, stage_file_source
 
     pin_session_confs(spark)  # direct read below; driver session may be vanilla
     stage = stage_file_source(f"{sf_dir}/events.parquet", "desdb_stream_src_")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_events_ts(
+        spark.readStream.schema(batch_schema).parquet(stage)
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
