@@ -1,0 +1,100 @@
+"""Deduplication depth ops, round 5: quality-aware duplicate resolution and
+canonicalized (whitespace/case-insensitive) exact dedup — the two steps that
+follow candidate detection (extensions/dedup.py) in a real training-data
+pipeline: once dup groups exist, WHICH copy survives matters, and byte-exact
+hashing misses trivially-reformatted copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+from desdb_spark.session import load_table
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars, grp_size
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   count(*) OVER (PARTITION BY md5(text)) AS grp_size,
+                   row_number() OVER (
+                       PARTITION BY md5(text)
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents)
+        WHERE rk = 1
+    """,
+    group="dedup_ext",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: group exact duplicates by content
+    digest and keep the highest-quality copy (longest, then lowest
+    doc_id), annotated with its duplicate-group size. The standard
+    refinement of keep-first dedup: survivors are chosen by a quality
+    key, not by arrival order.
+
+    Scale shape: ONE shuffle on md5(text) serves both window functions —
+    the digest is materialized as a named column first, so Catalyst sees
+    both windows partitioned by the same attribute and reuses the
+    exchange (inlining ``md5(text)`` in each window spec instead planned
+    TWO exchanges: the recomputed expression gets fresh attribute ids).
+    The exchange carries (digest, doc metadata) — never two copies of
+    the payload. At 100 TB the digest partitioning is the same plan as
+    dedup_exact_docs; the survivor rank adds no extra exchange.
+    Deterministic: total tie-break (n_chars DESC, doc_id).
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    w = Window.partitionBy("h")
+    rk = Window.partitionBy("h").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.withColumn("grp_size", F.count("*").over(w))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "grp_size")
+    )
+
+
+@register(
+    "dedup_canonical_text",
+    oracle="""
+        WITH canon AS (
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS ck
+            FROM documents)
+        SELECT ck AS canon_key, count(*) AS n_copies,
+               min(doc_id) AS keep_doc_id
+        FROM canon
+        GROUP BY ck
+        HAVING count(*) > 1
+        ORDER BY n_copies DESC, canon_key
+    """,
+    group="dedup_ext",
+)
+def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup: collapse whitespace runs, trim, and
+    lowercase before hashing, so copies that differ only in formatting
+    (re-wrapped lines, case, padding) land in the same group — the cheap
+    middle ground between byte-exact md5 and MinHash. Emits the dup
+    groups (size > 1) with the keeper id.
+
+    Scale shape: canonicalization is a scan-side string expression
+    (whole-stage codegen, no Python); the aggregate shuffles (digest,
+    doc_id) pairs only — payload never moves. Identical plan economics
+    to dedup_exact_docs at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ck = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (
+        d.select("doc_id", ck.alias("canon_key"))
+        .groupBy("canon_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy(F.col("n_copies").desc(), "canon_key")
+    )

@@ -34,55 +34,66 @@ _REGISTRY: dict[str, Operator] = {}
 #: ORDER MATTERS for external verification: the differential driver
 #: hash-checks the first 50 registered operators only (observed in
 #: CORRECTNESS_r01.json / r02.json, both cut off at registration slot 50).
-#: The window therefore ROTATES each round so no operator's driver row is
-#: ever more than one round stale (VERDICT r2 "Next round" item 1), and
-#: `tools/selfcheck.py` runs ALL registered operators every round as the
-#: full-coverage backstop. Round 5 window: round 4 ended without driver
-#: artifacts (no CORRECTNESS_r04.json exists), so the 33 ops that round 4
-#: added have NO driver row at all — they fill the window first, together
-#: with similarity + dedup (changed in r4, so their r3 rows predate the
-#: current code). The r2-latest modules (scans/joins/streaming/text/...)
-#: stay outside: their code is unchanged since their green r2 rows and
-#: every one is re-proven at current HEAD by the committed
-#: SELFCHECK_r05_sf0.1.log. With 121+ registered ops and a 50-slot driver
-#: window, union staleness can no longer be held to one round; priority is
+#: The window therefore ROTATES each round (VERDICT r2 "Next round" item 1)
+#: and `tools/selfcheck.py` runs ALL registered operators every round as
+#: the full-coverage backstop; priority for window slots is
 #: never-checked > changed-since-checked > oldest-green.
+#:
+#: Round 5 window rationale (VERDICT r4 items 1/2/4):
+#: - the 4 ops registered past slot 50 in r4 (events_windowed_anomaly,
+#:   source_orc_roundtrip, merge_upsert_snapshot, window_ntile_deciles)
+#:   have never had a driver row — they lead;
+#: - operators.scans + functions.paths were dropped from the registry by
+#:   commit 7806155 (a §2B contract regression) — re-registered here, in
+#:   the window so the restored ops get fresh driver rows;
+#: - the streaming modules + operators.relational_ext changed this round
+#:   (TIMESTAMP_NTZ drift fix routes them through normalize_events_ts;
+#:   stream_stream_enrich_join was the r4 driver err and
+#:   events_sessionize_batch's r3-green row was stale evidence for broken
+#:   code) — all need fresh rows;
+#: - similarity/dedup/udfs changed in r4 (r3 driver rows predate the code;
+#:   udtf_python_sentences has never had a row), and dedup changes again
+#:   this round (large-star/small-star components);
+#: - new r5 modules register before the unchanged tail so brand-new ops
+#:   land inside the window.
+#: Everything past slot 50 is unchanged since its green driver row and is
+#: re-proven at HEAD by the committed SELFCHECK_r05_sf0.1.log.
 _OP_MODULES = (
-    # --- driver window (slots 1-50): never-checked + changed-in-r4 ---
-    "desdb_spark.operators.relational_ext2",  # 3 ops (NEW r4, no driver row)
-    "desdb_spark.operators.relational_ext3",  # 9 ops (NEW r4, no driver row)
-    "desdb_spark.extensions.pipeline_analytics",  # 7 ops (NEW r4)
-    "desdb_spark.streaming.joins",  # 1 op (NEW r4)
-    "desdb_spark.sources.lake",  # 1 op (NEW r4)
-    "desdb_spark.operators.relational_ext4",  # 6 ops (NEW r4)
-    "desdb_spark.extensions.corpus_timeseries",  # 5 ops (NEW r4)
-    "desdb_spark.operators.relational_ext5",  # 8 ops (NEW r5: TPC-H
-    # Q2/Q8/Q9/Q11/Q12/Q16/Q20/Q21 adapted — completes the 22-query suite)
-    "desdb_spark.extensions.training_prep",  # 5 ops (NEW r5: deterministic
-    # sampling / splits / packing / mix weights for training pipelines)
-    "desdb_spark.operators.temporal",  # 1 op (NEW r5: SCD2 history build)
-    "desdb_spark.extensions.quality_ext",  # 2 ops (NEW r5: repetition score,
-    # int8 quantization audit)
-    "desdb_spark.operators.joins_ext",  # 1 op (NEW r5: salted skew join
-    # under the external differential)
-    "desdb_spark.extensions.stats_monitor",  # 2 ops (NEW r5: chi-square
-    # independence, trailing-window anomaly)
-    "desdb_spark.sources.formats_ext",  # 1 op (NEW r5: ORC roundtrip)
-    "desdb_spark.operators.relational_ext6",  # 2 ops (NEW r5: CDC merge
-    # upsert, per-segment deciles)
-    "desdb_spark.extensions.similarity",  # 4 ops (changed in r4; slot 50 is
-    # knn_cosine_topk — the 3 past the window hold green r3 driver rows plus
-    # selfcheck-log lines at r4/r5 HEAD)
-    "desdb_spark.extensions.dedup",  # 5 ops (changed in r4; r3 driver rows
-    # + selfcheck-log lines at r4/r5 HEAD)
-    "desdb_spark.functions.udfs",  # 4 ops (3 r3-green; udtf_python_sentences
-    # NEW r4 — green in committed SELFCHECK_r04/r05 logs)
-    # --- slots 51+: r2/r3-green, code unchanged since their driver row,
+    # --- driver window (slots 1-50) ---
+    "desdb_spark.extensions.stats_monitor",  # 2 ops (anomaly: never checked)
+    "desdb_spark.sources.formats_ext",  # 1 op (ORC roundtrip: never checked)
+    "desdb_spark.operators.relational_ext6",  # 2 ops (never checked)
+    "desdb_spark.operators.scans",  # 4 ops (§2B contract ops restored)
+    "desdb_spark.functions.paths",  # 1 op (registration now intentional)
+    "desdb_spark.streaming.windows",  # 5 ops (ts-normalization fix r5)
+    "desdb_spark.streaming.stateful",  # 1 op (ts-normalization fix r5)
+    "desdb_spark.streaming.joins",  # 1 op (r4 driver err, fixed r5)
+    "desdb_spark.operators.relational_ext",  # 11 ops (events_sessionize_batch
+    # repaired r5 via load_table normalization; stale r3 row)
+    "desdb_spark.functions.udfs",  # 4 ops (udtf_python_sentences never
+    # checked; others changed r4)
+    "desdb_spark.extensions.dedup",  # 5 ops (components rewritten r5)
+    "desdb_spark.extensions.similarity",  # 4 ops (changed r4; r3 rows stale)
+    # new r5 modules slot in here (before the tail) as they are added;
+    # keep the running total at exactly 50.
+    "desdb_spark.operators.relational_ext7",  # 4 ops (NEW r5)
+    "desdb_spark.extensions.dedup_ext",  # 2 ops (NEW r5)
+    "desdb_spark.extensions.text_ext",  # 3 ops (NEW r5)
+    # --- slots 51+: green driver row + unchanged code since that row,
     # re-proven at HEAD by the committed full-registry selfcheck log ---
+    "desdb_spark.operators.relational_ext2",  # 3 ops (r4-green)
+    "desdb_spark.operators.relational_ext3",  # 9 ops (r4-green)
+    "desdb_spark.extensions.pipeline_analytics",  # 7 ops (r4-green)
+    "desdb_spark.sources.lake",  # 1 op (r4-green)
+    "desdb_spark.operators.relational_ext4",  # 6 ops (r4-green)
+    "desdb_spark.extensions.corpus_timeseries",  # 5 ops (r4-green)
+    "desdb_spark.operators.relational_ext5",  # 8 ops (r4-green)
+    "desdb_spark.extensions.training_prep",  # 5 ops (r4-green)
+    "desdb_spark.operators.temporal",  # 1 op (r4-green)
+    "desdb_spark.extensions.quality_ext",  # 2 ops (r4-green)
+    "desdb_spark.operators.joins_ext",  # 1 op (r4-green)
     "desdb_spark.operators.projections",  # 3 ops (r2-green)
     "desdb_spark.operators.joins",  # 10 ops (r2-green)
-    "desdb_spark.streaming.windows",  # 5 ops (r2-green)
-    "desdb_spark.streaming.stateful",  # 1 op (r2-green)
     "desdb_spark.extensions.text",  # 6 ops (r2-green)
     "desdb_spark.extensions.multimodal",  # 2 ops (r2-green)
     "desdb_spark.sources.sinks",  # 5 ops (r2-green)
@@ -92,8 +103,6 @@ _OP_MODULES = (
     "desdb_spark.operators.sorts_sets",  # 5 ops (r3-green)
     "desdb_spark.functions.scalars",  # 5 ops (r3-green)
     "desdb_spark.operators.aggregates_ext",  # 3 ops (r3-green)
-    "desdb_spark.operators.relational_ext",  # 11 ops (r3-green; r4 hint
-    # change is plan-only, re-proven in SELFCHECK logs)
     "desdb_spark.plans.lineage",  # library surface, no registered ops
 )
 

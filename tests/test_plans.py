@@ -126,3 +126,44 @@ def test_q17_reuses_partkey_exchange(spark):
     # lineitem appears twice (fact + avg input); both hash on l_partkey.
     # AQE may reuse — accept <= 2 but never more.
     assert len(partkey_exchanges) <= 2, plan
+
+
+def test_topk_per_group_pushes_rank_limit(spark):
+    """Per-group top-k must plan WindowGroupLimit with a Partial pass
+    before the exchange — each map task keeps only its local top-3 per
+    group, so the shuffle carries O(groups x k) rows."""
+    from desdb_spark.operators import relational_ext7
+
+    plan = _plan(relational_ext7.topk_per_group(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan
+
+
+def test_offset_page_folds_into_take_ordered(spark):
+    """LIMIT k OFFSET n must plan one TakeOrderedAndProject(n+k) — no
+    global sort, no separate offset stage."""
+    from desdb_spark.operators import relational_ext7
+
+    plan = _plan(relational_ext7.sort_offset_page(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "offset=100" in plan
+    assert plan.count("Sort ") == 0 or "Sort [o_totalprice" not in plan
+
+
+def test_filter_clause_single_aggregate(spark):
+    """All conditional measures must evaluate inside ONE hash aggregate
+    (one scan, one exchange) - not one aggregate per filtered measure."""
+    from desdb_spark.operators import relational_ext7
+
+    plan = _plan(relational_ext7.agg_filter_clause(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1
+
+
+def test_keep_best_quality_single_exchange(spark):
+    """Both windows (group size + survivor rank) partition by the
+    materialized digest column - exactly one exchange in the plan."""
+    from desdb_spark.extensions import dedup_ext
+
+    plan = _plan(dedup_ext.dedup_keep_best_quality(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
