@@ -103,6 +103,13 @@ _OP_MODULES = (
     "desdb_spark.operators.sorts_sets",  # 5 ops (r3-green)
     "desdb_spark.functions.scalars",  # 5 ops (r3-green)
     "desdb_spark.operators.aggregates_ext",  # 3 ops (r3-green)
+    # --- brand-new r5 batch-2 ops: past the full window by design; their
+    # evidence is green lines in the committed SELFCHECK_r05_sf0.1.log
+    # (the union-coverage test enforces this); they rotate into the
+    # driver window next round ---
+    "desdb_spark.operators.relational_ext8",  # 4 ops (NEW r5b)
+    "desdb_spark.streaming.foreach",  # 1 op (NEW r5b: foreachBatch upsert)
+    "desdb_spark.sources.formats_ext2",  # 1 op (NEW r5b: text roundtrip)
     "desdb_spark.plans.lineage",  # library surface, no registered ops
 )
 
