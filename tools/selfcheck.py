@@ -159,8 +159,50 @@ def _diff_sample(sdf: pd.DataFrame, odf: pd.DataFrame, k: int = 3) -> None:
             print(f"      {label}: {row[:200]}")
 
 
+def _names_changed_since(ref: str) -> list[str]:
+    """Operators whose defining module changed in `git diff ref..HEAD`
+    (plus uncommitted changes) — the cheap CI sweep: re-check exactly the
+    ops whose code moved since the last committed selfcheck log."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "desdb_spark/"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout
+    changed_files = {ln.strip() for ln in out.splitlines() if ln.strip()}
+    names = []
+    for name, op in all_operators().items():
+        mod_path = op.fn.__module__.replace(".", "/") + ".py"
+        if mod_path in changed_files:
+            names.append(name)
+    return sorted(names)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--names-from-file",
+        help="newline-separated operator names (lines starting # ignored)",
+    )
+    ap.add_argument(
+        "--changed-since",
+        metavar="GIT_REF",
+        help="check only ops whose defining module differs from GIT_REF",
+    )
     ap.add_argument("names", nargs="*")
-    sys.exit(run(ap.parse_args().sf, ap.parse_args().names))
+    args = ap.parse_args()
+    names = list(args.names)
+    if args.names_from_file:
+        with open(args.names_from_file) as fh:
+            names += [
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+    if args.changed_since:
+        names += _names_changed_since(args.changed_since)
+        if not names:
+            print(f"no operator modules changed since {args.changed_since}; nothing to check")
+            sys.exit(0)
+    sys.exit(run(args.sf, sorted(set(names)) or None))
