@@ -1,0 +1,61 @@
+"""ANN quality evaluation, round 5 batch 3: recall of the approximate
+similarity tiers against the exact tier — the go/no-go report every ANN
+deployment needs before trading recall for cost at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+
+
+@register("ann_recall_report", group="ann_eval")  # rows-only: derived from ANN tiers
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of the IVF tier against exact nearest neighbors: for every
+    vector, does ``ann_ivf_kmeans``'s reported neighbor match the true
+    top-1 (or tie its similarity)? One summary row:
+    (n_vectors, n_evaluated, exact_match, sim_match, recall_at_1).
+
+    sim_match (tie-tolerant at 6 dp — the rounding both tiers emit)
+    is the honest metric: distinct vectors at identical similarity are
+    interchangeable as "the" nearest neighbor.
+
+    Scale shape: both inputs are the SAME registered IVF machinery — the
+    exact side sets nprobe ≥ the cell count, which by construction
+    degenerates multi-probe search to exhaustive exact NN (asserted in
+    tests/test_extensions.py), so no separate exact kernel and no cross
+    join exist anywhere. The evaluation itself is one equi-join on
+    vec_id plus one aggregate — at 100 TB this report runs on a SAMPLE
+    of queries (per-vector join, sampling composes trivially); the
+    full-corpus exact side is fixture-affordable only.
+    """
+    from desdb_spark.extensions.similarity import ann_ivf_kmeans
+
+    exact = ann_ivf_kmeans(spark, sf_dir, nprobe=1_000_000).select(
+        "vec_id",
+        F.col("nn_id").alias("exact_nn"),
+        F.col("cos_sim").alias("exact_sim"),
+    )
+    approx = ann_ivf_kmeans(spark, sf_dir).select(
+        "vec_id",
+        F.col("nn_id").alias("ivf_nn"),
+        F.col("cos_sim").alias("ivf_sim"),
+    )
+    joined = exact.join(approx, "vec_id", "inner")
+    return joined.agg(
+        F.count("*").alias("n_evaluated"),
+        F.sum((F.col("ivf_nn") == F.col("exact_nn")).cast("bigint")).alias(
+            "exact_match"
+        ),
+        F.sum(
+            (F.round("ivf_sim", 6) >= F.round("exact_sim", 6)).cast("bigint")
+        ).alias("sim_match"),
+        F.round(
+            F.avg(
+                (F.round("ivf_sim", 6) >= F.round("exact_sim", 6)).cast("double")
+            ),
+            4,
+        ).alias("recall_at_1"),
+    )

@@ -19,8 +19,10 @@ chain derived from orders); the fixed-depth fixture-backed variant is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
 
 
 def lineage_walk_recursive(
@@ -48,6 +50,73 @@ def lineage_walk_recursive(
         SELECT root_id, cur_id AS terminal_id, depth
         FROM (
             SELECT *, row_number() OVER (PARTITION BY root_id ORDER BY depth DESC) AS rn
+            FROM walk
+        ) WHERE rn = 1
+        """
+    )
+
+
+@register(
+    "lineage_walk_recursive_cte",
+    oracle="""
+        WITH RECURSIVE walk (root_id, cur_id, depth) AS (
+            SELECT o_orderkey AS root_id, o_orderkey AS cur_id,
+                   CAST(0 AS BIGINT) AS depth
+            FROM orders
+            UNION ALL
+            SELECT w.root_id, w.cur_id // 3 AS cur_id, w.depth + 1
+            FROM walk w
+            WHERE w.cur_id >= 3 AND w.depth < 25
+        )
+        SELECT root_id, cur_id AS terminal_id, depth
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY root_id
+                                         ORDER BY depth DESC) AS rn
+            FROM walk
+        ) WHERE rn = 1
+    """,
+    group="lineage",
+)
+def lineage_walk_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-depth provenance walk via ``WITH RECURSIVE`` — desdb's
+    srclist ``parentid`` recursion (§2A A7) in its fully declarative form,
+    differentially checked because DuckDB runs the SAME recursive CTE.
+
+    The fixtures have no self-referencing table, so the parent relation is
+    derived deterministically from orders (parent(k) = k div 3, terminal
+    below 3 — chains ~log₃(max key) ≈ 10 deep at sf0.1). The walk
+    resolves every order key to its terminal ancestor with the hop count.
+
+    Scale shape: Spark plans recursion as iterated joins with an AQE
+    re-plan per step — each iteration shuffles only the surviving
+    frontier, which shrinks geometrically here; depth is capped (25) the
+    same way desdb's client loop bounded its IN-list recursion. The
+    final per-root max-depth row is one hash aggregate.
+    """
+    from desdb_spark.session import load_table
+
+    # Spark guards runaway recursion with cteRecursionRowLimit (default
+    # 1e6 TOTAL rows across iterations); this walk materializes
+    # |orders| × ~log₃(max key) rows (~1.6M at sf0.1), so size the safety
+    # valve to the workload instead of silently truncating: at any scale
+    # the bound is |roots| × max_depth, which the caller knows.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lw_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk (root_id, cur_id, depth) AS (
+            SELECT o_orderkey AS root_id, o_orderkey AS cur_id,
+                   CAST(0 AS BIGINT) AS depth
+            FROM _lw_orders
+            UNION ALL
+            SELECT w.root_id, w.cur_id div 3 AS cur_id, w.depth + 1
+            FROM walk w
+            WHERE w.cur_id >= 3 AND w.depth < 25
+        )
+        SELECT root_id, cur_id AS terminal_id, depth
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY root_id
+                                         ORDER BY depth DESC) AS rn
             FROM walk
         ) WHERE rn = 1
         """

@@ -110,7 +110,15 @@ _OP_MODULES = (
     "desdb_spark.operators.relational_ext8",  # 4 ops (NEW r5b)
     "desdb_spark.streaming.foreach",  # 1 op (NEW r5b: foreachBatch upsert)
     "desdb_spark.sources.formats_ext2",  # 1 op (NEW r5b: text roundtrip)
-    "desdb_spark.plans.lineage",  # library surface, no registered ops
+    "desdb_spark.extensions.timeseries_ext",  # 2 ops (NEW r5b: OHLC bars,
+    # inter-arrival stats)
+    "desdb_spark.extensions.multimodal_ext",  # 2 ops (NEW r5b: frame
+    # sampling, resize planning)
+    "desdb_spark.extensions.ann_eval",  # 1 op (NEW r5b: IVF recall report)
+    "desdb_spark.sources.lake_ext",  # 2 ops (NEW r5b: dynamic partition
+    # pruning under a dim join, range-clustered sorted layout)
+    "desdb_spark.plans.lineage",  # 1 op (NEW r5b: WITH RECURSIVE walk,
+    # §2A A7 full-depth parity) + library surface
 )
 
 

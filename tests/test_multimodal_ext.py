@@ -1,0 +1,58 @@
+"""Multimodal frame-sampling / resize-planning semantics (the parts the
+rows-only driver check can't see)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from desdb_spark.extensions import multimodal_ext
+from desdb_spark.extensions.multimodal import media_table
+from tests.conftest import SF_DIR
+
+
+def test_frame_sample_slices_match_python(spark):
+    """Every emitted frame is byte-for-byte the payload slice at its
+    claimed offset, and the sampling keeps exactly the even frame
+    indices."""
+    frames = {
+        (r.doc_id, r.frame_idx): r
+        for r in multimodal_ext.multimodal_frame_sample(spark, SF_DIR).collect()
+    }
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in media_table(spark, SF_DIR)
+        .where(F.col("media_type") == "image")
+        .select("doc_id", "payload")
+        .collect()
+    }
+    assert frames and payloads
+    FB = multimodal_ext.FRAME_BYTES
+    for (doc_id, idx), row in frames.items():
+        assert idx % 2 == 0
+        chunk = payloads[doc_id][row.frame_off : row.frame_off + FB]
+        assert row.frame_len == len(chunk)
+        assert row.frame_md5 == hashlib.md5(chunk).hexdigest()
+    for doc_id, b in payloads.items():
+        n_frames = max(1, len(b) // FB)
+        expected = {i for i in range(0, n_frames, 2)}
+        got = {idx for (d, idx) in frames if d == doc_id}
+        assert got == expected, doc_id
+
+
+def test_resize_plan_aspect_and_bounds(spark):
+    """Resize plans never upscale, never exceed the target box, and
+    preserve aspect ratio within integer-floor tolerance."""
+    rows = multimodal_ext.multimodal_resize_batch(spark, SF_DIR).collect()
+    assert rows
+    T = multimodal_ext.TARGET_SIDE
+    for r in rows:
+        assert 0 < r.out_w <= max(r.width, T)
+        assert 0 < r.out_h <= max(r.height, T)
+        assert max(r.out_w, r.out_h) <= T
+        if max(r.width, r.height) <= T:  # no upscale: dims unchanged
+            assert (r.out_w, r.out_h) == (r.width, r.height)
+        # aspect preserved: floor(side * num / den) exactly
+        assert r.out_w == r.width * r.scale_num // r.scale_den
+        assert r.out_h == r.height * r.scale_num // r.scale_den
