@@ -227,3 +227,13 @@ def test_inverted_index_df_cap(spark):
     capped = dedup.inverted_index_tokens(docs, max_token_df=2).collect()
     toks = {r.tok for r in capped}
     assert "common" not in toks and {"rare1", "rare2"} <= toks
+
+
+def test_ensure_parallelism_conditional(spark):
+    """Under-split inputs repartition up to defaultParallelism; already
+    well-split inputs pass through untouched (the 100 TB no-op path)."""
+    one = spark.range(100).coalesce(1)
+    boosted = dedup.ensure_parallelism(one)
+    assert boosted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 4)
+    assert dedup.ensure_parallelism(wide) is wide
