@@ -117,6 +117,8 @@ _OP_MODULES = (
     "desdb_spark.extensions.ann_eval",  # 1 op (NEW r5b: IVF recall report)
     "desdb_spark.sources.lake_ext",  # 2 ops (NEW r5b: dynamic partition
     # pruning under a dim join, range-clustered sorted layout)
+    "desdb_spark.operators.relational_ext9",  # 3 ops (NEW r5b: LATERAL
+    # top-n, ordered array_agg, higher-order lambdas)
     "desdb_spark.plans.lineage",  # 1 op (NEW r5b: WITH RECURSIVE walk,
     # §2A A7 full-depth parity) + library surface
 )
