@@ -119,6 +119,8 @@ _OP_MODULES = (
     # pruning under a dim join, range-clustered sorted layout)
     "desdb_spark.operators.relational_ext9",  # 3 ops (NEW r5b: LATERAL
     # top-n, ordered array_agg, higher-order lambdas)
+    "desdb_spark.operators.relational_ext10",  # 3 ops (NEW r5b: outer
+    # explode, edit distance, approx percentiles)
     "desdb_spark.plans.lineage",  # 1 op (NEW r5b: WITH RECURSIVE walk,
     # §2A A7 full-depth parity) + library surface
 )

@@ -237,3 +237,31 @@ def test_ensure_parallelism_conditional(spark):
     assert boosted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 4)
     assert dedup.ensure_parallelism(wide) is wide
+
+
+def test_approx_percentile_within_error_of_exact(spark):
+    """The sketch's p50/p90/p99 must land within the accuracy bound of the
+    exact percentiles (1/accuracy relative rank error; generous absolute
+    tolerance here since groups are small at sf0.001)."""
+    from desdb_spark.operators.relational_ext10 import agg_approx_percentile
+    from desdb_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r.o_orderstatus: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    approx = {r.o_orderstatus: r for r in agg_approx_percentile(spark, SF_DIR).collect()}
+    assert set(approx) == set(exact)
+    for status, a in approx.items():
+        e = exact[status]
+        for p in ("p50", "p90", "p99"):
+            # sketch picks a real sample near the rank: 5% relative slack
+            assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * max(abs(getattr(e, p)), 1)
