@@ -454,7 +454,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over undirected (id_a, id_b) edges via the
     alternating large-star/small-star algorithm (Kiveris et al.,
     MapReduce-native CC). Returns (id, comp) with comp = the component's
@@ -504,12 +504,24 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
         ).first()
 
     sig = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # Truncating silently would emit split clusters — wrong answers,
+        # not slow ones. Alternating rounds converge in ~log₂(diameter)
+        # (a 512-link chain takes <12), so hitting this cap means the
+        # graph is pathological; fail loudly with the knob to turn.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds cost O(edges) each on the "
+            "materialized edge set)"
+        )
     # At the fixed point every edge is (vertex, component-min); the minima
     # themselves never appear as src, so union them back as self-labels.
     labels = e.select(F.col("src").alias("id"), F.col("dst").alias("comp"))

@@ -265,3 +265,19 @@ def test_approx_percentile_within_error_of_exact(spark):
         for p in ("p50", "p90", "p99"):
             # sketch picks a real sample near the rank: 5% relative slack
             assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * max(abs(getattr(e, p)), 1)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Adversarial diameter: a 200-link path collapses to one component in
+    the O(log d) alternating rounds, and non-convergence raises instead of
+    silently emitting split clusters."""
+    import pytest as _pytest
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert len(comp) == n and set(comp.values()) == {1}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=1)
