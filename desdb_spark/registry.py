@@ -148,9 +148,30 @@ def _load_all() -> None:
 
 
 def all_operators() -> dict[str, Operator]:
-    """Import every operator module and return the full registry."""
+    """Import every operator module and return the full registry in
+    CANONICAL order: _OP_MODULES position, then source order within the
+    module.
+
+    Raw ``_REGISTRY`` insertion order is import order, and anything that
+    imports an operator module directly (tests, a user script) before
+    this runs would shift the 50-slot driver window — the registration
+    contract cannot depend on who imported what first. Within-module
+    relative order is insertion order (decorators run top-to-bottom at
+    import), so sorting by (module rank, global insertion sequence) is
+    exactly source order.
+    """
     _load_all()
-    return dict(_REGISTRY)
+    mod_rank = {m: i for i, m in enumerate(_OP_MODULES)}
+    seq = {name: i for i, name in enumerate(_REGISTRY)}
+    return dict(
+        sorted(
+            _REGISTRY.items(),
+            key=lambda kv: (
+                mod_rank.get(kv[1].fn.__module__, len(_OP_MODULES)),
+                seq[kv[0]],
+            ),
+        )
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -152,3 +152,34 @@ def test_cited_selfcheck_logs_exist():
             cited.update(re.findall(r"SELFCHECK_r\d+_sf0\.1\.log", fh.read()))
     missing = [c for c in sorted(cited) if not os.path.exists(os.path.join(root, c))]
     assert not missing, f"cited selfcheck logs absent from the repo: {missing}"
+
+
+def test_registry_order_import_pollution_proof():
+    """all_operators() order must be canonical (_OP_MODULES position +
+    source order) even when a past-window module was imported first —
+    pytest collection imports every test module up front, which is
+    exactly that pollution (it shifted the window and broke the union-
+    coverage test until the canonical sort landed)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import desdb_spark.operators.relational_ext10  # past-50, first\n"
+        "import desdb_spark.sources.lake_ext\n"
+        "from desdb_spark.registry import all_operators\n"
+        "print('\\n'.join(list(all_operators())))\n"
+    )
+    polluted = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    ).stdout.split()
+    clean_code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from desdb_spark.registry import all_operators\n"
+        "print('\\n'.join(list(all_operators())))\n"
+    )
+    clean = subprocess.run(
+        [sys.executable, "-c", clean_code], capture_output=True, text=True, check=True
+    ).stdout.split()
+    assert polluted == clean
+    assert len(clean) == len(all_operators())
