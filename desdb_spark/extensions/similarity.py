@@ -599,7 +599,12 @@ def _ivf_assign(vecs: DataFrame, centers, nprobe: int) -> DataFrame:
 
 
 @register("ann_ivf_kmeans", group="similarity")  # rows-only: approximate output
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
+def ann_ivf_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 2,
+    probe_pred=None,
+) -> DataFrame:
     """IVF-style ANN: k-means cells (pyspark.ml, seeded) + multi-probe search.
 
     The inverted-file pattern: a k-means fit partitions vectors into coarse
@@ -632,7 +637,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFra
     # Index side: home cell only (each vector listed once). Probe side:
     # nprobe nearest cells per query — the recall knob.
     index = _ivf_assign(vecs, centers, nprobe=1).select("vec_id", "emb", "cell")
-    probe = _ivf_assign(vecs, centers, nprobe=nprobe).select("vec_id", "emb", "cell")
+    # probe_pred restricts the QUERY side only (the index must stay
+    # complete or results are wrong) — the sampling hook evaluation and
+    # partial-reindex workloads use; cost scales with the sample, and
+    # the filter lands before the expensive cell join.
+    probe_in = vecs.where(probe_pred) if probe_pred is not None else vecs
+    probe = _ivf_assign(probe_in, centers, nprobe=nprobe).select(
+        "vec_id", "emb", "cell"
+    )
     a = probe.alias("a")
     b = index.alias("b")
     sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
