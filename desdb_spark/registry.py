@@ -121,6 +121,8 @@ _OP_MODULES = (
     # top-n, ordered array_agg, higher-order lambdas)
     "desdb_spark.operators.relational_ext10",  # 3 ops (NEW r5b: outer
     # explode, edit distance, approx percentiles)
+    "desdb_spark.extensions.pipeline_ext",  # 2 ops (NEW r5b: n-gram
+    # decontamination check, PII scrub audit)
     "desdb_spark.plans.lineage",  # 1 op (NEW r5b: WITH RECURSIVE walk,
     # §2A A7 full-depth parity) + library surface
 )
