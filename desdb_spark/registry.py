@@ -123,6 +123,8 @@ _OP_MODULES = (
     # explode, edit distance, approx percentiles)
     "desdb_spark.extensions.pipeline_ext",  # 2 ops (NEW r5b: n-gram
     # decontamination check, PII scrub audit)
+    "desdb_spark.operators.diagnostics",  # 2 ops (NEW r5b: partition
+    # balance, file-layout census)
     "desdb_spark.plans.lineage",  # 1 op (NEW r5b: WITH RECURSIVE walk,
     # §2A A7 full-depth parity) + library surface
 )
