@@ -58,6 +58,14 @@ _REGISTRY: dict[str, Operator] = {}
 #:   land inside the window.
 #: Everything past slot 50 is unchanged since its green driver row and is
 #: re-proven at HEAD by the committed SELFCHECK_r05_sf0.1.log.
+#:
+#: ROUND-6 ROTATION NOTE (handoff): the ~26 brand-new r5 batch-2+ ops
+#: registered past slot 50 (relational_ext8/9/10, streaming.foreach,
+#: formats_ext2, timeseries_ext, multimodal_ext, ann_eval, lake_ext,
+#: pipeline_ext, diagnostics, plans.lineage's CTE op) have selfcheck
+#: evidence only — they should LEAD the r6 window, followed by anything
+#: r6 changes; the r5-window ops will then hold fresh r5 driver rows and
+#: can rotate out.
 _OP_MODULES = (
     # --- driver window (slots 1-50) ---
     "desdb_spark.extensions.stats_monitor",  # 2 ops (anomaly: never checked)
