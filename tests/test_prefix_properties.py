@@ -52,3 +52,50 @@ def test_prefix_filter_never_misses_a_qualifying_pair(spark, docs, t):
                     f"qualifying pair {(a, b)} (jaccard {inter}/{union}, "
                     f"t={t_num}/{t_den}) missed by the prefix filter"
                 )
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=15),
+            st.integers(min_value=1, max_value=15),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The large-star/small-star rewrite must agree with a reference
+    union-find on arbitrary graphs (self-loops, duplicates, multi-
+    component, cycles - whatever hypothesis throws)."""
+    from desdb_spark.extensions.dedup import connected_components
+
+    real_edges = [(a, b) for a, b in edges if a != b]
+    if not real_edges:
+        return
+    nodes = sorted({x for e in real_edges for x in e})
+    df = spark.createDataFrame(real_edges, "id_a bigint, id_b bigint")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    want = _union_find_components(real_edges, nodes)
+    assert got == want
