@@ -133,6 +133,8 @@ _OP_MODULES = (
     # decontamination check, PII scrub audit)
     "desdb_spark.operators.diagnostics",  # 2 ops (NEW r5b: partition
     # balance, file-layout census)
+    "desdb_spark.sources.ingest_ext",  # 2 ops (NEW r5b: binaryFile scan,
+    # malformed-CSV quarantine audit)
     "desdb_spark.plans.lineage",  # 1 op (NEW r5b: WITH RECURSIVE walk,
     # §2A A7 full-depth parity) + library surface
 )
