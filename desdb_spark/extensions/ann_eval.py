@@ -50,19 +50,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn_id").alias("ivf_nn"),
         F.col("cos_sim").alias("ivf_sim"),
     )
-    joined = exact.join(approx, "vec_id", "inner")
+    # LEFT join from the exact side: a query vector the IVF tier returns
+    # no neighbor for is a MISS, not a row to silently drop — recall's
+    # denominator is every evaluated query, so coverage gaps show up as
+    # lost recall instead of vanishing from the report.
+    joined = exact.join(approx, "vec_id", "left")
+    hit = F.col("ivf_sim").isNotNull() & (
+        F.round("ivf_sim", 6) >= F.round("exact_sim", 6)
+    )
     return joined.agg(
-        F.count("*").alias("n_evaluated"),
+        F.count("*").alias("n_vectors"),
+        F.count("ivf_nn").alias("n_evaluated"),
         F.sum((F.col("ivf_nn") == F.col("exact_nn")).cast("bigint")).alias(
             "exact_match"
         ),
-        F.sum(
-            (F.round("ivf_sim", 6) >= F.round("exact_sim", 6)).cast("bigint")
-        ).alias("sim_match"),
-        F.round(
-            F.avg(
-                (F.round("ivf_sim", 6) >= F.round("exact_sim", 6)).cast("double")
-            ),
-            4,
-        ).alias("recall_at_1"),
+        F.sum(hit.cast("bigint")).alias("sim_match"),
+        F.round(F.avg(hit.cast("double")), 4).alias("recall_at_1"),
     )

@@ -100,10 +100,16 @@ def lineage_walk_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |orders| × ~log₃(max key) rows (~1.6M at sf0.1), so size the safety
     # valve to the workload instead of silently truncating: at any scale
     # the bound is |roots| × max_depth, which the caller knows.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    # Raise the valve only for THIS query, then put it back — leaving it
+    # at 200M on the shared session would disable the runaway-recursion
+    # guard for every later recursive query.
+    limit_key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(limit_key, None)
+    spark.conf.set(limit_key, str(200_000_000))
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lw_orders")
-    return spark.sql(
-        """
+    try:
+        walked = spark.sql(
+            """
         WITH RECURSIVE walk (root_id, cur_id, depth) AS (
             SELECT o_orderkey AS root_id, o_orderkey AS cur_id,
                    CAST(0 AS BIGINT) AS depth
@@ -120,7 +126,18 @@ def lineage_walk_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM walk
         ) WHERE rn = 1
         """
-    )
+        )
+        # Execute the recursion NOW, while the valve is raised: the conf
+        # is read at execution time, so a lazy return would run under
+        # whatever limit the session has by the time the caller collects.
+        # The checkpoint truncates lineage, making the returned frame
+        # independent of the restored conf.
+        return walked.localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(limit_key)
+        else:
+            spark.conf.set(limit_key, prior)
 
 
 def lineage_walk_loop(

@@ -163,8 +163,9 @@ def test_registry_order_import_pollution_proof():
     import subprocess
     import sys
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+        f"import sys; sys.path.insert(0, {repo_root!r})\n"
         "import desdb_spark.operators.relational_ext10  # past-50, first\n"
         "import desdb_spark.sources.lake_ext\n"
         "from desdb_spark.registry import all_operators\n"
@@ -174,7 +175,7 @@ def test_registry_order_import_pollution_proof():
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     ).stdout.split()
     clean_code = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+        f"import sys; sys.path.insert(0, {repo_root!r})\n"
         "from desdb_spark.registry import all_operators\n"
         "print('\\n'.join(list(all_operators())))\n"
     )

@@ -16,13 +16,15 @@ import argparse
 import datetime as _dt
 import hashlib
 import math
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 from desdb_spark.registry import all_operators  # noqa: E402
 from desdb_spark.session import TABLES, get_spark, load_tables  # noqa: E402
@@ -167,7 +169,7 @@ def _names_changed_since(ref: str) -> list[str]:
 
     out = subprocess.run(
         ["git", "diff", "--name-only", ref, "--", "desdb_spark/"],
-        capture_output=True, text=True, cwd="/root/repo", check=True,
+        capture_output=True, text=True, cwd=_REPO_ROOT, check=True,
     ).stdout
     changed_files = {ln.strip() for ln in out.splitlines() if ln.strip()}
     names = []
