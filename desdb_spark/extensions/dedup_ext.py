@@ -60,11 +60,17 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonical_text",
     oracle="""
-        WITH canon AS (
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   upper('  ' || replace(text, ' ', '   ') || ' ')
+            FROM documents WHERE doc_id % 50 = 0
+        ), canon AS (
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
                        AS ck
-            FROM documents)
+            FROM corpus)
         SELECT ck AS canon_key, count(*) AS n_copies,
                min(doc_id) AS keep_doc_id
         FROM canon
@@ -81,15 +87,42 @@ def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle ground between byte-exact md5 and MinHash. Emits the dup
     groups (size > 1) with the keeper id.
 
+    The fixtures contain no formatting-only copies at any SF, so the r5
+    driver row was vacuously empty (0 groups both sides). Per VERDICT r5
+    item 4 the op now PLANTS them: every 50th doc re-enters the corpus
+    re-cased and re-padded (id offset +1e6). Byte-exact md5 keeps the
+    planted copies apart; this op must collapse each one onto its source
+    (n_copies = 2 per planted doc) — the canonicalization path is what
+    the hash check now actually exercises. The oracle plants identically
+    in SQL; lower∘upper is identity on the all-ASCII fixture text, which
+    tests/test_extensions.py::test_dedup_canonical_text_collapses_plants
+    pins.
+
     Scale shape: canonicalization is a scan-side string expression
     (whole-stage codegen, no Python); the aggregate shuffles (digest,
     doc_id) pairs only — payload never moves. Identical plan economics
-    to dedup_exact_docs at any scale.
+    to dedup_exact_docs at any scale. The plant is a fixture-side
+    artifact (a second scan of a 2% slice), not part of the operator
+    shape.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        d.where(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.upper(
+                F.concat(
+                    F.lit("  "),
+                    F.regexp_replace("text", " ", "   "),
+                    F.lit(" "),
+                )
+            ).alias("text"),
+        )
+    )
+    corpus = d.unionByName(planted)
     ck = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     return (
-        d.select("doc_id", ck.alias("canon_key"))
+        corpus.select("doc_id", ck.alias("canon_key"))
         .groupBy("canon_key")
         .agg(
             F.count("*").alias("n_copies"),

@@ -28,14 +28,32 @@ from pyspark.sql import functions as F
 from desdb_spark.registry import register
 
 
-@register("stream_stream_enrich_join", group="streaming")  # rows-only
+@register(
+    "stream_stream_enrich_join",
+    oracle="""
+        SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        FROM events v JOIN events p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts - INTERVAL '30 minutes'
+         AND p.ts <= v.ts + INTERVAL '30 minutes'
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    group="streaming",
+)
 def stream_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Views stream ⋈ purchases stream on user_id, purchase within
     ±30 minutes of the view; joined pairs to an append-mode memory sink
     (trigger=availableNow). Append, not an aggregate on top: the join is
     the stateful operator under test, and stacking a complete-mode agg on
     a stream-stream join is exactly the multi-stateful-operator shape
-    Spark restricts."""
+    Spark restricts.
+
+    Hash-checked (VERDICT r5 item 3): the staged source is a single file
+    → one micro-batch, so the watermark can never evict state mid-input
+    and the append-mode output of the interval join is EXACTLY the batch
+    interval join DuckDB runs as the oracle (the same batch-equivalence
+    §5.2 argument the windowed streaming ops use; additionally asserted
+    in tests/test_scale_helpers.py)."""
     from desdb_spark.session import normalize_events_ts, pin_session_confs
     from desdb_spark.streaming.runner import run_available_now, stage_file_source
     from desdb_spark.streaming.windows import stream_stream_interval_join

@@ -281,3 +281,24 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comp) == n and set(comp.values()) == {1}
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, max_iter=1)
+
+
+def test_dedup_canonical_text_collapses_plants(spark):
+    """Every planted re-cased/re-padded copy must collapse onto its source
+    doc (n_copies == 2, keeper is the original id), and the fixture text
+    must stay ASCII — lower∘upper identity is what makes the Spark plant
+    and the DuckDB oracle plant produce the same canonical key."""
+    from desdb_spark.extensions import dedup_ext
+    from desdb_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_ascii_violations = docs.where(
+        F.col("text").rlike(r"[^\x00-\x7F]")
+    ).count()
+    assert n_ascii_violations == 0
+    n_planted = docs.where(F.col("doc_id") % 50 == 0).count()
+    assert n_planted > 0
+    groups = dedup_ext.dedup_canonical_text(spark, SF_DIR).collect()
+    assert len(groups) == n_planted
+    assert all(g.n_copies == 2 for g in groups)
+    assert all(g.keep_doc_id < 1_000_000 for g in groups)
