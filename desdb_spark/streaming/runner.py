@@ -42,9 +42,15 @@ def run_available_now(
     output_mode: str,
     stage_dir: str | None = None,
     timeout_sec: int = 300,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to a memory sink with trigger=availableNow
-    and return the sink table once the query has fully terminated."""
+    and return the sink table once the query has fully terminated.
+
+    ``progress_sink``: pass a list to receive the query's final
+    ``lastProgress`` dict (state-store metrics, row counts) — the query
+    object is stopped before return, so progress must be captured here.
+    """
     name = f"{name_prefix}_{next(_SINK_SEQ)}"
     query = (
         stream_df.writeStream.format("memory")
@@ -58,6 +64,8 @@ def run_available_now(
             raise TimeoutError(
                 f"streaming query {name!r} did not terminate within {timeout_sec}s"
             )
+        if progress_sink is not None:
+            progress_sink.append(query.lastProgress)
     finally:
         query.stop()
         if stage_dir is not None:

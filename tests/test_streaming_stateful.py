@@ -30,3 +30,35 @@ def test_stateful_profile_matches_batch(spark, tables):
         # last_ts must equal the batch max(ts) exactly (µs precision) —
         # guards the epoch-unit regression flagged in ADVICE r1.
         assert out[uid][2] == last, (uid, out[uid][2], last)
+
+
+def test_stateful_profile_rocksdb_provider_engaged(spark, tables):
+    """The RocksDB arm must (a) actually engage the RocksDB provider —
+    visible as rocksdb* customMetrics on the state operator, which the
+    default HDFS-backed provider never emits — (b) produce the same
+    final state as the batch aggregate, and (c) restore the session's
+    provider conf afterwards."""
+    from desdb_spark.streaming.stateful import _PROVIDER_KEY
+
+    prior = spark.conf.get(_PROVIDER_KEY, None)
+    progress = []
+    out = {r.user_id: (r.n_events, r.sum_value) for r in
+           stream_stateful_profile(
+               spark, SF_DIR, state_store="rocksdb", progress_sink=progress
+           ).collect()}
+    assert spark.conf.get(_PROVIDER_KEY, None) == prior
+    (lp,) = progress
+    state_ops = lp["stateOperators"]
+    assert state_ops, "no state operator in progress"
+    rocks_metrics = [
+        k for k in state_ops[0].get("customMetrics", {}) if "rocksdb" in k.lower()
+    ]
+    assert rocks_metrics, "RocksDB provider did not engage"
+    batch = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in tables["events"]
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert out == {u: (n, round(s, 4)) for u, (n, s) in batch.items()}
