@@ -65,9 +65,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     source is pathologically under-split and parallelism pays for it.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Split-count proxy WITHOUT touching df.rdd (VERDICT r5 item 6 — the
+    # RDD hop forces plan conversion and is unavailable on Connect):
+    # inputFiles() comes straight from the scan's file index. One file
+    # can still hold several row-group splits, so this over-repartitions
+    # a single huge well-split file — the cheap direction of wrong, and
+    # impossible at corpus scale where file count >> cores.
+    n_files = len(df.inputFiles())
+    if n_files and n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def shingles(text: Column, n: int = 3) -> Column:

@@ -42,7 +42,7 @@ def sync_files(pairs: DataFrame, parallelism: int = 32) -> DataFrame:
     local paths, unchanged.
     """
 
-    def copy_partition(rows):
+    def copy_batches(batches):
         import os
         import shutil
         import urllib.parse
@@ -76,8 +76,9 @@ def sync_files(pairs: DataFrame, parallelism: int = 32) -> DataFrame:
                 os.replace(tmp, dst)  # atomic: readers never see partials
                 return ("copied", n)
 
-        for r in rows:
-            src, dst = r.src, r.dst
+        import pandas as pd
+
+        def copy_one(src, dst):
             try:
                 scheme = urllib.parse.urlsplit(src).scheme
                 if scheme in ("file", "http", "https", "ftp"):
@@ -86,13 +87,21 @@ def sync_files(pairs: DataFrame, parallelism: int = 32) -> DataFrame:
                     status, size = remote_fetch(src, dst)
                 else:
                     status, size = local_copy(src, dst)
-                yield (src, dst, status, size, None)
+                return (src, dst, status, size, None)
             except Exception as e:  # noqa: BLE001 — failures become manifest rows
-                yield (src, dst, "failed", 0, f"{type(e).__name__}: {e}")
+                return (src, dst, "failed", 0, f"{type(e).__name__}: {e}")
 
+        for pdf in batches:
+            yield pd.DataFrame(
+                [copy_one(src, dst) for src, dst in zip(pdf["src"], pdf["dst"])],
+                columns=["src", "dst", "status", "n_bytes", "error"],
+            )
+
+    # mapInPandas, not .rdd.mapPartitions: same per-task imperative copy
+    # loop, but the rows ride Arrow and the plan never leaves the
+    # DataFrame layer (VERDICT r5 item 6: no .rdd in the engine).
     return (
         pairs.select("src", "dst")
         .repartition(parallelism)
-        .rdd.mapPartitions(copy_partition)
-        .toDF(MANIFEST_SCHEMA)
+        .mapInPandas(copy_batches, MANIFEST_SCHEMA)
     )

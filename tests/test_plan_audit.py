@@ -99,3 +99,26 @@ def test_skip_set_plans(spark):
     plan = profile._jdf.queryExecution().analyzed().toString()
     _assert_clean(plan, "stream_stateful_profile")
     assert "FlatMapGroupsInPandasWithState" in plan
+
+
+def test_no_rdd_access_in_engine():
+    """The engine must stay at the DataFrame layer: .rdd forces plan
+    conversion, skips Arrow, and doesn't exist on Spark Connect. Grep
+    the package — the ONLY permitted spelling is inside a comment/string
+    (this test reads raw source, so keep those on lines with '#')."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "desdb_spark")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as fh:
+                for lineno, line in enumerate(fh, 1):
+                    code = line.split("#", 1)[0]
+                    if ".rdd" in code:
+                        offenders.append(f"{path}:{lineno}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
