@@ -121,3 +121,43 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pcts", 3), 2).alias("p99"),
         "n_orders",
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+        SELECT o_orderstatus,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    group="relational_ext10",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles — the hash-checkable twin of
+    ``agg_approx_percentile`` (VERDICT r5 item 9): percentile_disc picks
+    an actual data value at each rank, so both engines return the
+    IDENTICAL double with no interpolation arithmetic to drift, and the
+    sketch op's error bound has an externally-verified exact anchor on
+    the same (orders × status) shape.
+
+    Scale shape: exact distributed percentiles sort within each group's
+    partitions under a single shuffle on the group key — O(rows) exchange
+    vs the sketch's O(groups); that cost ordering is the point of keeping
+    both ops registered.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pd_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99,
+               count(*) AS n_orders
+        FROM _pd_orders
+        GROUP BY o_orderstatus
+        """
+    )

@@ -229,14 +229,27 @@ def test_inverted_index_df_cap(spark):
     assert "common" not in toks and {"rare1", "rare2"} <= toks
 
 
-def test_ensure_parallelism_conditional(spark):
-    """Under-split inputs repartition up to defaultParallelism; already
-    well-split inputs pass through untouched (the 100 TB no-op path)."""
-    one = spark.range(100).coalesce(1)
-    boosted = dedup.ensure_parallelism(one)
-    assert boosted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
-    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 4)
+def test_ensure_parallelism_conditional(spark, tmp_path):
+    """Few-file scans repartition up to defaultParallelism; a scan whose
+    file count already covers the cores passes through untouched (the
+    100 TB no-op path). Split detection reads inputFiles(), not .rdd."""
+    target = spark.sparkContext.defaultParallelism
+    single = str(tmp_path / "single")
+    spark.range(100).coalesce(1).write.parquet(single)
+    boosted = dedup.ensure_parallelism(spark.read.parquet(single))
+    # Observe the partitioning without .rdd: count rows per partition id.
+    n_parts = (
+        boosted.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts > 1  # was 1 scan split; must have been spread
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(target + 4).write.parquet(many)
+    wide = spark.read.parquet(many)
     assert dedup.ensure_parallelism(wide) is wide
+    # In-memory frames expose no files; ensure_parallelism must still
+    # return a usable (repartitioned) frame rather than guessing.
+    mem = dedup.ensure_parallelism(spark.range(100).coalesce(1))
+    assert mem.count() == 100
 
 
 def test_approx_percentile_within_error_of_exact(spark):
