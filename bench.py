@@ -48,9 +48,37 @@ HEADLINE = [
 
 RUNS = 5  # re-execution is cheap post-warmup; 5 medians out a GC outlier
 
+#: Committed historical action floor on the reference hardware (BENCH_r04:
+#: 0.1074 s; re-runs on a quiet machine land 0.10-0.15). A measured floor
+#: far above this means ambient load is inflating EVERY number in the run
+#: (the r5 "regression" was exactly this: floor 0.31 = 3× historical, and a
+#: quiet re-run erased it). The run self-defends: retry the floor until it
+#: settles, and if it never does, say so IN the JSON instead of letting a
+#: loaded machine masquerade as a code regression.
+HISTORICAL_FLOOR_SEC = 0.11
+FLOOR_TOLERANCE = 1.5
+
 
 def median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
+
+
+def measure_floor(spark, attempts: int = 4, settle_sec: float = 2.0) -> float:
+    """Median wall time of a no-work action, re-measured until it drops
+    under FLOOR_TOLERANCE × historical or attempts run out (best kept)."""
+    best = float("inf")
+    for attempt in range(attempts):
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(1).count()
+            runs.append(time.perf_counter() - t0)
+        best = min(best, median(runs))
+        if best <= FLOOR_TOLERANCE * HISTORICAL_FLOOR_SEC:
+            break
+        if attempt < attempts - 1:
+            time.sleep(settle_sec)  # transient load: let it pass
+    return round(best, 4)
 
 
 def main() -> None:
@@ -89,12 +117,7 @@ def main() -> None:
         df.toPandas()  # warm the Arrow collect path too, not just execution
 
     # Local-mode action floor: median wall time of a no-work action.
-    floor_runs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(1).count()
-        floor_runs.append(time.perf_counter() - t0)
-    floor = round(median(floor_runs), 4)
+    floor = measure_floor(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -108,20 +131,27 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(median(runs), 4)
 
+    # Post-run floor: catches load that arrived DURING the timing loop.
+    floor_after = measure_floor(spark, attempts=1)
+    floor_ratio = round(max(floor, floor_after) / HISTORICAL_FLOOR_SEC, 2)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_warm_median_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "floor_sec": floor,
-                "cold_first_action_sec": cold_first_action,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_warm_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "floor_sec": floor,
+        "floor_after_sec": floor_after,
+        "cold_first_action_sec": cold_first_action,
+    }
+    if floor_ratio > FLOOR_TOLERANCE:
+        # Every timing above is inflated by ambient machine load — the
+        # run is still recorded, but flagged untrustworthy for
+        # round-over-round comparison (compare floor_sec first).
+        result["ambient_load_warning"] = True
+        result["floor_ratio_vs_historical"] = floor_ratio
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
