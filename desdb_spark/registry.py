@@ -59,36 +59,63 @@ _REGISTRY: dict[str, Operator] = {}
 #: Everything past slot 50 is unchanged since its green driver row and is
 #: re-proven at HEAD by the committed SELFCHECK_r05_sf0.1.log.
 #:
-#: ROUND-6 ROTATION NOTE (handoff): the ~26 brand-new r5 batch-2+ ops
-#: registered past slot 50 (relational_ext8/9/10, streaming.foreach,
-#: formats_ext2, timeseries_ext, multimodal_ext, ann_eval, lake_ext,
-#: pipeline_ext, diagnostics, plans.lineage's CTE op) have selfcheck
-#: evidence only — they should LEAD the r6 window, followed by anything
-#: r6 changes; the r5-window ops will then hold fresh r5 driver rows and
-#: can rotate out.
+#: Round 6 window rationale (VERDICT r5 items 1/7): the 26 r5 batch-2+
+#: ops that registered past slot 50 had selfcheck evidence only — they
+#: LEAD (27 ops now: relational_ext10 gained agg_percentile_disc this
+#: round). Then the 9 brand-new r6 ops, then every module r6 changed
+#: (streaming.joins oracle upgrade, dedup_ext planted dups,
+#: streaming.stateful RocksDB arm, similarity forced-LSH refactor, dedup
+#: ensure_parallelism rewrite). That sums to EXACTLY 50; the first-50
+#: list is pinned by tests/test_registry.py::test_r6_window_pinned so a
+#: refactor can't silently reshuffle it (the r4 regression class).
+#: Union driver coverage after this round's CORRECTNESS file: 189/189.
 _OP_MODULES = (
-    # --- driver window (slots 1-50) ---
-    "desdb_spark.extensions.stats_monitor",  # 2 ops (anomaly: never checked)
-    "desdb_spark.sources.formats_ext",  # 1 op (ORC roundtrip: never checked)
-    "desdb_spark.operators.relational_ext6",  # 2 ops (never checked)
-    "desdb_spark.operators.scans",  # 4 ops (§2B contract ops restored)
-    "desdb_spark.functions.paths",  # 1 op (registration now intentional)
-    "desdb_spark.streaming.windows",  # 5 ops (ts-normalization fix r5)
-    "desdb_spark.streaming.stateful",  # 1 op (ts-normalization fix r5)
-    "desdb_spark.streaming.joins",  # 1 op (r4 driver err, fixed r5)
-    "desdb_spark.operators.relational_ext",  # 11 ops (events_sessionize_batch
-    # repaired r5 via load_table normalization; stale r3 row)
-    "desdb_spark.functions.udfs",  # 4 ops (udtf_python_sentences never
-    # checked; others changed r4)
-    "desdb_spark.extensions.dedup",  # 5 ops (components rewritten r5)
-    "desdb_spark.extensions.similarity",  # 4 ops (changed r4; r3 rows stale)
-    # new r5 modules slot in here (before the tail) as they are added;
-    # keep the running total at exactly 50.
-    "desdb_spark.operators.relational_ext7",  # 4 ops (NEW r5)
-    "desdb_spark.extensions.dedup_ext",  # 2 ops (NEW r5)
-    "desdb_spark.extensions.text_ext",  # 3 ops (NEW r5)
-    # --- slots 51+: green driver row + unchanged code since that row,
-    # re-proven at HEAD by the committed full-registry selfcheck log ---
+    # --- r6 driver window (slots 1-50) ---
+    # never-driver-checked r5b ops lead (27):
+    "desdb_spark.operators.relational_ext8",  # 4 ops (null-safe eq, bool
+    # flags, last ignore-nulls, multi-distinct)
+    "desdb_spark.streaming.foreach",  # 1 op (foreachBatch upsert)
+    "desdb_spark.sources.formats_ext2",  # 1 op (text roundtrip)
+    "desdb_spark.extensions.timeseries_ext",  # 2 ops (OHLC, inter-arrival)
+    "desdb_spark.extensions.multimodal_ext",  # 2 ops (frame sample, resize)
+    "desdb_spark.extensions.ann_eval",  # 1 op (recall report; r6: left-join
+    # denominator fix)
+    "desdb_spark.sources.lake_ext",  # 2 ops (DPP join, sorted layout)
+    "desdb_spark.operators.relational_ext9",  # 3 ops (LATERAL top-n,
+    # ordered array_agg, higher-order lambdas)
+    "desdb_spark.operators.relational_ext10",  # 4 ops (outer explode, edit
+    # distance, approx pctl + NEW r6 exact percentile_disc)
+    "desdb_spark.extensions.pipeline_ext",  # 2 ops (decontamination, PII)
+    "desdb_spark.operators.diagnostics",  # 2 ops (partition balance, layout)
+    "desdb_spark.sources.ingest_ext",  # 2 ops (binaryFile, CSV quarantine)
+    "desdb_spark.plans.lineage",  # 1 op (recursive CTE; r6: conf restore)
+    # brand-new r6 modules (9):
+    "desdb_spark.operators.relational_ext11",  # 7 ops (NEW r6:
+    # gaps-islands, 3-gram paths, running distinct, heatmap, argmax,
+    # weighted stats, central moments)
+    "desdb_spark.extensions.quality_gates",  # 2 ops (NEW r6: gate report,
+    # per-source dup rate)
+    # changed-in-r6 modules (14):
+    "desdb_spark.streaming.joins",  # 1 op (r6: hash oracle upgrade)
+    "desdb_spark.extensions.dedup_ext",  # 2 ops (r6: planted format dups)
+    "desdb_spark.streaming.stateful",  # 1 op (r6: RocksDB state-store arm)
+    "desdb_spark.extensions.similarity",  # 5 ops (r6: forced-LSH row +
+    # max_exact_rows refactor)
+    "desdb_spark.extensions.dedup",  # 5 ops (r6: ensure_parallelism via
+    # inputFiles, no .rdd)
+    # --- slots 51+: green driver row + unchanged code since that row ---
+    # fresh r5 driver rows:
+    "desdb_spark.extensions.stats_monitor",  # 2 ops (r5-green)
+    "desdb_spark.sources.formats_ext",  # 1 op (r5-green)
+    "desdb_spark.operators.relational_ext6",  # 2 ops (r5-green)
+    "desdb_spark.operators.scans",  # 4 ops (r5-green)
+    "desdb_spark.functions.paths",  # 1 op (r5-green)
+    "desdb_spark.streaming.windows",  # 5 ops (r5-green)
+    "desdb_spark.operators.relational_ext",  # 11 ops (r5-green)
+    "desdb_spark.functions.udfs",  # 4 ops (r5-green)
+    "desdb_spark.operators.relational_ext7",  # 4 ops (r5-green)
+    "desdb_spark.extensions.text_ext",  # 3 ops (r5-green)
+    # older green rows, code unchanged since:
     "desdb_spark.operators.relational_ext2",  # 3 ops (r4-green)
     "desdb_spark.operators.relational_ext3",  # 9 ops (r4-green)
     "desdb_spark.extensions.pipeline_analytics",  # 7 ops (r4-green)
@@ -111,32 +138,6 @@ _OP_MODULES = (
     "desdb_spark.operators.sorts_sets",  # 5 ops (r3-green)
     "desdb_spark.functions.scalars",  # 5 ops (r3-green)
     "desdb_spark.operators.aggregates_ext",  # 3 ops (r3-green)
-    # --- brand-new r5 batch-2 ops: past the full window by design; their
-    # evidence is green lines in the committed SELFCHECK_r05_sf0.1.log
-    # (the union-coverage test enforces this); they rotate into the
-    # driver window next round ---
-    "desdb_spark.operators.relational_ext8",  # 4 ops (NEW r5b)
-    "desdb_spark.streaming.foreach",  # 1 op (NEW r5b: foreachBatch upsert)
-    "desdb_spark.sources.formats_ext2",  # 1 op (NEW r5b: text roundtrip)
-    "desdb_spark.extensions.timeseries_ext",  # 2 ops (NEW r5b: OHLC bars,
-    # inter-arrival stats)
-    "desdb_spark.extensions.multimodal_ext",  # 2 ops (NEW r5b: frame
-    # sampling, resize planning)
-    "desdb_spark.extensions.ann_eval",  # 1 op (NEW r5b: IVF recall report)
-    "desdb_spark.sources.lake_ext",  # 2 ops (NEW r5b: dynamic partition
-    # pruning under a dim join, range-clustered sorted layout)
-    "desdb_spark.operators.relational_ext9",  # 3 ops (NEW r5b: LATERAL
-    # top-n, ordered array_agg, higher-order lambdas)
-    "desdb_spark.operators.relational_ext10",  # 3 ops (NEW r5b: outer
-    # explode, edit distance, approx percentiles)
-    "desdb_spark.extensions.pipeline_ext",  # 2 ops (NEW r5b: n-gram
-    # decontamination check, PII scrub audit)
-    "desdb_spark.operators.diagnostics",  # 2 ops (NEW r5b: partition
-    # balance, file-layout census)
-    "desdb_spark.sources.ingest_ext",  # 2 ops (NEW r5b: binaryFile scan,
-    # malformed-CSV quarantine audit)
-    "desdb_spark.plans.lineage",  # 1 op (NEW r5b: WITH RECURSIVE walk,
-    # §2A A7 full-depth parity) + library surface
 )
 
 

@@ -160,6 +160,7 @@ def test_registry_order_import_pollution_proof():
     pytest collection imports every test module up front, which is
     exactly that pollution (it shifted the window and broke the union-
     coverage test until the canonical sort landed)."""
+    import os
     import subprocess
     import sys
 
@@ -184,3 +185,40 @@ def test_registry_order_import_pollution_proof():
     ).stdout.split()
     assert polluted == clean
     assert len(clean) == len(all_operators())
+
+
+#: The r6 driver window, frozen (VERDICT r5 item 7): the external driver
+#: hash-checks exactly the first 50 registered ops, so a refactor that
+#: reshuffles registration order silently changes WHAT GETS VERIFIED —
+#: the r4 regression class. Any intentional rotation must edit this list
+#: in the same commit that edits _OP_MODULES.
+R6_WINDOW = [
+    "join_null_safe_eq", "agg_bool_flags", "window_last_ignore_nulls",
+    "agg_multi_distinct", "stream_foreachbatch_upsert",
+    "source_text_roundtrip", "events_ohlc_bars", "events_interarrival_stats",
+    "multimodal_frame_sample", "multimodal_resize_batch", "ann_recall_report",
+    "join_partition_pruned_scan", "sink_sorted_parquet", "join_lateral_topn",
+    "agg_collect_sorted_list", "scalar_higher_order_funcs",
+    "udtf_explode_outer_nulls", "scalar_edit_distance",
+    "agg_approx_percentile", "agg_percentile_disc",
+    "corpus_contamination_ngram", "docs_pii_scrub_stats",
+    "diag_partition_balance", "diag_file_layout", "source_binaryfile_scan",
+    "source_csv_malformed_audit", "lineage_walk_recursive_cte",
+    "window_gaps_islands", "events_path_3gram", "window_running_distinct",
+    "events_hourly_heatmap", "agg_argmax_minby", "agg_weighted_stats",
+    "agg_central_moments", "corpus_quality_gate_report",
+    "docs_dup_rate_by_source", "stream_stream_enrich_join",
+    "dedup_keep_best_quality", "dedup_canonical_text",
+    "stream_stateful_profile", "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
+    "dedup_embedding_cosine", "ann_lsh_bucketed", "ann_ivf_kmeans",
+    "dedup_exact_docs", "dedup_near_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_cluster_components",
+]
+
+
+def test_r6_window_pinned():
+    window = list(all_operators())[:50]
+    assert window == R6_WINDOW, (
+        "driver window drifted from the documented r6 rotation plan; "
+        "if intentional, update R6_WINDOW in the same commit"
+    )
