@@ -138,6 +138,17 @@ _OP_MODULES = (
     "desdb_spark.operators.sorts_sets",  # 5 ops (r3-green)
     "desdb_spark.functions.scalars",  # 5 ops (r3-green)
     "desdb_spark.operators.aggregates_ext",  # 3 ops (r3-green)
+    # --- brand-new r6 batch-2 ops: past the full window by design (the
+    # window was sized at exactly 50 before they landed); their evidence
+    # is green lines in the committed SELFCHECK_r06_sf0.1.log (enforced
+    # by the union-coverage test). ROUND-7 ROTATION NOTE: these lead the
+    # r7 window. ---
+    "desdb_spark.sources.formats_ext3",  # 1 op (NEW r6b: XML roundtrip)
+    "desdb_spark.functions.modern_types",  # 2 ops (NEW r6b: VARIANT
+    # navigation, MAP lifecycle)
+    "desdb_spark.extensions.curriculum",  # 1 op (NEW r6b: curriculum
+    # deciles) — transformWithState is a capability module
+    # (streaming/transform_state.py): no working protobuf offline
 )
 
 

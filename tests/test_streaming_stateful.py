@@ -62,3 +62,49 @@ def test_stateful_profile_rocksdb_provider_engaged(spark, tables):
         .collect()
     }
     assert out == {u: (n, round(s, 4)) for u, (n, s) in batch.items()}
+
+
+def test_transform_with_state_profile(spark, tables):
+    """transformWithStateInPandas twin of the profile op — runs only where
+    the streaming Python runner's protobuf dependency exists (this
+    container lacks it; the wrapper itself is the tested surface)."""
+    import pytest
+
+    from desdb_spark.streaming import transform_state
+    from desdb_spark.streaming.stateful import ROCKSDB_PROVIDER, _PROVIDER_KEY
+
+    if not transform_state.is_available():
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "streaming runner cannot start in this container")
+    from desdb_spark.session import normalize_events_ts
+    from desdb_spark.streaming.runner import run_available_now, stage_file_source
+
+    prior = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    try:
+        stage = stage_file_source(f"{SF_DIR}/events.parquet", "tws_src_")
+        schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        ).select("user_id", "value")
+        out = run_available_now(
+            spark,
+            transform_state.transform_with_state_profile(stream),
+            "tws_profile",
+            "update",
+            stage_dir=stage,
+        )
+        res = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
+        batch = {
+            r.user_id: (r.n, round(r.s, 4))
+            for r in tables["events"]
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert res == batch
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
