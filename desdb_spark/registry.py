@@ -149,6 +149,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.curriculum",  # 1 op (NEW r6b: curriculum
     # deciles) — transformWithState is a capability module
     # (streaming/transform_state.py): no working protobuf offline
+    # --- r6 batch-3 (same past-window / selfcheck-evidence regime) ---
+    "desdb_spark.operators.joins_ext2",  # 2 ops (NEW r6c: runtime Bloom
+    # filter join, bucketed interval-overlap join)
 )
 
 

@@ -167,3 +167,89 @@ def test_keep_best_quality_single_exchange(spark):
 
     plan = _plan(dedup_ext.dedup_keep_best_quality(spark, SF_DIR))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """Under the forcing confs, the optimizer must inject a Bloom filter
+    (might_contain) on the lineitem probe side of the shuffle join. The
+    registered op materializes under these confs; this pins the plan."""
+    from pyspark.sql import functions as F
+
+    from desdb_spark.operators.joins_ext2 import _scoped_confs
+    from desdb_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .where((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey")
+    )
+    with _scoped_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        },
+    ):
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+
+
+def test_bloom_confs_restored_after_op(spark):
+    """join_bloom_runtime_filter must leave the session's broadcast
+    threshold exactly as it found it."""
+    from desdb_spark.operators import joins_ext2
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    joins_ext2.join_bloom_runtime_filter(spark, SF_DIR)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_interval_overlap_is_equi_not_cross(spark):
+    """The bucketed interval join must plan an equi-join on the bucket —
+    never a cartesian/nested-loop theta plan."""
+    from desdb_spark.operators import joins_ext2
+
+    plan = _plan(joins_ext2.join_interval_overlap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_matches_theta_oracle(spark):
+    """Bucketed candidates + overlap filter must equal the naive theta
+    join on planted intervals, including boundary cases (touching
+    intervals do NOT overlap; straddling buckets do)."""
+    from pyspark.sql import functions as F
+
+    from desdb_spark.operators.joins_ext2 import interval_overlap_join
+
+    def T(s):
+        return F.to_timestamp(F.lit(s))
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", "2024-01-01 01:50:00"),
+         ("b", "2024-01-01 03:00:00", "2024-01-01 03:30:00"),
+         ("c", "2024-01-01 05:59:00", "2024-01-01 06:01:00")],
+        ["lid", "s", "e"],
+    ).select("lid", F.to_timestamp("s").alias("l_start"), F.to_timestamp("e").alias("l_end"))
+    right = spark.createDataFrame(
+        [("x", "2024-01-01 01:49:00", "2024-01-01 02:10:00"),   # overlaps a
+         ("y", "2024-01-01 03:30:00", "2024-01-01 04:00:00"),   # touches b: NO
+         ("z", "2024-01-01 06:00:30", "2024-01-01 07:00:00")],  # overlaps c across bucket
+        ["rid", "s", "e"],
+    ).select("rid", F.to_timestamp("s").alias("r_start"), F.to_timestamp("e").alias("r_end"))
+
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(left, right, bucket_seconds=3600).collect()
+    }
+    theta = {
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .where((F.col("l_start") < F.col("r_end")) & (F.col("r_start") < F.col("l_end")))
+        .collect()
+    }
+    assert got == theta == {("a", "x"), ("c", "z")}
