@@ -152,6 +152,8 @@ _OP_MODULES = (
     # --- r6 batch-3 (same past-window / selfcheck-evidence regime) ---
     "desdb_spark.operators.joins_ext2",  # 2 ops (NEW r6c: runtime Bloom
     # filter join, bucketed interval-overlap join)
+    "desdb_spark.extensions.sampling_ext",  # 2 ops (NEW r6c: priority
+    # sampling, fixed-n-per-group Weyl sample)
 )
 
 

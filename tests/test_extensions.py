@@ -315,3 +315,56 @@ def test_dedup_canonical_text_collapses_plants(spark):
     assert len(groups) == n_planted
     assert all(g.n_copies == 2 for g in groups)
     assert all(g.keep_doc_id < 1_000_000 for g in groups)
+
+
+def test_priority_sample_estimator_unbiasedness(spark):
+    """Duffield et al.: Σ max(w, τ) over the sample estimates Σ w over
+    the population. Deterministic fixture → pin a tight relative error."""
+    from desdb_spark.extensions import sampling_ext
+    import pyspark.sql.functions as F
+    from desdb_spark.session import load_table
+
+    s = sampling_ext.sample_priority_weighted(spark, SF_DIR)
+    est = s.agg(F.sum("est_weight")).first()[0]
+    total = load_table(spark, SF_DIR, "documents").agg(F.sum("n_chars")).first()[0]
+    assert abs(est - total) / total < 0.15, (est, total)
+    assert s.count() == 200
+
+
+def test_priority_sample_plans_take_ordered(spark):
+    """Top-(n+1) must be per-partition heaps (TakeOrderedAndProject),
+    never a global sort of the corpus."""
+    from desdb_spark.extensions import sampling_ext
+
+    plan = (
+        sampling_ext.sample_priority_weighted(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fixed_n_per_group_counts_and_group_limit(spark):
+    """Exactly 20 rows per language, and the rank filter must push into
+    the sort as a per-group running limit (WindowGroupLimit)."""
+    from desdb_spark.extensions import sampling_ext
+    import pyspark.sql.functions as F
+
+    s = sampling_ext.sample_fixed_n_per_group(spark, SF_DIR)
+    counts = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts and all(n == 20 for n in counts.values()), counts
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_weyl_uniform_deterministic_and_in_range(spark):
+    """u ∈ (0, 1] and stable across evaluations (the reproducibility
+    contract every sampling op leans on)."""
+    from desdb_spark.extensions.sampling_ext import weyl_uniform
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 5000).select(weyl_uniform(F.col("id")).alias("u"))
+    lo, hi = df.agg(F.min("u"), F.max("u")).first()
+    assert 0.0 < lo and hi <= 1.0
+    a = [r.u for r in df.collect()]
+    b = [r.u for r in df.collect()]
+    assert a == b
