@@ -154,6 +154,8 @@ _OP_MODULES = (
     # filter join, bucketed interval-overlap join)
     "desdb_spark.extensions.sampling_ext",  # 2 ops (NEW r6c: priority
     # sampling, fixed-n-per-group Weyl sample)
+    "desdb_spark.extensions.corpus_stats",  # 3 ops (NEW r6c: Zipf slope,
+    # label entropy/gini, winsorized moments)
 )
 
 

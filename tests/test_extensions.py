@@ -368,3 +368,44 @@ def test_weyl_uniform_deterministic_and_in_range(spark):
     a = [r.u for r in df.collect()]
     b = [r.u for r in df.collect()]
     assert a == b
+
+
+def test_zipf_slope_negative_power_law(spark):
+    """A word-frequency ranking must fit a decreasing power law: slope
+    strictly negative with a meaningful R^2 on the fixture corpus."""
+    from desdb_spark.extensions import corpus_stats
+
+    row = corpus_stats.corpus_zipf_slope(spark, SF_DIR).first()
+    # The synthetic fixture vocabulary is tiny (~31 words) and nearly
+    # uniform, so only the sign and fit-range invariants are assertable.
+    assert row["n_vocab"] >= 20
+    assert row["zipf_slope"] < 0, row
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_label_entropy_bounds(spark):
+    """0 <= entropy <= ln(n_langs); 0 <= gini < 1; doc counts add up."""
+    import math
+
+    from desdb_spark.extensions import corpus_stats
+
+    rows = corpus_stats.corpus_label_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= math.log(r["n_langs"]) + 1e-6, r
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_docs"] > 0
+
+
+def test_winsorized_stats_clamp_fraction(spark):
+    """The [p05, p95] clamp touches at most ~10% of each group (by
+    definition of discrete percentiles) and the winsorized mean lies
+    within the clamp bounds; the bounds table must broadcast."""
+    from desdb_spark.extensions import corpus_stats
+
+    df = corpus_stats.docs_winsorized_stats(spark, SF_DIR)
+    for r in df.collect():
+        assert r["n_clamped"] <= 0.11 * r["n_docs"] + 2, r
+        assert r["p05"] <= r["wins_mean"] <= r["p95"], r
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
