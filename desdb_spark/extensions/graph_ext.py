@@ -1,0 +1,217 @@
+"""Round-6 batch-3 graph analytics over relational edge lists.
+
+Dedup clustering (extensions/dedup.py) already ships the connected-
+components primitive; this module adds the other graph audits a curation
+pipeline runs on similarity/co-occurrence graphs: degree distribution
+(how hub-by is the graph), triangle counting (local clustering — a
+near-dup graph that is all triangles is a mirror farm), and PageRank
+(which nodes anchor the graph). Reference parity: desdb had no graph
+surface (SURVEY.md §2A — reconstructed); new engine capability.
+
+Scale design notes are per-op; the shared rule is that every algorithm
+here is edge-list relational — joins and aggregations only, no
+driver-side adjacency structure, so Catalyst/AQE handle skew and the
+edge list can be 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+from desdb_spark.session import load_table
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), deg AS (
+            SELECT l_partkey, count(*) AS degree FROM edges GROUP BY l_partkey
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_parts
+        FROM deg GROUP BY degree
+    """,
+    group="graph_ext",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part–supplier bipartite graph: for each
+    part, how many distinct suppliers ship it, then how many parts sit
+    at each degree — the hub-detection audit (a degree-10000 node in a
+    similarity graph is a boilerplate cluster, not a document).
+
+    Scale shape: DISTINCT edge projection, degree count, histogram —
+    three map-side-combinable aggregations, shuffling keys only. The
+    classic skew trap (counting a hub's edges) is exactly what partial
+    aggregation absorbs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg = edges.groupBy("l_partkey").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_parts"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_suppkey < b.l_suppkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+    group="graph_ext",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the supplier co-order graph (suppliers
+    linked when they serve the same order) — the clustering-coefficient
+    numerator used to tell organic neighborhoods from mirror farms in
+    near-dup graphs.
+
+    Scale shape: edges are canonicalized u<v, then oriented by
+    (degree, id) so every wedge is generated exactly once at its
+    lowest-degree vertex — the standard distributed-triangle trick
+    (Suri & Vassilvitskii's MapReduce formulation, public literature):
+    wedge fan-out is Σ d_oriented², bounded because high-degree hubs
+    never originate wedges. The oracle counts the same triangles from
+    the unoriented form (each triangle once via u<v<w closure).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # Orient each edge from its lower-(degree, id) endpoint.
+    e = (
+        edges.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    w1, w2 = e.alias("w1"), e.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.s") == F.col("w2.s"))
+        .where(F.col("w1.t") < F.col("w2.t"))
+        .select(F.col("w1.t").alias("x"), F.col("w2.t").alias("y"))
+    )
+    closing = e.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    ).distinct()
+    return (
+        wedges.join(closing, ["x", "y"])
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Power-iteration PageRank over a (src, dst) edge DataFrame.
+
+    Pure DataFrame loop: ranks join out-degree-normalized edges, sum by
+    dst, add the teleport term plus the dangling-mass redistribution
+    (nodes with no out-edges donate their rank uniformly, keeping the
+    distribution summing to 1 — the textbook Brin–Page formulation).
+    Lineage is truncated with ``localCheckpoint`` every few rounds so 10
+    iterations don't compound into one unplannable DAG; at cluster scale
+    use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` instead.
+
+    Scale shape per iteration: one shuffle join on src (edges can be
+    pre-partitioned by src once and reused) + one aggregation on dst;
+    the dangling term is a 1-row broadcast. No driver-side state beyond
+    the scalar.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    norm = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("share")
+    ).localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+    for i in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left")
+            .where(F.col("has_out").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        contrib = (
+            ranks.join(norm, ranks.node == norm.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dmass") / n)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+@register("graph_pagerank_topk", group="graph_ext")  # rows-only: iterative
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the directed customer→supplier order
+    graph (an edge when a customer's order contains a supplier's line),
+    10 damped power iterations with dangling-mass redistribution.
+
+    Iterative — no single SQL oracle (driver records rows-only);
+    tests/test_graph_ext.py checks the ranks against a NumPy power
+    iteration on the identical edge list to 1e-9, plus the Σrank=1
+    invariant here.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, alpha=0.85, iterations=10)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -156,6 +156,8 @@ _OP_MODULES = (
     # sampling, fixed-n-per-group Weyl sample)
     "desdb_spark.extensions.corpus_stats",  # 3 ops (NEW r6c: Zipf slope,
     # label entropy/gini, winsorized moments)
+    "desdb_spark.extensions.graph_ext",  # 3 ops (NEW r6c: degree histogram,
+    # oriented triangle count, PageRank)
 )
 
 
