@@ -158,6 +158,10 @@ _OP_MODULES = (
     # label entropy/gini, winsorized moments)
     "desdb_spark.extensions.graph_ext",  # 3 ops (NEW r6c: degree histogram,
     # oriented triangle count, PageRank)
+    "desdb_spark.extensions.sketches_ext",  # 2 ops (NEW r6c: HLL sketch
+    # union, freq-items candidates)
+    "desdb_spark.extensions.linkage_ext",  # 1 op (NEW r6c: blocked fuzzy
+    # record linkage)
 )
 
 
