@@ -57,9 +57,11 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle="""
         WITH pairs AS (
-            SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-            WHERE a.l_suppkey < b.l_suppkey
+            WHERE a.l_partkey < b.l_partkey
+              AND a.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+              AND b.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
         )
         SELECT CAST(count(*) AS BIGINT) AS n_triangles
         FROM pairs e1
@@ -69,10 +71,20 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="graph_ext",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count of the supplier co-order graph (suppliers
-    linked when they serve the same order) — the clustering-coefficient
-    numerator used to tell organic neighborhoods from mirror farms in
-    near-dup graphs.
+    """Global triangle count of the part co-order graph for ship-year
+    1995 (parts linked when the same order ships both that year) — the
+    clustering-coefficient numerator used to tell organic neighborhoods
+    from mirror farms in near-dup graphs.
+
+    Graph choice is a SCALE decision, not cosmetic: the r6c first cut
+    used the supplier co-order graph, whose 1000-node vertex set is
+    FIXED while co-order incidences grow with SF — at sf0.1 it is
+    near-complete (~5·10⁵ edges, ~10⁸ wedges) and OOMed the sweep. The
+    part graph's vertex count grows WITH the data (20k parts at sf0.1),
+    so mean degree — and therefore wedge fan-out per node — stays ~flat
+    across scale factors; the one-year ship-date slice bounds it
+    further. That is the graph you can actually count triangles on at
+    100 TB.
 
     Scale shape: edges are canonicalized u<v, then oriented by
     (degree, id) so every wedge is generated exactly once at its
@@ -82,12 +94,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     never originate wedges. The oracle counts the same triangles from
     the unoriented form (each triangle once via u<v<w closure).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_shipdate").between(
+                F.lit("1995-01-01").cast("date"), F.lit("1995-12-31").cast("date")
+            )
+        )
+        .select("l_orderkey", F.col("l_partkey").alias("node"))
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .where(F.col("a.node") < F.col("b.node"))
+        .select(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
         .distinct()
     )
     deg = (
@@ -130,22 +150,25 @@ def pagerank(
     edges: DataFrame,
     alpha: float = 0.85,
     iterations: int = 10,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Power-iteration PageRank over a (src, dst) edge DataFrame.
 
-    Pure DataFrame loop: ranks join out-degree-normalized edges, sum by
-    dst, add the teleport term plus the dangling-mass redistribution
-    (nodes with no out-edges donate their rank uniformly, keeping the
-    distribution summing to 1 — the textbook Brin–Page formulation).
-    Lineage is truncated with ``localCheckpoint`` every few rounds so 10
-    iterations don't compound into one unplannable DAG; at cluster scale
-    use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` instead.
+    DataFrame loop in the MLlib iterative style: each round materializes
+    the rank vector (``localCheckpoint(eager=True)`` — truncates lineage
+    so 10 iterations don't compound into one unplannable DAG; at cluster
+    scale use ``setCheckpointDir`` + ``checkpoint``), reduces the
+    dangling mass to ONE driver-side scalar (nodes with no out-edges
+    donate their rank uniformly — the textbook Brin–Page formulation),
+    then folds it into the next round as a literal. The scalar reduce is
+    deliberate: attaching a 1-row aggregate via join would either plan a
+    BroadcastNestedLoopJoin (crossJoin) or get constant-folded back into
+    one (literal-key equi-join), and a per-iteration 8-byte action over
+    an already-materialized vector is the standard distributed-iterative
+    pattern (GraphX does the same reduce).
 
     Scale shape per iteration: one shuffle join on src (edges can be
-    pre-partitioned by src once and reused) + one aggregation on dst;
-    the dangling term is a 1-row broadcast. No driver-side state beyond
-    the scalar.
+    pre-partitioned by src once and reused) + one aggregation on dst +
+    one scalar reduce. No driver-side state beyond the scalar.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -158,13 +181,16 @@ def pagerank(
     norm = edges.join(outdeg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("share")
     ).localCheckpoint(eager=False)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
     has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
-    for i in range(iterations):
-        dangling = (
+    for _ in range(iterations):
+        dmass = (
             ranks.join(has_out, "node", "left")
             .where(F.col("has_out").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            .first()[0]
         )
         contrib = (
             ranks.join(norm, ranks.node == norm.src)
@@ -173,18 +199,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit((1.0 - alpha) / n)
                     + F.lit(alpha)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dmass") / n)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dmass / n))
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -75,9 +75,12 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset-sum estimator weight max(w, τ) where τ is the 201st priority.
 
     Scale shape: one scan computes priorities in codegen; top-(n+1) is a
-    TakeOrderedAndProject (per-partition heaps, no global sort); τ is a
-    1-row broadcast. Nothing shuffles the corpus — this is exactly how
-    you draw a weighted audit sample from 100 TB in one pass.
+    TakeOrderedAndProject (per-partition heaps, no global sort); τ comes
+    from a global window over the already-limited 201 rows — the limit
+    has collapsed them to one partition anyway, so the window costs
+    nothing and avoids the BNLJ a 1-row crossJoin would plan. Nothing
+    shuffles the corpus — this is exactly how you draw a weighted audit
+    sample from 100 TB in one pass.
     """
     d = load_table(spark, sf_dir, "documents")
     pri = d.select(
@@ -88,9 +91,8 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     top = pri.orderBy(F.desc("priority"), "doc_id").limit(201)
-    tau = top.agg(F.min("priority").alias("tau"))
     return (
-        top.crossJoin(F.broadcast(tau))
+        top.withColumn("tau", F.min("priority").over(W.partitionBy()))
         .where(F.col("priority") > F.col("tau"))
         .select(
             "doc_id",

@@ -62,11 +62,18 @@ def test_pagerank_rank_mass_sums_to_one(spark):
 
 def test_triangle_count_planted_graph(spark):
     # K4 minus one edge = 2 triangles; plus an isolated edge = still 2.
+    # The op reads (l_orderkey, l_partkey, l_shipdate) and keeps only
+    # ship-year 1995, so plant the edges inside that year and add one
+    # out-of-year edge that would create a third triangle if the date
+    # slice leaked.
+    import datetime as dt
+
+    in_year, out_year = dt.date(1995, 6, 1), dt.date(1997, 6, 1)
     edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (7, 8)]
-    li = spark.createDataFrame(
-        [(i, u) for i, (u, v) in enumerate(edges) for u in (u, v)],
-        ["l_orderkey", "l_suppkey"],
-    )
+    rows = [
+        (i, u, in_year) for i, (u, v) in enumerate(edges) for u in (u, v)
+    ] + [(99, 3, out_year), (99, 4, out_year)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey", "l_shipdate"])
     li.createOrReplaceTempView("_tri_li")
     # Reuse the op's internals by monkey-loading the planted table.
     import desdb_spark.extensions.graph_ext as g
