@@ -162,6 +162,15 @@ _OP_MODULES = (
     # union, freq-items candidates)
     "desdb_spark.extensions.linkage_ext",  # 1 op (NEW r6c: blocked fuzzy
     # record linkage)
+    # --- r6 batch-4 (same past-window / selfcheck-evidence regime) ---
+    "desdb_spark.sources.layout_ext",  # 1 op (NEW r6d: Z-order clustering
+    # stats; write-side recipe in zorder_layout)
+    "desdb_spark.operators.incremental",  # 1 op (NEW r6d: partial-agg
+    # merge / materialized-view maintenance)
+    "desdb_spark.extensions.constraints",  # 3 ops (NEW r6d: Deequ-style
+    # constraint suite, MAD robust outliers, k-fold assignment)
+    "desdb_spark.streaming.resume",  # 1 op (NEW r6d: checkpointed
+    # exactly-once restart ingest)
 )
 
 
