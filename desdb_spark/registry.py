@@ -171,6 +171,15 @@ _OP_MODULES = (
     # constraint suite, MAD robust outliers, k-fold assignment)
     "desdb_spark.streaming.resume",  # 1 op (NEW r6d: checkpointed
     # exactly-once restart ingest)
+    # --- r6 batch-5 (same past-window / selfcheck-evidence regime) ---
+    "desdb_spark.operators.reconcile",  # 1 op (NEW r6e: snapshot diff /
+    # anti-entropy reconciliation)
+    "desdb_spark.sources.schema_evolution",  # 1 op (NEW r6e: mergeSchema
+    # vintage union read)
+    "desdb_spark.extensions.attribution",  # 2 ops (NEW r6e: last-touch
+    # credit, touch-to-conversion latency)
+    "desdb_spark.extensions.linalg_ext",  # 1 op (NEW r6e: distributed
+    # Gram matrix via partial GEMM)
 )
 
 
