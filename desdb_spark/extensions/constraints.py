@@ -220,11 +220,11 @@ def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH folds AS (
           SELECT lang,
-                 least(CAST(floor(5 * (CASE WHEN doc_id * 0.6180339887498949
-                          - floor(doc_id * 0.6180339887498949) = 0
+                 least(CAST(floor(5 * (CASE WHEN doc_id * CAST(0.6180339887498949 AS DOUBLE)
+                          - floor(doc_id * CAST(0.6180339887498949 AS DOUBLE)) = 0
                      THEN 1.0
-                     ELSE doc_id * 0.6180339887498949
-                          - floor(doc_id * 0.6180339887498949) END))
+                     ELSE doc_id * CAST(0.6180339887498949 AS DOUBLE)
+                          - floor(doc_id * CAST(0.6180339887498949 AS DOUBLE)) END))
                      AS BIGINT), 4) AS fold
           FROM documents
         )

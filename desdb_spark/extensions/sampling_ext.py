@@ -8,7 +8,12 @@ sequence on the stable row key (``u = frac(key · φ)``, φ the golden
 ratio conjugate) instead of an engine RNG: every arithmetic step is an
 IEEE-754 correctly-rounded op (multiply, floor, subtract, divide), so
 Spark and the DuckDB oracle produce bit-identical priorities and the
-sample is hash-checkable, not merely "plausible".
+sample is hash-checkable, not merely "plausible". One trap makes that
+guarantee conditional: DuckDB parses a bare 0.618... literal as
+DECIMAL and runs the whole expression in decimal arithmetic, which
+agrees with double only while ids are small (it silently diverged at
+sf0.1) — every oracle here CASTs the constant to DOUBLE so both
+engines do the identical binary multiply.
 
 The weighted op is Duffield–Lund–Thorup *priority sampling* ("Priority
 sampling for estimation of arbitrary subset sums", JACM 2007 — public
@@ -46,11 +51,11 @@ def weyl_uniform(key_col):
         WITH pri AS (
             SELECT doc_id, n_chars,
                    CAST(n_chars AS DOUBLE) /
-                   (CASE WHEN doc_id * 0.6180339887498949
-                              - floor(doc_id * 0.6180339887498949) = 0
+                   (CASE WHEN doc_id * CAST(0.6180339887498949 AS DOUBLE)
+                              - floor(doc_id * CAST(0.6180339887498949 AS DOUBLE)) = 0
                          THEN 1.0
-                         ELSE doc_id * 0.6180339887498949
-                              - floor(doc_id * 0.6180339887498949) END)
+                         ELSE doc_id * CAST(0.6180339887498949 AS DOUBLE)
+                              - floor(doc_id * CAST(0.6180339887498949 AS DOUBLE)) END)
                        AS priority
             FROM documents
         ), top AS (
@@ -112,8 +117,8 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT lang, doc_id,
                    row_number() OVER (
                        PARTITION BY lang
-                       ORDER BY doc_id * 0.6180339887498949
-                                - floor(doc_id * 0.6180339887498949),
+                       ORDER BY doc_id * CAST(0.6180339887498949 AS DOUBLE)
+                                - floor(doc_id * CAST(0.6180339887498949 AS DOUBLE)),
                                 doc_id) AS rk
             FROM documents) t
         WHERE rk <= 20

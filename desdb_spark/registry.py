@@ -180,6 +180,14 @@ _OP_MODULES = (
     # credit, touch-to-conversion latency)
     "desdb_spark.extensions.linalg_ext",  # 1 op (NEW r6e: distributed
     # Gram matrix via partial GEMM)
+    "desdb_spark.streaming.static_join",  # 1 op (NEW r6e: stream-static
+    # broadcast enrichment)
+    "desdb_spark.operators.cdc",  # 1 op (NEW r6e: CDC log apply with
+    # tombstones)
+    "desdb_spark.extensions.skyline",  # 1 op (NEW r6e: 2-D Pareto
+    # frontier, local-prune + sweep)
+    "desdb_spark.extensions.tokenizer_ext",  # 1 op (NEW r6e: BPE char-pair
+    # frequency)
 )
 
 
