@@ -188,6 +188,8 @@ _OP_MODULES = (
     # frontier, local-prune + sweep)
     "desdb_spark.extensions.tokenizer_ext",  # 1 op (NEW r6e: BPE char-pair
     # frequency)
+    "desdb_spark.extensions.mining_ext",  # 3 ops (NEW r6e: hard negatives,
+    # whitening projection, temperature mix)
 )
 
 

@@ -1,0 +1,78 @@
+"""Mining ops: hard negatives vs a NumPy brute force, whitening must
+produce identity covariance, temperature weights must sum to 1 and
+flatten the distribution."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from desdb_spark.extensions.mining_ext import (
+    ANCHOR_MOD,
+    TAU,
+    corpus_temperature_mix,
+    emb_whiten_project,
+    knn_hard_negatives,
+)
+from desdb_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def _load_embeddings(spark):
+    pdf = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    X = np.stack(pdf["e"].to_numpy())
+    return ids, labels, X
+
+
+def test_hard_negatives_match_numpy_bruteforce(spark):
+    ids, labels, X = _load_embeddings(spark)
+    S = (X @ X.T) / np.outer(
+        np.linalg.norm(X, axis=1), np.linalg.norm(X, axis=1)
+    )
+    S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+    got = {
+        r.anchor_id: (r.negative_id, r.cos_sim)
+        for r in knn_hard_negatives(spark, SF_DIR).collect()
+    }
+    anchors = [i for i, v in enumerate(ids) if v % ANCHOR_MOD == 0]
+    assert len(got) == len(anchors) > 0
+    for ai in anchors:
+        mask = labels != labels[ai]
+        row = np.where(mask, S[ai], -2.0)
+        m = row.max()
+        cand = np.nonzero(row == m)[0]
+        want_id = ids[cand].min()
+        assert got[ids[ai]] == (want_id, m), ids[ai]
+        # and it really is a different label
+        assert labels[list(ids).index(want_id)] != labels[ai]
+
+
+def test_whitening_gives_identity_covariance(spark):
+    rows = emb_whiten_project(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert abs(r.whitened_mean) < 1e-3, r
+        assert abs(r.whitened_var - 1.0) < 1e-2, r
+
+
+def test_temperature_mix_sums_to_one_and_flattens(spark):
+    rows = corpus_temperature_mix(spark, SF_DIR).collect()
+    probs = {r.source: r.sample_prob for r in rows}
+    toks = {r.source: r.n_tokens for r in rows}
+    assert abs(sum(probs.values()) - 1.0) < 1e-4
+    assert abs(sum(r.expected_tokens for r in rows) - 1_000_000) < len(rows)
+    # tau < 1 compresses ratios: the prob ratio between the biggest and
+    # smallest source must be strictly smaller than their token ratio.
+    big = max(toks, key=toks.get)
+    small = min(toks, key=toks.get)
+    if toks[big] > toks[small]:
+        assert probs[big] / probs[small] < toks[big] / toks[small]
+        want = (toks[big] / toks[small]) ** TAU
+        assert abs(probs[big] / probs[small] - want) / want < 1e-3
