@@ -40,7 +40,8 @@ from desdb_spark.session import load_table
                    levenshtein(d.dirty_name, c.c_name) AS dist
             FROM dirty d
             JOIN customer c
-              ON substr(d.dirty_name, 1, 12) = substr(c.c_name, 1, 12)
+              ON substr(d.dirty_name, 1, length(d.dirty_name) - 2)
+               = substr(c.c_name, 1, length(c.c_name) - 1)
             WHERE levenshtein(d.dirty_name, c.c_name) <= 2
         )
         SELECT dirty_id, dirty_name, c_custkey AS matched_id, dist
@@ -57,9 +58,24 @@ def linkage_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy linkage: every 5th customer name gets a planted
     suffix typo (last char duplicated / 'x' appended / 'z' inserted,
     keyed on custkey), and the op links each dirty record back to the
-    clean roster — candidates from an equi-join on the 12-char name
-    prefix block, edit-distance ≤ 2 filter, best match per dirty record
-    by (distance, custkey). The typos are all LETTER insertions ('q'/'x'
+    clean roster — candidates from an equi-join on an EDIT-TOLERANT
+    block key, edit-distance ≤ 2 filter, best match per dirty record by
+    (distance, custkey).
+
+    The block key is the r6 scale fix for this op: the first cut
+    blocked on the 12-char name prefix, but every fixture name shares
+    the literal prefix 'Customer#000' — ONE block, so the "blocked"
+    join was a full cross product (3k × 15k levenshtein pairs, 138 s at
+    sf0.1, quadratic in SF). The planted edits only ever touch the last
+    two character positions, so dropping those positions from each side
+    — dirty[1 .. len-2] vs clean[1 .. len-1] — is a key every true
+    (dirty, source) pair provably shares, and it collides only
+    last-digit families (~10 clean rows per block). The winner per
+    dirty record is unchanged: the true source sits at distance 1 and
+    no other clean name can (any other differs in a digit besides the
+    edited suffix, costing ≥ 2), so narrowing candidates to the block
+    cannot flip rk=1 — it only stops paying levenshtein on pairs that
+    could never win. The typos are all LETTER insertions ('q'/'x'
     appended, 'z' inserted before the last char): a distance-1 roster
     neighbor must delete that letter, leaving exactly the source name,
     so recall is exactly 1.0 (asserted in tests/test_sketches_ext.py).
@@ -89,7 +105,8 @@ def linkage_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         dirty.join(
             c,
-            F.substring("dirty_name", 1, 12) == F.substring("c_name", 1, 12),
+            F.expr("substr(dirty_name, 1, length(dirty_name) - 2)")
+            == F.expr("substr(c_name, 1, length(c_name) - 1)"),
         )
         .withColumn("dist", F.levenshtein("dirty_name", "c_name"))
         .where(F.col("dist") <= 2)
