@@ -190,6 +190,8 @@ _OP_MODULES = (
     # frequency)
     "desdb_spark.extensions.mining_ext",  # 3 ops (NEW r6e: hard negatives,
     # whitening projection, temperature mix)
+    "desdb_spark.extensions.retrieval_ext",  # 3 ops (NEW r6e: inverted
+    # index, boolean search, sliding chunking)
 )
 
 
