@@ -141,8 +141,19 @@ _OP_MODULES = (
     # --- brand-new r6 batch-2 ops: past the full window by design (the
     # window was sized at exactly 50 before they landed); their evidence
     # is green lines in the committed SELFCHECK_r06_sf0.1.log (enforced
-    # by the union-coverage test). ROUND-7 ROTATION NOTE: these lead the
-    # r7 window. ---
+    # by the union-coverage test).
+    #
+    # ROUND-7 ROTATION NOTE: the r7 window leads with EVERY module from
+    # here to the end of this tuple (r6 batches 2-8 — formats_ext3,
+    # modern_types, curriculum, joins_ext2, sampling_ext, corpus_stats,
+    # graph_ext, sketches_ext, linkage_ext, layout_ext, incremental,
+    # constraints, streaming.resume, reconcile, schema_evolution,
+    # attribution, linalg_ext, static_join, cdc, skyline, tokenizer_ext,
+    # mining_ext, retrieval_ext — 41 ops, none of which has ever had a
+    # driver row), then fills the remaining ~9 slots with whatever r7
+    # changes. Move this whole block to the FRONT of _OP_MODULES in r7,
+    # re-pin tests/test_registry.py::test_r6_window_pinned to the new
+    # window, and regenerate SURVEY §2C. ---
     "desdb_spark.sources.formats_ext3",  # 1 op (NEW r6b: XML roundtrip)
     "desdb_spark.functions.modern_types",  # 2 ops (NEW r6b: VARIANT
     # navigation, MAP lifecycle)
