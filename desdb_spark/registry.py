@@ -203,6 +203,8 @@ _OP_MODULES = (
     # whitening projection, temperature mix)
     "desdb_spark.extensions.retrieval_ext",  # 3 ops (NEW r6e: inverted
     # index, boolean search, sliding chunking)
+    "desdb_spark.operators.stats_catalog",  # 3 ops (NEW r6e: ANALYZE-style
+    # column stats, join-key skew profile, end-to-end curation composite)
 )
 
 
