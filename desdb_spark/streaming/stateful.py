@@ -75,7 +75,23 @@ ROCKSDB_PROVIDER = (
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
-@register("stream_stateful_profile", group="streaming")  # rows-only: streaming op
+@register(
+    "stream_stateful_profile",
+    # Upgraded from rows-only in r6: the staged source is ONE file → one
+    # micro-batch, so every user's single update-mode emission IS the
+    # final state, and the final state of the fold is exactly the batch
+    # aggregate (the §5.2 batch-equivalence argument the stream-stream
+    # join uses). sum rounds at 4 dp on both sides; last_ts is the
+    # µs-precision max event time.
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    group="streaming",
+)
 def stream_stateful_profile(
     spark: SparkSession,
     sf_dir: str,
