@@ -105,7 +105,43 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_langid_ngram", group="text")  # rows-only: heuristic output
+@register(
+    "text_langid_ngram",
+    # Upgraded from rows-only in r6: the heuristic is pure integer
+    # relational logic (trigram explode, top-200 ranking with total
+    # tie-breaks, overlap count, argmax with total tie-breaks), so the
+    # entire model fits in one deterministic SQL oracle.
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       generate_series(1, greatest(length(text) - 2, 1)),
+                       i -> substring(text, i, 3))) AS g
+            FROM documents
+        ), lang_counts AS (
+            SELECT lang, g, count(*) AS cnt FROM grams GROUP BY lang, g
+        ), profile AS (
+            SELECT lang AS p_lang, g FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY cnt DESC, g) AS rk
+                FROM lang_counts) t
+            WHERE rk <= 200
+        ), doc_grams AS (
+            SELECT DISTINCT doc_id, lang, g FROM grams
+        ), scores AS (
+            SELECT d.doc_id, d.lang, p.p_lang,
+                   CAST(count(*) AS BIGINT) AS score
+            FROM doc_grams d JOIN profile p ON d.g = p.g
+            GROUP BY d.doc_id, d.lang, p.p_lang
+        )
+        SELECT doc_id, lang, p_lang AS predicted_lang, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+            FROM scores) t
+        WHERE rk = 1
+    """,
+    group="text",
+)
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-n-gram language ID (naive-Bayes-ish, trained in-corpus).
 
