@@ -205,6 +205,8 @@ _OP_MODULES = (
     # index, boolean search, sliding chunking)
     "desdb_spark.operators.stats_catalog",  # 3 ops (NEW r6e: ANALYZE-style
     # column stats, join-key skew profile, end-to-end curation composite)
+    "desdb_spark.extensions.stats_inference",  # 2 ops (NEW r6e: OLS from
+    # sufficient stats, Welch t-test)
 )
 
 
