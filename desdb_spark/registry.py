@@ -207,6 +207,8 @@ _OP_MODULES = (
     # column stats, join-key skew profile, end-to-end curation composite)
     "desdb_spark.extensions.stats_inference",  # 2 ops (NEW r6e: OLS from
     # sufficient stats, Welch t-test)
+    "desdb_spark.extensions.funnel_ext",  # 1 op (NEW r6e: time-constrained
+    # ordered funnel)
 )
 
 
