@@ -3,11 +3,14 @@
 from __future__ import annotations
 
 import io
+import os
 import subprocess
 import sys
 
 from desdb_spark.sources.sinks import write_stream_stdout
 from tests.conftest import SF_DIR
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_stdout_writer_formats(spark, tables):
@@ -47,7 +50,7 @@ def test_cli_query_subprocess():
         capture_output=True,
         text=True,
         timeout=180,
-        cwd="/root/repo",
+        cwd=REPO_ROOT,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = out.stdout.strip().splitlines()
@@ -62,7 +65,7 @@ def test_cli_empty_query_errors():
         capture_output=True,
         text=True,
         timeout=60,
-        cwd="/root/repo",
+        cwd=REPO_ROOT,
     )
     assert out.returncode == 2
 
