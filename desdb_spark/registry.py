@@ -209,6 +209,8 @@ _OP_MODULES = (
     # sufficient stats, Welch t-test)
     "desdb_spark.extensions.funnel_ext",  # 1 op (NEW r6e: time-constrained
     # ordered funnel)
+    "desdb_spark.extensions.experiment_ext",  # 2 ops (NEW r6e: SRM check,
+    # CUPED-adjusted readout)
 )
 
 
