@@ -211,6 +211,8 @@ _OP_MODULES = (
     # ordered funnel)
     "desdb_spark.extensions.experiment_ext",  # 2 ops (NEW r6e: SRM check,
     # CUPED-adjusted readout)
+    "desdb_spark.extensions.analytics_ext2",  # 2 ops (NEW r6e: decay
+    # score, revenue concentration/Gini)
 )
 
 
