@@ -213,6 +213,8 @@ _OP_MODULES = (
     # CUPED-adjusted readout)
     "desdb_spark.extensions.analytics_ext2",  # 2 ops (NEW r6e: decay
     # score, revenue concentration/Gini)
+    "desdb_spark.extensions.sweepline_ext",  # 2 ops (NEW r6e: sweep-line
+    # concurrency curve, rolling median)
 )
 
 
