@@ -215,6 +215,8 @@ _OP_MODULES = (
     # score, revenue concentration/Gini)
     "desdb_spark.extensions.sweepline_ext",  # 2 ops (NEW r6e: sweep-line
     # concurrency curve, rolling median)
+    "desdb_spark.extensions.monitor_ext2",  # 2 ops (NEW r6e: CUSUM
+    # changepoint, unigram LM scoring)
 )
 
 
