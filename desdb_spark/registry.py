@@ -217,6 +217,8 @@ _OP_MODULES = (
     # concurrency curve, rolling median)
     "desdb_spark.extensions.monitor_ext2",  # 2 ops (NEW r6e: CUSUM
     # changepoint, unigram LM scoring)
+    "desdb_spark.operators.temporal_ext",  # 1 op (NEW r6e: point-in-time
+    # versioned join via asof-carry)
 )
 
 
