@@ -219,6 +219,8 @@ _OP_MODULES = (
     # changepoint, unigram LM scoring)
     "desdb_spark.operators.temporal_ext",  # 1 op (NEW r6e: point-in-time
     # versioned join via asof-carry)
+    "desdb_spark.extensions.analytics_ext3",  # 2 ops (NEW r6e: KS
+    # two-sample test, market-basket lift)
 )
 
 
