@@ -264,3 +264,62 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("doc_id", "lang", "source", "n_chars", "n_words", "word_density")
     )
+
+
+@register(
+    "text_langid_confusion",
+    # The confusion matrix of the in-corpus trigram language identifier:
+    # the same deterministic relational model as text_langid_ngram's
+    # oracle, aggregated to (true, predicted) counts — the evaluation
+    # artifact a pipeline monitors when the identifier gates routing.
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       generate_series(1, greatest(length(text) - 2, 1)),
+                       i -> substring(text, i, 3))) AS g
+            FROM documents
+        ), lang_counts AS (
+            SELECT lang, g, count(*) AS cnt FROM grams GROUP BY lang, g
+        ), profile AS (
+            SELECT lang AS p_lang, g FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY cnt DESC, g) AS rk
+                FROM lang_counts) t
+            WHERE rk <= 200
+        ), doc_grams AS (
+            SELECT DISTINCT doc_id, lang, g FROM grams
+        ), scores AS (
+            SELECT d.doc_id, d.lang, p.p_lang, count(*) AS score
+            FROM doc_grams d JOIN profile p ON d.g = p.g
+            GROUP BY d.doc_id, d.lang, p.p_lang
+        ), best AS (
+            SELECT doc_id, lang, p_lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+                FROM scores) t
+            WHERE rk = 1
+        )
+        SELECT lang AS true_lang, p_lang AS predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM best GROUP BY lang, p_lang
+    """,
+    group="text",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trigram language identifier: document
+    counts per (true lang, predicted lang) cell. The diagonal mass is
+    the identifier's accuracy; off-diagonal cells name the confusable
+    pairs — the evaluation readout that decides whether the langid gate
+    is safe to route on.
+
+    Scale shape: identical plan to text_langid_ngram up to the final
+    aggregate (profile broadcast, inverted-index scoring, per-doc
+    argmax), then one tiny (langs × langs) count — evaluation is free
+    once prediction is relational.
+    """
+    pred = text_langid_ngram(spark, sf_dir)
+    return pred.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("predicted_lang"),
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))

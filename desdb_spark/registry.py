@@ -221,6 +221,9 @@ _OP_MODULES = (
     # versioned join via asof-carry)
     "desdb_spark.extensions.analytics_ext3",  # 2 ops (NEW r6e: KS
     # two-sample test, market-basket lift)
+    "desdb_spark.operators.allocation",  # 1 op (NEW r6e: largest-remainder
+    # exact allocation) — text.py also gained text_langid_confusion this
+    # round (registered in its module above; evidence via selfcheck log)
 )
 
 
