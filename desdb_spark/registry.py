@@ -224,6 +224,8 @@ _OP_MODULES = (
     "desdb_spark.operators.allocation",  # 1 op (NEW r6e: largest-remainder
     # exact allocation) — text.py also gained text_langid_confusion this
     # round (registered in its module above; evidence via selfcheck log)
+    "desdb_spark.operators.aggregates_ext2",  # 2 ops (NEW r6e: weighted
+    # median, source-vocabulary Jaccard)
 )
 
 
