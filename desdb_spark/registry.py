@@ -226,6 +226,10 @@ _OP_MODULES = (
     # round (registered in its module above; evidence via selfcheck log)
     "desdb_spark.operators.aggregates_ext2",  # 2 ops (NEW r6e: weighted
     # median, source-vocabulary Jaccard)
+    "desdb_spark.streaming.windowed_topk",  # 1 op (NEW r6e: streaming
+    # windowed top-k, rank over the sink)
+    "desdb_spark.extensions.resampling_ext",  # 1 op (NEW r6e: grouped
+    # jackknife SE)
 )
 
 
