@@ -230,6 +230,8 @@ _OP_MODULES = (
     # windowed top-k, rank over the sink)
     "desdb_spark.extensions.resampling_ext",  # 1 op (NEW r6e: grouped
     # jackknife SE)
+    "desdb_spark.extensions.analytics_ext4",  # 2 ops (NEW r6e: char
+    # entropy, growth accounting waterfall)
 )
 
 
