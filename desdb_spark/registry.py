@@ -232,6 +232,8 @@ _OP_MODULES = (
     # jackknife SE)
     "desdb_spark.extensions.analytics_ext4",  # 2 ops (NEW r6e: char
     # entropy, growth accounting waterfall)
+    "desdb_spark.extensions.analytics_ext5",  # 2 ops (NEW r6e: max
+    # drawdown, ABC classes)
 )
 
 
