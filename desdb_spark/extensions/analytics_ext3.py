@@ -42,8 +42,8 @@ MIN_SUPPORT = 3
             SELECT sum(a) AS na, sum(b) AS nb FROM pooled
         ), cdf AS (
             SELECT n_chars,
-                   sum(a) OVER (ORDER BY n_chars, doc_id) AS ca,
-                   sum(b) OVER (ORDER BY n_chars, doc_id) AS cb
+                   sum(a) OVER (ORDER BY n_chars) AS ca,
+                   sum(b) OVER (ORDER BY n_chars) AS cb
             FROM pooled
         )
         SELECT CAST((SELECT na FROM counts) AS BIGINT) AS n_a,
@@ -58,10 +58,18 @@ MIN_SUPPORT = 3
 )
 def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS statistic between two sources' document-length
-    distributions: D = max |F_a − F_b| over the pooled ordered sample
-    (cumulative per-group counts over one sorted pass; the doc_id
-    tie-break makes the sort total, and D is evaluated after each row,
-    which attains the supremum for step CDFs).
+    distributions: D = max |F_a − F_b| over the pooled ordered sample,
+    one cumulative-count pass per side.
+
+    Tie handling is the correctness subtlety: the cumulative windows
+    order by the VALUE ALONE, and both engines' default window frame is
+    RANGE — every row in a tie group reads the sum over ALL its peers,
+    i.e. the post-tie CDF at that value (bisect_right semantics). A
+    total (value, doc_id) order would evaluate the difference mid-tie
+    and OVERSHOOT the true supremum whenever the samples share a value
+    (found by the hypothesis property test; e.g. [5,5,7] vs [5,9] gave
+    0.667 instead of the true 0.5). RANGE peers also make the result
+    deterministic without any tie-break — peers share one value.
 
     Scale shape: the pooled sort is ONE window over the two samples
     being compared (not the corpus); at billions of rows per sample
@@ -82,7 +90,7 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = W.partitionBy()
     na = F.sum("a").over(wall).cast("double")
     nb = F.sum("b").over(wall).cast("double")
-    wc = W.orderBy("n_chars", "doc_id")
+    wc = W.orderBy("n_chars")
     cdf = pooled.select(
         na.alias("na"),
         nb.alias("nb"),
