@@ -234,6 +234,10 @@ _OP_MODULES = (
     # entropy, growth accounting waterfall)
     "desdb_spark.extensions.analytics_ext5",  # 2 ops (NEW r6e: max
     # drawdown, ABC classes)
+    "desdb_spark.extensions.markov_ext",  # 1 op (NEW r6e: Markov entropy
+    # rate)
+    "desdb_spark.functions.safe_funcs",  # 1 op (NEW r6e: ANSI try_* safe
+    # scalar census)
 )
 
 
