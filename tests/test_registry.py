@@ -222,3 +222,21 @@ def test_r6_window_pinned():
         "driver window drifted from the documented r6 rotation plan; "
         "if intentional, update R6_WINDOW in the same commit"
     )
+
+
+def test_weyl_oracles_cast_phi_to_double():
+    """Regression guard for the r6 DECIMAL-literal trap: DuckDB parses a
+    bare 0.618... literal as DECIMAL and evaluates the whole expression
+    in decimal arithmetic, silently diverging from Spark doubles at
+    larger ids. Every oracle using the Weyl constant must CAST it."""
+    import re
+
+    for name, op in all_operators().items():
+        if op.oracle and "0.6180339887498949" in op.oracle:
+            bare = re.findall(
+                r"(?<!CAST\()0\.6180339887498949(?!\s*AS DOUBLE)", op.oracle
+            )
+            assert not bare, (
+                f"{name}'s oracle uses the Weyl constant without "
+                "CAST(... AS DOUBLE) — the DuckDB DECIMAL-literal trap"
+            )
