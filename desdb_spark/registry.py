@@ -143,17 +143,22 @@ _OP_MODULES = (
     # is green lines in the committed SELFCHECK_r06_sf0.1.log (enforced
     # by the union-coverage test).
     #
-    # ROUND-7 ROTATION NOTE: the r7 window leads with EVERY module from
-    # here to the end of this tuple (r6 batches 2-8 — formats_ext3,
-    # modern_types, curriculum, joins_ext2, sampling_ext, corpus_stats,
-    # graph_ext, sketches_ext, linkage_ext, layout_ext, incremental,
-    # constraints, streaming.resume, reconcile, schema_evolution,
-    # attribution, linalg_ext, static_join, cdc, skyline, tokenizer_ext,
-    # mining_ext, retrieval_ext — 41 ops, none of which has ever had a
-    # driver row), then fills the remaining ~9 slots with whatever r7
-    # changes. Move this whole block to the FRONT of _OP_MODULES in r7,
-    # re-pin tests/test_registry.py::test_r6_window_pinned to the new
-    # window, and regenerate SURVEY §2C. ---
+    # ROUND-7 ROTATION NOTE: the r7 window leads with the never-driver-
+    # checked r6 ops — EVERY module from here to the end of this tuple
+    # (r6 batches 2-22: formats_ext3 ... functions.safe_funcs, ~66 ops)
+    # PLUS extensions.text, which sits in the unchanged tail but gained
+    # a langid oracle upgrade and text_langid_confusion late in r6 (its
+    # other ops hold old green driver rows; the changed/new ones need
+    # fresh evidence). More candidates than the 50-slot window holds:
+    # prioritize (1) ops that are §2B-adjacent or novel capability
+    # classes (streaming.resume, static_join, windowed_topk, layout_ext,
+    # incremental, constraints, reconcile, schema_evolution, cdc,
+    # temporal_ext, allocation), (2) the analytics/stat formula ops now
+    # carrying reference tests, (3) defer the remainder to r8 with
+    # selfcheck-log evidence, exactly as r6 deferred r5's overflow. Move
+    # the chosen block to the FRONT of _OP_MODULES, re-pin
+    # tests/test_registry.py::test_r6_window_pinned to the new window,
+    # and regenerate SURVEY §2C. ---
     "desdb_spark.sources.formats_ext3",  # 1 op (NEW r6b: XML roundtrip)
     "desdb_spark.functions.modern_types",  # 2 ops (NEW r6b: VARIANT
     # navigation, MAP lifecycle)
