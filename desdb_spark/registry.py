@@ -243,6 +243,8 @@ _OP_MODULES = (
     # rate)
     "desdb_spark.functions.safe_funcs",  # 1 op (NEW r6e: ANSI try_* safe
     # scalar census)
+    "desdb_spark.operators.hierarchy_ext",  # 1 op (NEW r6e: hierarchical
+    # share-of-parent windows over the leaf aggregate)
 )
 
 
