@@ -41,7 +41,7 @@ STRIDE = 48
         SELECT term,
                CAST(count(*) AS BIGINT) AS df,
                CAST(sum(tf) AS BIGINT) AS cf,
-               list_sort(list(doc_id)) AS postings
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM tf
         WHERE term >= 'q' AND term < 'u'
         GROUP BY term
@@ -53,7 +53,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the postings arrays stay hashable-size in the report): per term, the
     document frequency, collection frequency, and the SORTED posting
     list of doc_ids — the structure a sparse retrieval engine serves
-    from.
+    from. The posting list is string-encoded (comma-joined) because
+    hash-checked operators must emit only scalar top-level columns: the
+    external driver canonicalizes with pandas ``sort_values``, which
+    raises on array cells (VERDICT r6 item 2).
 
     Scale shape: explode → (term, doc) partial counts (map-side
     combine absorbs within-doc repetition before the shuffle) → per-term
@@ -78,7 +81,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("df"),
             F.sum("tf").cast("bigint").alias("cf"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("postings"),
         )
     )
 

@@ -53,7 +53,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_list",
     oracle="""
         SELECT n.n_name,
-               list(DISTINCT c.c_mktsegment ORDER BY c.c_mktsegment)
+               array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), '|')
                    AS segments,
                CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments,
                count(*) AS n_customers
@@ -64,8 +64,9 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation (ANSI ``array_agg … ORDER BY``): the
-    distinct market segments present per nation as a sorted array —
-    the collect-into-nested-result shape APIs return to callers.
+    distinct market segments present per nation, sorted and
+    string-encoded — the collect-into-nested-result shape APIs return to
+    callers.
 
     Scale shape: collect_set dedups inside the partial aggregate (each
     map task ships ≤|segments| values per nation) and the sort is a
@@ -73,6 +74,12 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive shuffle, deterministic output. Bounded-cardinality
     collects only: array-aggregating an unbounded column concentrates a
     whole group on one row and is the map-side-combine anti-pattern.
+
+    Interop shape (VERDICT r6 item 2): hash-checked operators must emit
+    only scalar top-level columns — the external driver canonicalizes
+    with pandas ``sort_values``, which raises on array cells — so the
+    sorted set is ``array_join``ed into one ``'|'``-separated string
+    (and the registry-wide scalar-output test pins the class).
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -80,7 +87,9 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias(
+                "segments"
+            ),
             F.countDistinct("c_mktsegment").alias("n_segments"),
             F.count("*").alias("n_customers"),
         )

@@ -8,8 +8,29 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql.types import ArrayType, MapType, StructType
+
 from desdb_spark.registry import all_operators
 from tests.conftest import SF_DIR
+
+
+def _assert_scalar_outputs(df, what: str) -> None:
+    """Hash-checked operators must emit only atomic top-level columns:
+    the external driver canonicalizes results with pandas ``sort_values``,
+    which raises ``TypeError: unhashable type`` on array/map/struct cells
+    — the r6 driver ERR on agg_collect_sorted_list (VERDICT r6 item 2).
+    String-encode nested results (``array_join`` / ``to_json``) instead.
+    """
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{what} is hash-checked but returns nested top-level columns "
+        f"{nested}; the driver canonicalizer crashes on these — "
+        "string-encode (array_join / to_json) before returning"
+    )
 
 #: r3: formerly exempt knn_cosine_topk / dedup_embedding_cosine now plan
 #: mapInPandas GEMM kernels (no join at all) and must pass like everyone
@@ -33,6 +54,8 @@ def test_no_accidental_cross_products(spark, name):
     if name in SKIP:
         pytest.skip("streaming/ml job runs eagerly; audited by its own test")
     df = op.fn(spark, SF_DIR)
+    if op.oracle is not None:
+        _assert_scalar_outputs(df, name)
     plan = df._jdf.queryExecution().executedPlan().toString()
     if name in EXEMPT:
         pytest.skip("exact pairwise tier by design; scale path is LSH/IVF")
@@ -81,6 +104,7 @@ def test_skip_set_plans(spark):
         joined._jdf.queryExecution().executedPlan().toString(),
         "stream_stream_enrich_join (batch twin)",
     )
+    _assert_scalar_outputs(joined, "stream_stream_enrich_join (batch twin)")
 
     schema = ev.schema
     stream = normalize_events_ts(
@@ -99,6 +123,7 @@ def test_skip_set_plans(spark):
     plan = profile._jdf.queryExecution().analyzed().toString()
     _assert_clean(plan, "stream_stateful_profile")
     assert "FlatMapGroupsInPandasWithState" in plan
+    _assert_scalar_outputs(profile, "stream_stateful_profile")
 
 
 def test_no_rdd_access_in_engine():

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import duckdb
 
-from tools.selfcheck import canonicalize
+from tools.selfcheck import canonicalize, driver_shape_gate
 
 
 def test_canonicalize_parity_tricky_types(spark):
@@ -51,3 +51,24 @@ def test_canonicalize_parity_tricky_types(spark):
     assert sn == on == 2
     assert sc == oc, (sc, oc)
     assert sh == oh
+
+
+def test_driver_shape_gate_reproduces_r6_array_crash():
+    """The external driver canonicalizes with pandas ``sort_values``,
+    which raises on unhashable array cells — the r6 driver ERR on
+    agg_collect_sorted_list. driver_shape_gate must reproduce exactly
+    that failure locally (multi-column frame with an ArrayType-shaped
+    object column) and pass scalar frames untouched."""
+    import pandas as pd
+    import pytest
+
+    bad = pd.DataFrame(
+        {"k": ["a", "b", "a"], "segments": [[1, 2], [3], [1, 2]], "n": [2, 1, 2]}
+    )
+    with pytest.raises(TypeError):
+        driver_shape_gate(bad)
+
+    good = pd.DataFrame({"k": ["a", "b"], "segments": ["1|2", "3"], "n": [2, 1]})
+    driver_shape_gate(good)  # must not raise
+    empty = pd.DataFrame({"k": [], "v": []})
+    driver_shape_gate(empty)  # must not raise

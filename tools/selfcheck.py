@@ -79,6 +79,23 @@ def _kind(dtype, series: pd.Series) -> str:
     return "obj"
 
 
+def driver_shape_gate(df: pd.DataFrame) -> None:
+    """Replicate the external driver's canonicalization entry point
+    (VERDICT r6 item 3): the driver sorts the result frame with pandas
+    ``sort_values`` over ALL columns before hashing, and that call
+    raises ``TypeError: unhashable type`` on array/map/struct cells
+    (pandas factorizes the sort keys through a hash table). The r6
+    driver ERR on agg_collect_sorted_list was exactly this — correct
+    values, un-canonicalizable shape — and it was invisible locally
+    because our own ``canonicalize`` handles list cells per-cell. Run
+    the same ``sort_values`` here so the next shape incompatibility
+    fails in selfcheck before it burns a driver window slot.
+    """
+    cols = sorted(df.columns.astype(str))
+    if cols and len(df):
+        df[cols].sort_values(by=cols)
+
+
 def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns.astype(str))
     body = df[cols]
@@ -127,8 +144,17 @@ def run(sf_dir: str, names: list[str] | None) -> int:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
-        sn, sc, sh = canonicalize(sdf)
-        on, oc, oh = canonicalize(odf)
+        try:
+            driver_shape_gate(sdf)
+            sn, sc, sh = canonicalize(sdf)
+            on, oc, oh = canonicalize(odf)
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"FAIL  {name}: canonicalize error (driver-shape): "
+                f"{type(e).__name__}: {str(e)[:200]}"
+            )
+            failures.append(name)
+            continue
         if sn != on:
             print(f"FAIL  {name}: rows spark={sn} duckdb={on}")
             failures.append(name)
