@@ -86,8 +86,8 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_cust
         ), classed AS (
             SELECT rev,
-                   CASE WHEN crev <= total * 0.8 THEN 'A'
-                        WHEN crev <= total * 0.95 THEN 'B'
+                   CASE WHEN crev <= total * CAST(0.8 AS DOUBLE) THEN 'A'
+                        WHEN crev <= total * CAST(0.95 AS DOUBLE) THEN 'B'
                         ELSE 'C' END AS abc
             FROM ranked
         )
@@ -109,9 +109,13 @@ def analytics_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the rank runs over the per-customer AGGREGATE
     (customer cardinality, one sort), cumulative and total windows
     share its partitioning, and classification is a row-local CASE.
-    The boundary comparison is exact: cumulative cents (integers)
-    against total·0.8 — both engines compute the identical product of
-    an exact integer total with the same literal.
+    The boundary comparison is deterministic cross-engine because BOTH
+    sides multiply in binary64: Spark's ``total * 0.8`` is a double
+    product, and the oracle spells ``CAST(0.8 AS DOUBLE)`` — a bare
+    ``0.8`` would make DuckDB evaluate the boundary in exact DECIMAL
+    arithmetic, which can classify a cumulative-cents value landing on
+    the boundary differently (the r6 DECIMAL-literal trap,
+    ADVICE r6 / [[cross-engine-float-traps]]).
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(

@@ -160,11 +160,14 @@ def emb_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("col").alias("s"))
         .collect()
     )
-    mean = np.zeros(64)
+    # Embedding dimension comes from the data (max seen position), not a
+    # literal — a fixture with d != 64 would otherwise mis-size the mean
+    # and silently corrupt the covariance (ADVICE r6).
+    d = 1 + max(r.pos for r in mean_rows)
+    mean = np.zeros(d)
     for r in mean_rows:
         mean[r.pos] = r.s / n
     g = gram_matrix(e)
-    d = 64
     G = np.zeros((d, d))
     for r in g.collect():
         G[r.i, r.j] = r.value

@@ -28,17 +28,26 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from desdb_spark.registry import register
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
-STATE_SCHEMA = "n bigint, s double, last long"
+#: `s` is the running value sum in FIXED-POINT 1e-4 units (ADVICE r6):
+#: a float accumulator compared against the oracle's own float summation
+#: order can legitimately straddle a 4-dp rounding boundary at ~100k-row
+#: sums (the cent-boundary class). Quantizing each value to an integer
+#: once — in Spark, before the fold — makes the state fold exact integer
+#: arithmetic and the hashed output bit-identical across engines.
+STATE_SCHEMA = "n bigint, s bigint, last long"
+
+#: 1e-4 fixed-point scale for the value sum.
+_FP = 10_000
 
 
 def _update_user_profile(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     """Fold this batch's events into the user's running (n, sum, last_ts)."""
-    n, s, last = state.get if state.exists else (0, 0.0, 0)
+    n, s, last = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        s += int(pdf["value_q"].sum())
         # Pin the epoch unit explicitly: Arrow may deliver ts at ns or us
         # resolution depending on the batch path, and a bare astype(int64)
         # would silently change unit — `last` is always epoch-MICROseconds.
@@ -48,15 +57,27 @@ def _update_user_profile(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [round(s, 4)],
+            "sum_value": [s / _FP],
             "last_ts": [pd.Timestamp(last, unit="us")],
         }
     )
 
 
 def stateful_user_profile(events_stream: DataFrame) -> DataFrame:
-    """Apply the stateful per-user fold to a *streaming* events DataFrame."""
-    return events_stream.groupBy("user_id").applyInPandasWithState(
+    """Apply the stateful per-user fold to a *streaming* events DataFrame
+    with columns (user_id, ts, value).
+
+    The value is quantized to integer 1e-4 units JVM-side (Spark round =
+    HALF_UP, matching DuckDB's round — the repo-wide cents discipline)
+    so the Python fold is exact integer arithmetic; the emitted
+    ``sum_value`` is the one deterministic division s / 1e4.
+    """
+    quantized = events_stream.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * _FP, 0).cast("long").alias("value_q"),
+    )
+    return quantized.groupBy("user_id").applyInPandasWithState(
         _update_user_profile,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -81,12 +102,15 @@ _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
     # micro-batch, so every user's single update-mode emission IS the
     # final state, and the final state of the fold is exactly the batch
     # aggregate (the §5.2 batch-equivalence argument the stream-stream
-    # join uses). sum rounds at 4 dp on both sides; last_ts is the
+    # join uses). The value sum is fixed-point 1e-4 units on both sides
+    # (ADVICE r6: round(sum(float)) straddles rounding boundaries across
+    # summation orders; integer quantization is exact); last_ts is the
     # µs-precision max event time.
     oracle="""
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 4) AS sum_value,
+               CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE)
+                   / CAST(10000 AS DOUBLE) AS sum_value,
                max(ts) AS last_ts
         FROM events GROUP BY user_id
     """,

@@ -45,32 +45,39 @@ def transform_with_state_profile(events_stream: DataFrame) -> DataFrame:
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     class _Profile(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # `s` is fixed-point 1e-4 units, the same integer-accumulate
+            # discipline as stateful_user_profile (ADVICE r6).
             schema = StructType(
-                [StructField("n", LongType()), StructField("s", DoubleType())]
+                [StructField("n", LongType()), StructField("s", LongType())]
             )
             self._state = handle.getValueState("agg", schema)
 
         def handleInputRows(self, key, rows, timer_values):
-            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            n, s = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                s += float(pdf["value"].sum())
+                s += int(pdf["value_q"].sum())
             self._state.update((n, s))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "sum_value": [round(s, 4)],
+                    "sum_value": [s / 10_000],
                 }
             )
 
         def close(self) -> None:
             pass
 
+    from pyspark.sql import functions as F
+
+    events_stream = events_stream.select(
+        "user_id", F.round(F.col("value") * 10_000, 0).cast("long").alias("value_q")
+    )
     return events_stream.groupBy("user_id").transformWithStateInPandas(
         _Profile(),
         outputStructType=OUTPUT_SCHEMA,

@@ -240,3 +240,56 @@ def test_weyl_oracles_cast_phi_to_double():
                 f"{name}'s oracle uses the Weyl constant without "
                 "CAST(... AS DOUBLE) — the DuckDB DECIMAL-literal trap"
             )
+
+
+#: Oracles audited to use bare non-dyadic fractional literals only in
+#: DOUBLE context (an adjacent DOUBLE column/aggregate, or inside a
+#: function that casts to double — DuckDB promotes DOUBLE ∘ DECIMAL to
+#: DOUBLE, so these are exactly Spark's binary64 arithmetic). A NEW
+#: oracle multiplying an INTEGER expression by a bare literal stays
+#: exact DECIMAL in DuckDB (sum(int) * 0.8 → DECIMAL(38,1)) and can
+#: diverge from Spark's double at classification boundaries — CAST the
+#: literal or add the op here with its audit rationale.
+_BARE_LITERAL_DOUBLE_CONTEXT = {
+    "udf_scalar_pandas",        # l_extendedprice (DOUBLE) * 0.1
+    "agg_profit_nation_year_q9",  # 0.8 * p_retailprice (DOUBLE)
+    "stat_mad_outliers",        # 3 * 1.4826 * a.mad (median → DOUBLE)
+    "events_decay_score",       # literal inside exp()'s double argument
+}
+
+
+def test_oracle_bare_fractional_literals_guarded():
+    """Broadened DECIMAL-literal guard (ADVICE r6): any bare NON-DYADIC
+    fractional literal (not exactly representable in binary — dyadics
+    like 0.5/0.25/65535.0 are identical in DECIMAL and DOUBLE) that
+    multiplies an expression must be CAST to DOUBLE or sit in an
+    audited double-context oracle. DuckDB otherwise evaluates the
+    product in exact decimal arithmetic; a value landing on a
+    comparison/rounding boundary then classifies differently per
+    engine and flips the hash (the analytics_abc_classes near-miss).
+    """
+    import re
+    from fractions import Fraction
+
+    lit_near_mul = re.compile(
+        r"(?:\*\s*(\d*\.\d+))|(?:(\d*\.\d+)\s*\*)"
+    )
+    for name, op in all_operators().items():
+        if not op.oracle or name in _BARE_LITERAL_DOUBLE_CONTEXT:
+            continue
+        for m in lit_near_mul.finditer(op.oracle):
+            lit = m.group(1) or m.group(2)
+            frac = Fraction(lit)
+            # dyadic rational → DECIMAL and DOUBLE agree bit-for-bit.
+            # (CAST(0.8 AS DOUBLE) * x never matches the regex — the CAST
+            # syntax separates literal from '*'; CAST(0.8 * x AS DOUBLE)
+            # still matches and still fails, correctly: the product is
+            # computed in decimal BEFORE the cast.)
+            den = frac.denominator
+            if den & (den - 1) == 0:
+                continue
+            raise AssertionError(
+                f"{name}'s oracle multiplies by bare non-dyadic literal "
+                f"{lit} — CAST it to DOUBLE or audit the op into "
+                "_BARE_LITERAL_DOUBLE_CONTEXT (DuckDB DECIMAL-literal trap)"
+            )

@@ -9,24 +9,31 @@ from desdb_spark.streaming.stateful import stream_stateful_profile
 from tests.conftest import SF_DIR
 
 
+def _batch_sum_q(col="value"):
+    """The fixed-point 1e-4 batch sum twin of the stateful fold
+    (ADVICE r6: integer quantization, no float-rounding boundary)."""
+    return F.sum(F.round(F.col(col) * 10_000, 0).cast("long")).alias("s_q")
+
+
 def test_stateful_profile_matches_batch(spark, tables):
     out = {r.user_id: (r.n_events, r.sum_value, r.last_ts) for r in
            stream_stateful_profile(spark, SF_DIR).collect()}
     batch = {
-        r.user_id: (r.n, round(r.s, 4), r.last)
+        r.user_id: (r.n, r.s_q / 10_000, r.last)
         for r in tables["events"]
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.sum("value").alias("s"),
+            _batch_sum_q(),
             F.max("ts").alias("last"),
         )
         .collect()
     }
     assert set(out) == set(batch)
     for uid, (n, s, last) in batch.items():
+        # sum_value is exact: both sides divide the same integer by 1e4.
         assert out[uid][0] == n
-        assert abs(out[uid][1] - s) < 1e-6
+        assert out[uid][1] == s
         # last_ts must equal the batch max(ts) exactly (µs precision) —
         # guards the epoch-unit regression flagged in ADVICE r1.
         assert out[uid][2] == last, (uid, out[uid][2], last)
@@ -55,13 +62,13 @@ def test_stateful_profile_rocksdb_provider_engaged(spark, tables):
     ]
     assert rocks_metrics, "RocksDB provider did not engage"
     batch = {
-        r.user_id: (r.n, round(r.s, 4))
+        r.user_id: (r.n, r.s_q / 10_000)
         for r in tables["events"]
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(F.count("*").alias("n"), _batch_sum_q())
         .collect()
     }
-    assert out == {u: (n, round(s, 4)) for u, (n, s) in batch.items()}
+    assert out == batch
 
 
 def test_transform_with_state_profile(spark, tables):
@@ -96,10 +103,10 @@ def test_transform_with_state_profile(spark, tables):
         )
         res = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
         batch = {
-            r.user_id: (r.n, round(r.s, 4))
+            r.user_id: (r.n, r.s_q / 10_000)
             for r in tables["events"]
             .groupBy("user_id")
-            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .agg(F.count("*").alias("n"), _batch_sum_q())
             .collect()
         }
         assert res == batch
