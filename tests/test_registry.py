@@ -187,40 +187,43 @@ def test_registry_order_import_pollution_proof():
     assert len(clean) == len(all_operators())
 
 
-#: The r6 driver window, frozen (VERDICT r5 item 7): the external driver
+#: The r7 driver window, frozen (VERDICT r6 item 1): the external driver
 #: hash-checks exactly the first 50 registered ops, so a refactor that
 #: reshuffles registration order silently changes WHAT GETS VERIFIED —
 #: the r4 regression class. Any intentional rotation must edit this list
-#: in the same commit that edits _OP_MODULES.
-R6_WINDOW = [
-    "join_null_safe_eq", "agg_bool_flags", "window_last_ignore_nulls",
-    "agg_multi_distinct", "stream_foreachbatch_upsert",
-    "source_text_roundtrip", "events_ohlc_bars", "events_interarrival_stats",
-    "multimodal_frame_sample", "multimodal_resize_batch", "ann_recall_report",
-    "join_partition_pruned_scan", "sink_sorted_parquet", "join_lateral_topn",
-    "agg_collect_sorted_list", "scalar_higher_order_funcs",
-    "udtf_explode_outer_nulls", "scalar_edit_distance",
-    "agg_approx_percentile", "agg_percentile_disc",
-    "corpus_contamination_ngram", "docs_pii_scrub_stats",
-    "diag_partition_balance", "diag_file_layout", "source_binaryfile_scan",
-    "source_csv_malformed_audit", "lineage_walk_recursive_cte",
-    "window_gaps_islands", "events_path_3gram", "window_running_distinct",
-    "events_hourly_heatmap", "agg_argmax_minby", "agg_weighted_stats",
-    "agg_central_moments", "corpus_quality_gate_report",
-    "docs_dup_rate_by_source", "stream_stream_enrich_join",
-    "dedup_keep_best_quality", "dedup_canonical_text",
-    "stream_stateful_profile", "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
-    "dedup_embedding_cosine", "ann_lsh_bucketed", "ann_ivf_kmeans",
-    "dedup_exact_docs", "dedup_near_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_cluster_components",
+#: in the same commit that edits _OP_MODULES. Leads with the two
+#: repaired array-output ops (the r6 driver ERR class), then the
+#: capability-class never-driver-checked r6 ops, the late-changed
+#: extensions.text, and every module changed in r7.
+R7_WINDOW = [
+    "join_lateral_topn", "agg_collect_sorted_list",
+    "scalar_higher_order_funcs", "text_inverted_index",
+    "text_boolean_search", "docs_chunk_sliding", "source_xml_roundtrip",
+    "scalar_variant_json", "scalar_map_funcs", "docs_curriculum_buckets",
+    "join_bloom_runtime_filter", "join_interval_overlap",
+    "sample_priority_weighted", "sample_fixed_n_per_group",
+    "corpus_zipf_slope", "corpus_label_entropy", "docs_winsorized_stats",
+    "graph_degree_stats", "graph_triangle_count", "graph_pagerank_topk",
+    "agg_hll_sketch_union", "agg_freq_items_sketch", "linkage_blocked_fuzzy",
+    "layout_zorder_stats", "agg_incremental_merge",
+    "quality_constraint_audit", "stat_mad_outliers", "split_kfold_assign",
+    "stream_resume_exactly_once", "diff_snapshot_reconcile",
+    "source_schema_evolution_merge", "stream_static_enrich",
+    "cdc_apply_tombstones", "join_pit_versioned", "alloc_largest_remainder",
+    "stream_windowed_topk_users", "text_token_stats", "text_lang_profile",
+    "text_quality_score", "text_langid_ngram", "text_fingerprint",
+    "pipeline_quality_filter", "text_langid_confusion",
+    "window_max_drawdown", "analytics_abc_classes", "knn_hard_negatives",
+    "emb_whiten_project", "corpus_temperature_mix",
+    "stream_stateful_profile", "emb_gram_matrix",
 ]
 
 
-def test_r6_window_pinned():
+def test_r7_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R6_WINDOW, (
-        "driver window drifted from the documented r6 rotation plan; "
-        "if intentional, update R6_WINDOW in the same commit"
+    assert window == R7_WINDOW, (
+        "driver window drifted from the documented r7 rotation plan; "
+        "if intentional, update R7_WINDOW in the same commit"
     )
 
 
