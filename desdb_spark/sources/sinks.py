@@ -65,19 +65,32 @@ def _sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_parquet", group="sinks")  # rows-only: filesystem side effect
+def _sink_oracle(fmt: str) -> str:
+    """Hash upgrade (VERDICT r6 item 4 discipline): the sink proof —
+    row count + key cardinality of the re-read output — equals the same
+    aggregate DuckDB computes on the source table, so a lossy write or
+    partial read fails the differential gate instead of passing a
+    rows-only count."""
+    return f"""
+        SELECT '{fmt}' AS format, CAST(count(*) AS BIGINT) AS row_cnt,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys
+        FROM orders
+    """
+
+
+@register("sink_parquet", oracle=_sink_oracle("parquet"), group="sinks")
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet write→read round trip."""
     return _roundtrip(_sample(spark, sf_dir), "parquet")
 
 
-@register("sink_csv", group="sinks")  # rows-only
+@register("sink_csv", oracle=_sink_oracle("csv"), group="sinks")
 def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV (header=True) write→read round trip — the quickWrite CSV format."""
     return _roundtrip(_sample(spark, sf_dir), "csv")
 
 
-@register("sink_json", group="sinks")  # rows-only
+@register("sink_json", oracle=_sink_oracle("json"), group="sinks")
 def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write→read round trip — the quickWrite JSON format."""
     return _roundtrip(_sample(spark, sf_dir), "json")

@@ -20,7 +20,9 @@ def test_partition_pruned_scan_uses_dpp(spark):
 
 
 def test_sorted_sink_files_disjoint_and_sorted(spark):
-    profile = lake_ext.sink_sorted_parquet(spark, SF_DIR).collect()
+    (roundtrip,) = lake_ext.sink_sorted_parquet(spark, SF_DIR).collect()
+    assert roundtrip.n_rows > 0 and roundtrip.min_price <= roundtrip.max_price
+    profile = lake_ext.sorted_layout_profile(spark).collect()
     assert len(profile) >= 2  # range partitioning produced multiple files
     # disjoint, ordered ranges
     for prev, cur in zip(profile, profile[1:]):

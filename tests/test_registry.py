@@ -261,6 +261,32 @@ _BARE_LITERAL_DOUBLE_CONTEXT = {
 }
 
 
+def test_rows_only_ops_have_property_evidence():
+    """Every rows-only operator must name a pytest pinning its strongest
+    checkable property (VERDICT r6 item 5), and the named test must
+    exist — evidence integrity for SURVEY §2C's evidence map."""
+    import os
+    import re
+
+    from tools.gen_survey_status import ROWS_ONLY_EVIDENCE
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    ops = all_operators()
+    rows_only = {n for n, op in ops.items() if op.oracle is None}
+    missing = rows_only - set(ROWS_ONLY_EVIDENCE)
+    assert not missing, f"rows-only ops without a property-pin test: {missing}"
+    stale = set(ROWS_ONLY_EVIDENCE) - rows_only
+    assert not stale, f"evidence map names ops no longer rows-only: {stale}"
+    for name, nodeid in ROWS_ONLY_EVIDENCE.items():
+        path, func = nodeid.split("::")
+        full = os.path.join(root, path)
+        assert os.path.exists(full), f"{name}: {path} missing"
+        src = open(full).read()
+        assert re.search(rf"^def {re.escape(func)}\(", src, re.M), (
+            f"{name}: {nodeid} does not exist"
+        )
+
+
 def test_oracle_bare_fractional_literals_guarded():
     """Broadened DECIMAL-literal guard (ADVICE r6): any bare NON-DYADIC
     fractional literal (not exactly representable in binary — dyadics
