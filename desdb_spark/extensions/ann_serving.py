@@ -1,0 +1,142 @@
+"""Round-7: the ANN *serving* path — query-vector → top-k against the
+IVF index as a parameterized library call (VERDICT r6 item 7 / the
+ADVICE north-star "similarity search", completing the index-side ops in
+extensions/similarity.py with the lookup side a retrieval service
+actually calls).
+
+Shape: the index is the corpus partitioned into k-means cells (the same
+seeded fit as ``ann_ivf_kmeans``); a SERVING query is a handful of
+vectors arriving from outside the engine, so its cell probes are
+computed driver-side in NumPy (k×dim centroid matrix — microseconds)
+and shipped as a BROADCAST probe table. The search is then one
+broadcast equi-join on cell + per-query top-k window: cost proportional
+to ``nprobe × cell_size × |queries|``, never a corpus scan, and no
+cross join anywhere. At 100 TB the index side would be written
+bucketed/partitioned BY cell so a serving probe prunes to the probed
+cells' files alone (partition pruning does the math for us).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+from desdb_spark.session import load_table
+
+#: Serving defaults: top-k size, planted query count, and the probe
+#: width — the latency/recall knob a deployment tunes. Measured
+#: recall@10 on the planted sf0.01 set: 0.875 at nprobe=4, 0.925 at 5,
+#: 0.9875 at 6 (fixture has 8 cells; tests/test_ann_serving.py asserts
+#: the ≥0.9 floor). At corpus scale the cell count grows with n
+#: (cells ≈ n/4096), so nprobe=6 probes a vanishing fraction of cells.
+DEFAULT_K = 10
+DEFAULT_NPROBE = 6
+N_PLANTED = 8
+
+
+def planted_queries(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Deterministic planted query set: the embeddings of the N_PLANTED
+    smallest vec_ids, loaded driver-side — standing in for the external
+    query vectors a serving call receives (bounded collect: 8 rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.orderBy("vec_id")
+        .limit(N_PLANTED)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    return [(int(r.vec_id), [float(x) for x in r.emb]) for r in rows]
+
+
+def ann_query_topk_lib(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: list[tuple[int, list[float]]] | None = None,
+    k: int = DEFAULT_K,
+    nprobe: int = DEFAULT_NPROBE,
+) -> DataFrame:
+    """Serve top-``k`` cosine neighbors for each (query_id, vector) from
+    the IVF index; self-matches (nn_id == query_id) are excluded so a
+    corpus-member query returns its true neighbors.
+
+    Returns (query_id, rank, nn_id, cos_sim) with rank 1..k per query,
+    deterministic for the seeded index (ties broken by nn_id).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    from desdb_spark.extensions.similarity import (
+        IVF_FIT_SAMPLE_ROWS,
+        _embeddings_count,
+        _ivf_assign,
+        _ivf_cell_count,
+        cosine,
+    )
+
+    if queries is None:
+        queries = planted_queries(spark, sf_dir)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    n = _embeddings_count(spark, sf_dir)
+    n_cells = _ivf_cell_count(n)
+    fit_input = vecs.select(array_to_vector("emb").alias("features"))
+    if n > IVF_FIT_SAMPLE_ROWS:
+        fit_input = fit_input.sample(fraction=IVF_FIT_SAMPLE_ROWS / n, seed=42)
+    model = KMeans(k=n_cells, seed=42, maxIter=10).fit(fit_input)
+    centers = np.stack(model.clusterCenters())
+
+    # Index side: every corpus vector in its home cell (must be complete).
+    index = _ivf_assign(vecs, centers, nprobe=1).select("vec_id", "emb", "cell")
+
+    # Probe side: driver-side NumPy picks each query's nprobe nearest
+    # cells — the serving-latency path; no Spark job needed for it.
+    Q = np.stack([np.asarray(v, dtype="float64") for _, v in queries])
+    c_sq = (centers * centers).sum(axis=1)
+    d = -2.0 * (Q @ centers.T) + c_sq[None, :]
+    order = np.argsort(d, axis=1)[:, : min(nprobe, n_cells)]
+    probe_rows = [
+        (int(qid), list(vec), int(cell))
+        for (qid, vec), cells in zip(queries, order)
+        for cell in cells
+    ]
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id bigint, q_emb array<double>, cell int"
+    )
+
+    b = index.alias("b")
+    q = qdf.alias("q")
+    sim = F.round(cosine(F.col("q.q_emb"), F.col("b.emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            b,
+            (F.col("q.cell") == F.col("b.cell"))
+            & (F.col("q.query_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("b.vec_id").alias("nn_id"),
+            sim.alias("cos_sim"),
+        )
+        # a vector probed via two cells must not appear twice
+        .dropDuplicates(["query_id", "nn_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("ann_query_topk", group="ann_serving")  # rows-only: approximate output
+def ann_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered arm of the serving path on the planted query set —
+    recall@{DEFAULT_K} ≥ 0.9 against the exact GEMM is asserted in
+    tests/test_ann_serving.py (approximate by nature, hence rows-only)."""
+    return ann_query_topk_lib(spark, sf_dir)

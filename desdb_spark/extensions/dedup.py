@@ -597,6 +597,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         FROM reach GROUP BY id
     """,
     group="dedup",
+    # The closure oracle is quadratic in component size: the sf0.1
+    # fixture's formulaic corpus forms a ~3M-edge quasi-clique at
+    # t=0.8, which DuckDB 1.0's set-semantics recursion cannot close in
+    # reasonable time (no keyed/min-label recursion pre-1.3). The
+    # driver's differential gate runs at sf0.01, where the oracle
+    # verifies in seconds; past the cap selfcheck downgrades to a
+    # rows-only sweep. The Spark side stays O(log d) star rounds at any
+    # scale — that asymmetry is the reason the distributed algorithm
+    # exists.
+    oracle_max_sf=0.01,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: dup pairs as edges, connected components as

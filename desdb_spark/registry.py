@@ -25,6 +25,14 @@ class Operator:
     group: str = ""
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: Largest scale factor at which the oracle is tractable for the
+    #: single-node SQL engine (None = unbounded). The DRIVER always runs
+    #: at sf0.01 and is unaffected; tools/selfcheck.py downgrades to a
+    #: rows-only check past the cap instead of hanging the sweep — e.g.
+    #: dedup_cluster_components' transitive-closure oracle is quadratic
+    #: in component size while the Spark star-rounds are not; that
+    #: asymmetry is exactly why the distributed algorithm exists.
+    oracle_max_sf: float | None = None
 
 
 _REGISTRY: dict[str, Operator] = {}
@@ -215,11 +223,21 @@ _OP_MODULES = (
     "desdb_spark.operators.sorts_sets",  # 5 ops (r3-green)
     "desdb_spark.functions.scalars",  # 5 ops (r3-green)
     "desdb_spark.operators.aggregates_ext",  # 3 ops (r3-green)
+    # --- brand-new r7 ops: past the full window by design (the window
+    # was sized at exactly 50 before they landed); evidence = green
+    # lines in the committed SELFCHECK_r07_sf0.1.log until the r8
+    # rotation gives them driver rows.
+    "desdb_spark.extensions.ann_serving",  # 1 op (NEW r7: query-vector
+    # top-k serving path against the IVF index — VERDICT r6 item 7)
 )
 
 
 def register(
-    name: str, oracle: str | None = None, group: str = "", tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None = None,
+    group: str = "",
+    tags: tuple[str, ...] = (),
+    oracle_max_sf: float | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
@@ -227,7 +245,13 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate operator name: {name}")
         _REGISTRY[name] = Operator(
-            name=name, fn=fn, oracle=oracle, group=group, doc=fn.__doc__ or "", tags=tags
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            group=group,
+            doc=fn.__doc__ or "",
+            tags=tags,
+            oracle_max_sf=oracle_max_sf,
         )
         return fn
 

@@ -261,6 +261,17 @@ _BARE_LITERAL_DOUBLE_CONTEXT = {
 }
 
 
+def test_oracle_sf_caps_cover_the_driver_scale():
+    """An oracle_max_sf cap bounds only the LOCAL sweep; the external
+    driver always verifies at sf0.01, so every cap must be ≥ 0.01 (a
+    smaller cap would mean shipping an oracle the driver can't run) and
+    only ops that actually have an oracle may carry one."""
+    for name, op in all_operators().items():
+        if op.oracle_max_sf is not None:
+            assert op.oracle is not None, name
+            assert op.oracle_max_sf >= 0.01, (name, op.oracle_max_sf)
+
+
 def test_rows_only_ops_have_property_evidence():
     """Every rows-only operator must name a pytest pinning its strongest
     checkable property (VERDICT r6 item 5), and the named test must

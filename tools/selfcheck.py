@@ -118,6 +118,11 @@ def run(sf_dir: str, names: list[str] | None) -> int:
     spark = get_spark("selfcheck", shuffle_partitions=8)
     load_tables(spark, sf_dir)
 
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf_value = float(m.group(1)) if m else None
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -137,6 +142,18 @@ def run(sf_dir: str, names: list[str] | None) -> int:
         dt = time.time() - t0
         if op.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows ({dt:.1f}s) [rows-only]")
+            continue
+        if (
+            op.oracle_max_sf is not None
+            and sf_value is not None
+            and sf_value > op.oracle_max_sf
+        ):
+            # Oracle intractable for single-node SQL past this scale
+            # (documented per-op); the driver's sf0.01 gate still runs it.
+            print(
+                f"rows  {name}: {len(sdf)} rows ({dt:.1f}s) "
+                f"[oracle capped at sf{op.oracle_max_sf}]"
+            )
             continue
         try:
             odf = con.execute(op.oracle).df()
