@@ -229,6 +229,8 @@ _OP_MODULES = (
     # rotation gives them driver rows.
     "desdb_spark.extensions.ann_serving",  # 1 op (NEW r7: query-vector
     # top-k serving path against the IVF index — VERDICT r6 item 7)
+    "desdb_spark.extensions.retrieval_ext2",  # 1 op (NEW r7: BM25 ranked
+    # search, integer-micros score discipline)
 )
 
 
