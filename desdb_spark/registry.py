@@ -231,6 +231,8 @@ _OP_MODULES = (
     # top-k serving path against the IVF index — VERDICT r6 item 7)
     "desdb_spark.extensions.retrieval_ext2",  # 1 op (NEW r7: BM25 ranked
     # search, integer-micros score discipline)
+    "desdb_spark.operators.pagination_ext",  # 1 op (NEW r7: keyset/seek
+    # pagination — the O(1)-per-page walk OFFSET can't give)
 )
 
 
