@@ -233,6 +233,8 @@ _OP_MODULES = (
     # search, integer-micros score discipline)
     "desdb_spark.operators.pagination_ext",  # 1 op (NEW r7: keyset/seek
     # pagination — the O(1)-per-page walk OFFSET can't give)
+    "desdb_spark.streaming.outer_join",  # 1 op (NEW r7: watermarked
+    # stream-stream LEFT OUTER interval join, batch-equivalent hash)
 )
 
 

@@ -45,6 +45,7 @@ SKIP = {
     "stream_late_data_watermark",
     "stream_stateful_profile",
     "stream_stream_enrich_join",
+    "stream_stream_left_outer_join",
 }
 
 
@@ -105,6 +106,26 @@ def test_skip_set_plans(spark):
         "stream_stream_enrich_join (batch twin)",
     )
     _assert_scalar_outputs(joined, "stream_stream_enrich_join (batch twin)")
+
+    lv, rp = views.alias("lv"), purchases.alias("rp")
+    louter = lv.join(
+        rp,
+        (F.col("lv.v_user_id") == F.col("rp.v_user_id"))
+        & (
+            F.col("rp.purchase_ts")
+            >= F.col("lv.view_ts") - F.expr("INTERVAL 30 minutes")
+        )
+        & (
+            F.col("rp.purchase_ts")
+            <= F.col("lv.view_ts") + F.expr("INTERVAL 30 minutes")
+        ),
+        "leftOuter",
+    )
+    _assert_clean(
+        louter._jdf.queryExecution().executedPlan().toString(),
+        "stream_stream_left_outer_join (batch twin)",
+    )
+    _assert_scalar_outputs(louter, "stream_stream_left_outer_join (batch twin)")
 
     schema = ev.schema
     stream = normalize_events_ts(
