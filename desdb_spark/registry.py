@@ -235,6 +235,8 @@ _OP_MODULES = (
     # pagination — the O(1)-per-page walk OFFSET can't give)
     "desdb_spark.streaming.outer_join",  # 1 op (NEW r7: watermarked
     # stream-stream LEFT OUTER interval join, batch-equivalent hash)
+    "desdb_spark.sources.compaction",  # 1 op (NEW r7: small-file
+    # compaction — shuffle-free OPTIMIZE pass, content-roundtrip hash)
 )
 
 
