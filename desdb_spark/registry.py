@@ -237,6 +237,10 @@ _OP_MODULES = (
     # stream-stream LEFT OUTER interval join, batch-equivalent hash)
     "desdb_spark.sources.compaction",  # 1 op (NEW r7: small-file
     # compaction — shuffle-free OPTIMIZE pass, content-roundtrip hash)
+    "desdb_spark.extensions.dedup_incremental",  # 1 op (NEW r7:
+    # new-batch-vs-corpus-index dedup, the production delta shape)
+    "desdb_spark.extensions.calibration_ext",  # 2 ops (NEW r7: length
+    # retention curve + token-budget cutoff calibration)
 )
 
 
