@@ -241,6 +241,8 @@ _OP_MODULES = (
     # new-batch-vs-corpus-index dedup, the production delta shape)
     "desdb_spark.extensions.calibration_ext",  # 2 ops (NEW r7: length
     # retention curve + token-budget cutoff calibration)
+    "desdb_spark.operators.observability",  # 1 op (NEW r7: df.observe
+    # inline metrics — CollectMetrics rides the scan stage)
 )
 
 
