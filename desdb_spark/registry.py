@@ -243,6 +243,8 @@ _OP_MODULES = (
     # retention curve + token-budget cutoff calibration)
     "desdb_spark.operators.observability",  # 1 op (NEW r7: df.observe
     # inline metrics — CollectMetrics rides the scan stage)
+    "desdb_spark.extensions.ann_pq",  # 1 op (NEW r7: product-quantization
+    # codebook stats — the IVF-PQ storage tier, 64× vector compression)
 )
 
 

@@ -1,0 +1,76 @@
+"""PQ quantization: distortion must beat the trivial code, and ADC
+(asymmetric distance) ranking over codes must track exact cosine."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from desdb_spark.extensions.ann_pq import (
+    PQ_K,
+    PQ_M,
+    ann_pq_codebook_stats,
+    fit_pq_codebooks,
+    pq_assign,
+)
+from desdb_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def _embeddings(spark):
+    rows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    return ids, M
+
+
+def test_pq_distortion_beats_trivial_code(spark):
+    stats = {r.subspace: r for r in ann_pq_codebook_stats(spark, SF_DIR).collect()}
+    assert set(stats) == set(range(PQ_M)) | {-1}
+    _, X = _embeddings(spark)
+    sub = X.shape[1] // PQ_M
+    for m in range(PQ_M):
+        r = stats[m]
+        assert 1 < r.codes_used <= PQ_K
+        Xm = X[:, m * sub : (m + 1) * sub]
+        # distortion of the 1-centroid (mean) code = subspace variance
+        trivial = ((Xm - Xm.mean(axis=0)) ** 2).sum(axis=1).mean()
+        assert r.mean_distortion < trivial, (m, r.mean_distortion, trivial)
+    total = stats[-1]
+    assert total.codes_used == len(X)
+    assert abs(
+        total.mean_distortion - sum(stats[m].mean_distortion for m in range(PQ_M))
+    ) < 1e-3
+
+
+def test_pq_adc_ranking_tracks_exact(spark):
+    """ADC scores (query vs reconstructed codes) must recover most of
+    the exact top-10 for planted corpus queries."""
+    ids, X = _embeddings(spark)
+    books = fit_pq_codebooks(spark, SF_DIR)
+    vecs = load_table(spark, SF_DIR, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as emb"
+    )
+    coded = pq_assign(vecs, books).collect()
+    sub = X.shape[1] // PQ_M
+    recon = {}
+    for r in coded:
+        parts = [books[m][r[f"code_{m}"]] for m in range(PQ_M)]
+        recon[r.vec_id] = np.concatenate(parts)
+    R = np.stack([recon[i] for i in ids])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    hits = total = 0
+    for qi in range(0, len(ids), max(1, len(ids) // 8)):
+        q = Xn[qi]
+        exact = set(ids[np.argsort(-(Xn @ q))[1:11]])
+        adc = R @ q  # asymmetric: raw query vs reconstructed index
+        adc_rank = [i for i in ids[np.argsort(-adc)] if i != ids[qi]][:10]
+        hits += len(exact & set(adc_rank))
+        total += 10
+    # 0.6 floor: the fixture embeddings are near-isotropic — PQ's
+    # hardest case (no cluster structure to exploit). Production IVF-PQ
+    # recovers full recall by exact-re-ranking the ADC top candidates;
+    # the floor pins that ADC ranking carries real signal (random
+    # ranking would score ~10/500 ≈ 0.02).
+    assert hits / total >= 0.6, hits / total
