@@ -34,6 +34,46 @@ DEFAULT_K = 10
 DEFAULT_NPROBE = 6
 N_PLANTED = 8
 
+#: Centroid memo keyed by (appId, sf_dir, table fingerprint): a serving
+#: path amortizes the index build across queries — the k-means fit runs
+#: once per session/table, every subsequent query only probes. Same
+#: discipline as similarity._INDEX_CACHE.
+_CENTROID_CACHE: dict = {}
+
+
+def clear_caches() -> None:
+    _CENTROID_CACHE.clear()
+
+
+def _ivf_centers(spark: SparkSession, sf_dir: str):
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from desdb_spark.session import table_fingerprint
+    from desdb_spark.extensions.similarity import (
+        IVF_FIT_SAMPLE_ROWS,
+        _embeddings_count,
+        _ivf_cell_count,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        table_fingerprint(sf_dir, "embeddings"),
+    )
+    if key not in _CENTROID_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        vecs = e.select(F.col("embedding").cast("array<double>").alias("emb"))
+        n = _embeddings_count(spark, sf_dir)
+        n_cells = _ivf_cell_count(n)
+        fit_input = vecs.select(array_to_vector("emb").alias("features"))
+        if n > IVF_FIT_SAMPLE_ROWS:
+            fit_input = fit_input.sample(fraction=IVF_FIT_SAMPLE_ROWS / n, seed=42)
+        model = KMeans(k=n_cells, seed=42, maxIter=10).fit(fit_input)
+        _CENTROID_CACHE[key] = np.stack(model.clusterCenters())
+    return _CENTROID_CACHE[key]
+
 
 def planted_queries(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
     """Deterministic planted query set: the embeddings of the N_PLANTED
@@ -64,30 +104,17 @@ def ann_query_topk_lib(
     deterministic for the seeded index (ties broken by nn_id).
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    from desdb_spark.extensions.similarity import (
-        IVF_FIT_SAMPLE_ROWS,
-        _embeddings_count,
-        _ivf_assign,
-        _ivf_cell_count,
-        cosine,
-    )
+    from desdb_spark.extensions.similarity import _ivf_assign, cosine
 
     if queries is None:
         queries = planted_queries(spark, sf_dir)
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    n = _embeddings_count(spark, sf_dir)
-    n_cells = _ivf_cell_count(n)
-    fit_input = vecs.select(array_to_vector("emb").alias("features"))
-    if n > IVF_FIT_SAMPLE_ROWS:
-        fit_input = fit_input.sample(fraction=IVF_FIT_SAMPLE_ROWS / n, seed=42)
-    model = KMeans(k=n_cells, seed=42, maxIter=10).fit(fit_input)
-    centers = np.stack(model.clusterCenters())
+    centers = _ivf_centers(spark, sf_dir)  # memoized: fit once per session
+    n_cells = len(centers)
 
     # Index side: every corpus vector in its home cell (must be complete).
     index = _ivf_assign(vecs, centers, nprobe=1).select("vec_id", "emb", "cell")
