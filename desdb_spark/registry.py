@@ -233,8 +233,9 @@ _OP_MODULES = (
     # search, integer-micros score discipline)
     "desdb_spark.operators.pagination_ext",  # 1 op (NEW r7: keyset/seek
     # pagination — the O(1)-per-page walk OFFSET can't give)
-    "desdb_spark.streaming.outer_join",  # 1 op (NEW r7: watermarked
-    # stream-stream LEFT OUTER interval join, batch-equivalent hash)
+    "desdb_spark.streaming.outer_join",  # 2 ops (NEW r7: watermarked
+    # stream-stream LEFT and FULL OUTER interval joins, batch-equivalent
+    # hashes via the sink-side flushed-region filter)
     "desdb_spark.sources.compaction",  # 1 op (NEW r7: small-file
     # compaction — shuffle-free OPTIMIZE pass, content-roundtrip hash)
     "desdb_spark.extensions.dedup_incremental",  # 1 op (NEW r7:

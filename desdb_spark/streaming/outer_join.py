@@ -120,3 +120,104 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return sink.where(
         F.col("view_ts") < F.lit(min_max) - F.expr(f"INTERVAL {CUTOFF}")
     )
+
+
+@register(
+    "stream_stream_full_outer_join",
+    # Symmetric output-region argument (module docstring, both-sides
+    # edition): matched pairs emit immediately and identically to batch;
+    # an unmatched row on EITHER side flushes once the global watermark
+    # passes its ts + interval, guaranteed for ts < min_max − cutoff.
+    # The SAME output filter — every non-null ts below the cutoff —
+    # applied to the batch full join therefore selects an identical set.
+    oracle=f"""
+        WITH mx AS (
+            SELECT min(m) AS m FROM (
+                SELECT max(ts) AS m FROM events WHERE event_type = 'view'
+                UNION ALL
+                SELECT max(ts) FROM events WHERE event_type = 'purchase'
+            )
+        ),
+        v AS (
+            SELECT user_id AS v_user_id, ts AS view_ts FROM events
+            WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id AS p_user_id, ts AS purchase_ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT coalesce(v.v_user_id, p.p_user_id) AS user_id,
+               v.view_ts, p.purchase_ts
+        FROM v FULL JOIN p
+          ON p.p_user_id = v.v_user_id
+         AND p.purchase_ts >= v.view_ts - INTERVAL '{INTERVAL}'
+         AND p.purchase_ts <= v.view_ts + INTERVAL '{INTERVAL}', mx
+        WHERE (v.view_ts IS NULL OR v.view_ts < mx.m - INTERVAL '{CUTOFF}')
+          AND (p.purchase_ts IS NULL
+               OR p.purchase_ts < mx.m - INTERVAL '{CUTOFF}')
+    """,
+    group="streaming",
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views FULL OUTER ⋈ purchases within ±{INTERVAL}: every view with
+    its purchase if one came, every purchase with its view if one came,
+    nulls on whichever side never matched — the reconcile-two-feeds
+    shape. Append-mode memory sink, trigger=availableNow; the returned
+    frame keeps only rows whose non-null timestamps sit in the
+    deterministically-flushed region, which the SAME filter makes
+    hash-equal to the batch full join.
+
+    Scale shape: identical to the left-outer op — watermark + interval
+    bound the join state on both sides; unmatched-row emission tracks
+    each side's own outer deadline. The only addition is that BOTH
+    sides' nulls flush, so the output filter is symmetric.
+    """
+    from desdb_spark.session import normalize_events_ts, pin_session_confs
+    from desdb_spark.streaming.runner import run_available_now, stage_file_source
+
+    pin_session_confs(spark)
+    batch = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    min_max = (
+        batch.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+
+    stage = stage_file_source(f"{sf_dir}/events.parquet", "desdb_fouter_src_")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        return normalize_events_ts(spark.readStream.schema(schema).parquet(stage))
+
+    views = (
+        _stream()
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", WATERMARK)
+    )
+    purchases = (
+        _stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    cond = (
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts") - F.expr(f"INTERVAL {INTERVAL}"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {INTERVAL}"))
+    )
+    joined = views.join(purchases, cond, "fullOuter").select(
+        F.coalesce("v_user_id", "p_user_id").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    sink = run_available_now(spark, joined, "ssj_fouter", "append", stage_dir=stage)
+    cut = F.lit(min_max) - F.expr(f"INTERVAL {CUTOFF}")
+    return sink.where(
+        (F.col("view_ts").isNull() | (F.col("view_ts") < cut))
+        & (F.col("purchase_ts").isNull() | (F.col("purchase_ts") < cut))
+    )

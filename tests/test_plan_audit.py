@@ -46,6 +46,7 @@ SKIP = {
     "stream_stateful_profile",
     "stream_stream_enrich_join",
     "stream_stream_left_outer_join",
+    "stream_stream_full_outer_join",
 }
 
 
@@ -126,6 +127,25 @@ def test_skip_set_plans(spark):
         "stream_stream_left_outer_join (batch twin)",
     )
     _assert_scalar_outputs(louter, "stream_stream_left_outer_join (batch twin)")
+
+    fouter = lv.join(
+        rp,
+        (F.col("lv.v_user_id") == F.col("rp.v_user_id"))
+        & (
+            F.col("rp.purchase_ts")
+            >= F.col("lv.view_ts") - F.expr("INTERVAL 30 minutes")
+        )
+        & (
+            F.col("rp.purchase_ts")
+            <= F.col("lv.view_ts") + F.expr("INTERVAL 30 minutes")
+        ),
+        "fullOuter",
+    )
+    _assert_clean(
+        fouter._jdf.queryExecution().executedPlan().toString(),
+        "stream_stream_full_outer_join (batch twin)",
+    )
+    _assert_scalar_outputs(fouter, "stream_stream_full_outer_join (batch twin)")
 
     schema = ev.schema
     stream = normalize_events_ts(
