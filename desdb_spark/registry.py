@@ -246,6 +246,8 @@ _OP_MODULES = (
     # inline metrics — CollectMetrics rides the scan stage)
     "desdb_spark.extensions.ann_pq",  # 1 op (NEW r7: product-quantization
     # codebook stats — the IVF-PQ storage tier, 64× vector compression)
+    "desdb_spark.extensions.classifier_ext",  # 1 op (NEW r7: distributed
+    # logistic-regression training loop — gradient partials + driver step)
 )
 
 
