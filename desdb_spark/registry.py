@@ -248,6 +248,8 @@ _OP_MODULES = (
     # codebook stats — the IVF-PQ storage tier, 64× vector compression)
     "desdb_spark.extensions.classifier_ext",  # 1 op (NEW r7: distributed
     # logistic-regression training loop — gradient partials + driver step)
+    "desdb_spark.extensions.boilerplate_ext",  # 1 op (NEW r7: repeated
+    # n-gram boilerplate detection, the C4/CCNet span-removal precursor)
 )
 
 
