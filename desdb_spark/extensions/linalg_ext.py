@@ -67,15 +67,76 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return partials.groupBy("i", "j").agg(F.sum("value").alias("value"))
 
 
-@register("emb_gram_matrix", group="linalg_ext")  # rows-only: float matrix
+@register(
+    "emb_gram_matrix",
+    # Hash upgrade (r7): the registered Gram is computed in FIXED-POINT —
+    # each per-row product e_i·e_j quantizes to integer 1e-6 units
+    # BEFORE the sum, so the accumulated matrix is exact integer
+    # arithmetic with no summation-order exposure on either engine (the
+    # cents discipline applied to linear algebra). The float library
+    # path (gram_matrix above) remains for consumers like whitening
+    # where quantization noise would compound.
+    oracle="""
+        WITH el AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+               CAST(sum(CAST(round(a.x * b.x * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS q_micros
+        FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    """,
+    group="linalg_ext",
+)
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle Gram matrix of the embeddings table (d=64 →
-    2080 cells), values rounded for display stability. The estimator
-    for covariance drift monitoring: store last week's Gram, diff this
+    2080 cells) in exact integer micro-units. The estimator for
+    covariance drift monitoring: store last week's Gram, diff this
     week's, alarm on spectral movement — all from d² numbers per epoch.
+
+    Scale shape: unchanged from the float path — each Arrow batch
+    reduces its rows to one d×d integer partial (per-row products
+    quantized with half-away rounding, matching both engines' round()),
+    partials sum associatively, d² bigints cross the network. The
+    kernel sub-chunks rows so the n×d×d quantization buffer stays
+    bounded (~33 MB at 1024 rows × 64²).
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    g = gram_matrix(emb)
-    return g.select(
-        "i", "j", F.round("value", 4).alias("value")
-    ).orderBy("i", "j")
+
+    def _partial_q(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            for s in range(0, len(block), 1024):
+                chunk = block[s : s + 1024]
+                prods = chunk[:, :, None] * chunk[:, None, :]  # (n, d, d)
+                q = (
+                    np.sign(prods) * np.floor(np.abs(prods) * 1e6 + 0.5)
+                ).astype("int64")
+                g = q.sum(axis=0)
+                acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "q_micros": acc[iu, ju],
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        _partial_q, schema="i int, j int, q_micros long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("q_micros").cast("bigint").alias("q_micros"))
+        .orderBy("i", "j")
+    )
