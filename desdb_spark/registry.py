@@ -250,6 +250,10 @@ _OP_MODULES = (
     # logistic-regression training loop — gradient partials + driver step)
     "desdb_spark.extensions.boilerplate_ext",  # 1 op (NEW r7: repeated
     # n-gram boilerplate detection, the C4/CCNet span-removal precursor)
+    "desdb_spark.extensions.seasonal_ext",  # 1 op (NEW r7: seasonal-slot
+    # residual anomaly — fitted-baseline monitoring)
+    "desdb_spark.operators.footer_census",  # 1 op (NEW r7: distributed
+    # parquet row-group footer census — zone-map health audit)
 )
 
 
