@@ -254,6 +254,10 @@ _OP_MODULES = (
     # residual anomaly — fitted-baseline monitoring)
     "desdb_spark.operators.footer_census",  # 1 op (NEW r7: distributed
     # parquet row-group footer census — zone-map health audit)
+    "desdb_spark.operators.asof_ext",  # 1 op (NEW r7: forward as-of —
+    # next-event-after via one window pass, the time-to-conversion join)
+    "desdb_spark.sources.pyds_sink",  # 1 op (NEW r7: custom Python
+    # DataSource WRITER — task files + driver commit manifest roundtrip)
 )
 
 
