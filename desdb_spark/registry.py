@@ -258,6 +258,10 @@ _OP_MODULES = (
     # next-event-after via one window pass, the time-to-conversion join)
     "desdb_spark.sources.pyds_sink",  # 1 op (NEW r7: custom Python
     # DataSource WRITER — task files + driver commit manifest roundtrip)
+    "desdb_spark.extensions.sampling_ext2",  # 1 op (NEW r7: Neyman
+    # minimum-variance stratified allocation, largest-remainder exact)
+    "desdb_spark.extensions.bot_ext",  # 1 op (NEW r7: inter-arrival
+    # regularity bot scoring — CV from exact integer sufficient stats)
 )
 
 
