@@ -1,0 +1,154 @@
+"""Round-7: verbatim-substring decontamination — the exact-match arm of
+eval-set hygiene. corpus_contamination_ngram catches paraphrase-level
+overlap; the first check every lab actually runs is cruder and
+stricter: does any eval prompt appear VERBATIM inside a training
+document?
+
+Scale design — LOSSLESS anchor-token blocking, not a nested-loop scan:
+a document containing the probe verbatim necessarily contains every
+INTERIOR whitespace-delimited token of the probe as one of its own
+tokens (the probe's edge fragments may be word-cut, so they are
+excluded). Each probe therefore blocks on its RAREST interior token
+(by corpus document frequency): candidates = the equi-join of that
+anchor against the corpus token index, and only candidates pay the
+exact ``instr`` verification. Candidate volume per probe = the anchor's
+df — the minimum achievable for single-token blocking — and the plan
+is equi-joins end to end (no BroadcastNestedLoopJoin anywhere, which
+the fleet-wide plan audit enforces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from desdb_spark.registry import register
+from desdb_spark.session import load_table
+
+#: Planted eval set: fixed-position substrings of every EVAL_STRIDE-th
+#: document (long enough to be effectively unique). Deterministic, and
+#: guarantees real hits: the source doc always contains its own probe.
+EVAL_STRIDE = 25
+PROBE_START = 8
+PROBE_LEN = 60
+MIN_PROBE_DOC_CHARS = 80
+
+
+@register(
+    "docs_eval_substring_contamination",
+    oracle=f"""
+        WITH eval_set AS (
+            SELECT doc_id AS eval_id,
+                   substring(text, {PROBE_START}, {PROBE_LEN}) AS probe
+            FROM documents
+            WHERE doc_id % {EVAL_STRIDE} = 0
+              AND length(text) >= {MIN_PROBE_DOC_CHARS}
+        ), probe_toks AS (
+            SELECT eval_id, tok FROM (
+                SELECT eval_id,
+                       unnest(string_split(probe, ' ')) AS tok,
+                       generate_subscripts(string_split(probe, ' '), 1) AS i,
+                       len(string_split(probe, ' ')) AS k
+                FROM eval_set)
+            WHERE i > 1 AND i < k AND tok <> ''
+        ), doc_toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), df AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM doc_toks GROUP BY tok
+        ), anchors AS (
+            SELECT eval_id, tok AS anchor FROM (
+                SELECT p.eval_id, p.tok,
+                       row_number() OVER (
+                           PARTITION BY p.eval_id
+                           ORDER BY df.df, p.tok) AS rn
+                FROM (SELECT DISTINCT eval_id, tok FROM probe_toks) p
+                JOIN df ON df.tok = p.tok)
+            WHERE rn = 1
+        ), candidates AS (
+            SELECT DISTINCT dt.doc_id, a.eval_id
+            FROM anchors a JOIN doc_toks dt ON dt.tok = a.anchor
+        )
+        SELECT c.eval_id,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(min(c.doc_id) AS BIGINT) AS first_hit_doc,
+               CAST(sum(CASE WHEN c.doc_id <> c.eval_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cross_doc_hits
+        FROM candidates c
+        JOIN documents d ON d.doc_id = c.doc_id
+        JOIN eval_set e ON e.eval_id = c.eval_id
+        WHERE position(e.probe IN d.text) > 0
+        GROUP BY c.eval_id
+    """,
+    group="decontam_ext",
+)
+def docs_eval_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per planted eval probe: how many training documents contain it
+    verbatim, the first such doc, and how many hits are CROSS-document
+    (a cross hit is real contamination; the self-hit is the planted
+    floor proving the scan works).
+
+    Scale shape (module docstring): rarest-interior-token blocking —
+    one corpus token-df aggregate (shared with every other vocab op),
+    per-probe anchor selection by min (df, token), an equi-join of
+    anchors against the token index for candidates, and ``instr``
+    verification on candidates only. Every join is an equi-join; the
+    eval side is broadcast-sized by nature. Blocking is provably
+    lossless at the cost of the anchor's df per probe.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    eval_set = (
+        d.where(
+            (F.col("doc_id") % EVAL_STRIDE == 0)
+            & (F.length("text") >= MIN_PROBE_DOC_CHARS)
+        )
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.substring("text", PROBE_START, PROBE_LEN).alias("probe"),
+        )
+    )
+    parts = F.split("probe", " ")
+    probe_toks = (
+        eval_set.select(
+            "eval_id",
+            F.posexplode(parts).alias("i0", "tok"),
+            F.size(parts).alias("k"),
+        )
+        .where(
+            (F.col("i0") > 0)
+            & (F.col("i0") < F.col("k") - 1)
+            & (F.col("tok") != "")
+        )
+        .select("eval_id", "tok")
+        .distinct()
+    )
+    doc_toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).where(F.col("tok") != "").distinct()
+    df_ = doc_toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    anchors = (
+        probe_toks.join(df_, "tok")
+        .groupBy("eval_id")
+        .agg(F.min_by("tok", F.struct("df", "tok")).alias("anchor"))
+    )
+    candidates = (
+        doc_toks.join(
+            F.broadcast(anchors), doc_toks.tok == F.col("anchor")
+        )
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    verified = (
+        candidates.join(d.select("doc_id", "text"), "doc_id")
+        .join(F.broadcast(eval_set), "eval_id")
+        .where(F.expr("instr(text, probe) > 0"))
+    )
+    return verified.groupBy("eval_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.min("doc_id").cast("bigint").alias("first_hit_doc"),
+        F.sum((F.col("doc_id") != F.col("eval_id")).cast("long"))
+        .cast("bigint")
+        .alias("cross_doc_hits"),
+    )

@@ -262,6 +262,8 @@ _OP_MODULES = (
     # minimum-variance stratified allocation, largest-remainder exact)
     "desdb_spark.extensions.bot_ext",  # 1 op (NEW r7: inter-arrival
     # regularity bot scoring — CV from exact integer sufficient stats)
+    "desdb_spark.extensions.decontam_ext",  # 1 op (NEW r7: verbatim
+    # eval-substring decontamination via lossless rarest-anchor blocking)
 )
 
 
