@@ -264,6 +264,8 @@ _OP_MODULES = (
     # regularity bot scoring — CV from exact integer sufficient stats)
     "desdb_spark.extensions.decontam_ext",  # 1 op (NEW r7: verbatim
     # eval-substring decontamination via lossless rarest-anchor blocking)
+    "desdb_spark.extensions.engagement_ext",  # 1 op (NEW r7: DAU/WAU
+    # stickiness via explode-fanout on the deduped day-user grain)
 )
 
 
