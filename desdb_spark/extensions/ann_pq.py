@@ -106,9 +106,12 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index operator watches when sizing M and K.
 
     Scale shape: the fit touches a bounded seeded sample; assignment is
-    one Arrow-batched pass with the (M·K·sub)-float codebook broadcast
-    in the task closure — no shuffle at all until the M+1-row stats
-    aggregate. Codes, not vectors, are what the index stores and ships.
+    ONE Arrow-batched pass with the (M·K·sub)-float codebook broadcast
+    in the task closure — all M per-subspace (codes_used, distortion)
+    pairs plus the total land in a SINGLE aggregate over that pass (one
+    wide row, unpivoted driverlessly to M+1 rows), so the quantization
+    kernel and the embeddings scan execute exactly once. Codes, not
+    vectors, are what the index stores and ships.
     """
     import numpy as np  # noqa: F401  (kernel dependency, imported early)
 
@@ -116,21 +119,30 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     books = fit_pq_codebooks(spark, sf_dir)
     coded = pq_assign(vecs, books)
-    per_sub = [
-        coded.agg(
+    total_err = sum(F.col(f"err_{m}") for m in range(PQ_M))
+    aggs = []
+    for m in range(PQ_M):
+        aggs.append(F.countDistinct(f"code_{m}").cast("bigint").alias(f"cu_{m}"))
+        aggs.append(F.round(F.avg(f"err_{m}"), 6).alias(f"md_{m}"))
+    aggs.append(F.count("*").cast("bigint").alias("cu_total"))
+    aggs.append(F.round(F.avg(total_err), 6).alias("md_total"))
+    wide = coded.agg(*aggs)
+    rows = [
+        F.struct(
             F.lit(m).alias("subspace"),
-            F.countDistinct(f"code_{m}").cast("bigint").alias("codes_used"),
-            F.round(F.avg(f"err_{m}"), 6).alias("mean_distortion"),
+            F.col(f"cu_{m}").alias("codes_used"),
+            F.col(f"md_{m}").alias("mean_distortion"),
         )
         for m in range(PQ_M)
+    ] + [
+        F.struct(
+            F.lit(-1).alias("subspace"),
+            F.col("cu_total").alias("codes_used"),
+            F.col("md_total").alias("mean_distortion"),
+        )
     ]
-    out = per_sub[0]
-    for f in per_sub[1:]:
-        out = out.unionByName(f)
-    total_err = sum(F.col(f"err_{m}") for m in range(PQ_M))
-    total = coded.agg(
-        F.lit(-1).alias("subspace"),
-        F.count("*").cast("bigint").alias("codes_used"),
-        F.round(F.avg(total_err), 6).alias("mean_distortion"),
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("subspace")
     )
-    return out.unionByName(total).orderBy("subspace")

@@ -37,12 +37,19 @@ MIN_PROBE_DOC_CHARS = 80
 @register(
     "docs_eval_substring_contamination",
     oracle=f"""
-        WITH eval_set AS (
+        WITH eval_raw AS (
             SELECT doc_id AS eval_id,
                    substring(text, {PROBE_START}, {PROBE_LEN}) AS probe
             FROM documents
             WHERE doc_id % {EVAL_STRIDE} = 0
               AND length(text) >= {MIN_PROBE_DOC_CHARS}
+        ), eval_set AS (
+            -- anchor-token blocking needs >=1 non-empty INTERIOR token;
+            -- probes without one are EXPLICITLY out of this op's scope
+            -- (see docs_decontam_short_probes for the char-gram arm)
+            SELECT * FROM eval_raw
+            WHERE len(list_filter(
+                      string_split(probe, ' ')[2:-2], x -> x <> '')) >= 1
         ), probe_toks AS (
             SELECT eval_id, tok FROM (
                 SELECT eval_id,
@@ -95,18 +102,36 @@ def docs_eval_substring_contamination(spark: SparkSession, sf_dir: str) -> DataF
     per-probe anchor selection by min (df, token), an equi-join of
     anchors against the token index for candidates, and ``instr``
     verification on candidates only. Every join is an equi-join; the
-    eval side is broadcast-sized by nature. Blocking is provably
-    lossless at the cost of the anchor's df per probe.
+    eval side is broadcast-sized by nature.
+
+    Scope (ADVICE r7): blocking is provably lossless ONLY for probes
+    with at least one non-empty interior token — a probe whose window
+    splits into <3 tokens has no anchor. Such probes are EXPLICITLY
+    filtered out of the eval set here (both engines), not silently
+    dropped downstream; the char-gram-blocked companion op
+    (``docs_decontam_short_probes``) covers them losslessly.
     """
     d = load_table(spark, sf_dir, "documents")
+    probe_col = F.substring("text", PROBE_START, PROBE_LEN)
+    toks_col = F.split(probe_col, " ")
+    has_interior = (
+        F.size(
+            F.filter(
+                F.slice(toks_col, 2, F.greatest(F.size(toks_col) - 2, F.lit(0))),
+                lambda x: x != "",
+            )
+        )
+        >= 1
+    )
     eval_set = (
         d.where(
             (F.col("doc_id") % EVAL_STRIDE == 0)
             & (F.length("text") >= MIN_PROBE_DOC_CHARS)
+            & has_interior
         )
         .select(
             F.col("doc_id").alias("eval_id"),
-            F.substring("text", PROBE_START, PROBE_LEN).alias("probe"),
+            probe_col.alias("probe"),
         )
     )
     parts = F.split("probe", " ")

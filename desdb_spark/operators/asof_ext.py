@@ -62,10 +62,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "purchase").alias("is_p"),
         )
     )
-    # order purchases BEFORE views at identical ts so ties match forward
+    # Order views BEFORE purchases at identical ts: the frame is
+    # [currentRow, unboundedFollowing], so an equal-ts purchase is only
+    # visible from the view row if it sorts at-or-after it (mirrors
+    # join_asof's backward convention, where the matchable side sorts
+    # into the frame). Purchases-first would skip exact-ts conversions.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", F.col("is_p").cast("int").desc())
+        .orderBy("ts", F.col("is_p").cast("int"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     nxt = F.min(F.when(F.col("is_p"), F.col("ts"))).over(w)

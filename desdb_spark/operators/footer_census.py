@@ -30,9 +30,15 @@ def diag_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against pyarrow ground truth in tests/test_footer_census.py.
     """
     import glob
+    import os
 
-    files = sorted(glob.glob(f"{sf_dir}/lineitem.parquet")) or sorted(
-        glob.glob(f"{sf_dir}/lineitem.parquet/*.parquet")
+    # A directory-style table also matches the single-file glob, so
+    # branch on isdir — pq.ParquetFile(<dir>) would raise otherwise.
+    root = f"{sf_dir}/lineitem.parquet"
+    files = (
+        sorted(glob.glob(f"{root}/*.parquet"))
+        if os.path.isdir(root)
+        else sorted(glob.glob(root))
     )
     fdf = spark.createDataFrame([(p,) for p in files], "path string")
 

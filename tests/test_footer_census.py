@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 
@@ -12,8 +13,11 @@ from tests.conftest import SF_DIR
 
 def test_rowgroup_census_matches_pyarrow(spark):
     rows = diag_rowgroup_stats(spark, SF_DIR).collect()
-    files = sorted(glob.glob(f"{SF_DIR}/lineitem.parquet")) or sorted(
-        glob.glob(f"{SF_DIR}/lineitem.parquet/*.parquet")
+    root = f"{SF_DIR}/lineitem.parquet"
+    files = (
+        sorted(glob.glob(f"{root}/*.parquet"))
+        if os.path.isdir(root)
+        else sorted(glob.glob(root))
     )
     want = []
     for p in files:
