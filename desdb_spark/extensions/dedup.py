@@ -537,133 +537,3 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     ).select("id", F.col("id").alias("comp"))
     return labels.unionByName(roots)
 
-
-@register(
-    "dedup_cluster_components",
-    # Hash upgrade (VERDICT r6 item 4): components over a PROVABLY
-    # reproducible edge set are SQL-expressible — DuckDB recomputes the
-    # identical edges (digest stars + all-pairs token Jaccard ≥ 0.8
-    # between digest representatives; the prefix filter on the Spark
-    # side is lossless at the threshold, so candidate-restricted equals
-    # all-pairs) and resolves connectivity with a recursive CTE
-    # (min-label over the transitive closure). The closure is
-    # sum-of-component-size² rows — fine for dup clusters, which are
-    # small; the Spark side stays O(log d) star rounds.
-    oracle="""
-        WITH RECURSIVE dig AS (
-            SELECT doc_id, md5(text) AS h FROM documents
-        ), gmin AS (
-            SELECT h, min(doc_id) AS mn FROM dig GROUP BY h
-        ), exact_edges AS (
-            SELECT g.mn AS id_a, d.doc_id AS id_b
-            FROM dig d JOIN gmin g ON d.h = g.h
-            WHERE d.doc_id <> g.mn
-        ), reps AS (
-            SELECT d.doc_id, d.text
-            FROM documents d JOIN gmin g ON d.doc_id = g.mn
-        ), toks AS (
-            SELECT doc_id,
-                   unnest(list_distinct(string_split(text, ' '))) AS tok
-            FROM reps
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-            FROM toks a JOIN toks b
-              ON a.tok = b.tok AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        ), near_edges AS (
-            SELECT id_a, id_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i)
-                  >= CAST(0.8 AS DOUBLE)
-        ), edges AS (
-            SELECT id_a, id_b FROM exact_edges
-            UNION
-            SELECT id_a, id_b FROM near_edges
-        ), sym AS (
-            SELECT id_a AS src, id_b AS dst FROM edges
-            UNION
-            SELECT id_b AS src, id_a AS dst FROM edges
-        ), reach AS (
-            SELECT DISTINCT src AS id, src AS r FROM sym
-            UNION
-            SELECT s.dst AS id, reach.r
-            FROM reach JOIN sym s ON s.src = reach.id
-        )
-        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY id
-    """,
-    group="dedup",
-    # The closure oracle is quadratic in component size: the sf0.1
-    # fixture's formulaic corpus forms a ~3M-edge quasi-clique at
-    # t=0.8, which DuckDB 1.0's set-semantics recursion cannot close in
-    # reasonable time (no keyed/min-label recursion pre-1.3). The
-    # driver's differential gate runs at sf0.01, where the oracle
-    # verifies in seconds; past the cap selfcheck downgrades to a
-    # rows-only sweep. The Spark side stays O(log d) star rounds at any
-    # scale — that asymmetry is the reason the distributed algorithm
-    # exists.
-    oracle_max_sf=0.01,
-)
-def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: dup pairs as edges, connected components as
-    cluster assignment (cluster_id = min doc_id in the component). This is
-    the canonical "keep one per cluster" shape a pretraining dedup pass
-    needs — pair output alone under-deletes when dups chain (A~B, B~C but
-    A!~C). Planted chain/clique semantics are asserted in
-    tests/test_extensions.py; the full assignment hash-checks against a
-    DuckDB recursive-CTE oracle over the identical edge set.
-
-    Edge construction (r7 rework — VERDICT r6 item 4 made the op
-    differential):
-
-    - same-digest docs connect via a digest *star* (k−1 edges from one
-      groupBy + join; the shuffle carries (digest, id) only) — exact
-      dedup first, near-dup machinery over the (much smaller)
-      distinct-text corpus, the standard 100 TB cascade;
-    - near-dup edges between digest representatives come from the
-      PPJoin prefix filter at t = 0.8 + exact token-set Jaccard
-      verification — the ``dedup_ngram_jaccard`` path, LOSSLESS at the
-      threshold, unlike the MinHash LSH candidates the r5 version used
-      (probabilistic recall ⇒ no equality oracle could exist). LSH
-      remains the recall-tolerant scale alternative in
-      ``dedup_near_minhash``.
-
-    Scale shape: prefix join keys are each doc's ~(1−t)·|s|+1 rarest
-    tokens (stopword frequency never multiplies the shuffle);
-    verification is candidate-bound; components run alternating
-    large-star/small-star rounds on the once-materialized edge set.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    dig = d.select("doc_id", F.md5("text").alias("h"))
-    group_min = dig.groupBy("h").agg(F.min("doc_id").alias("mn"))
-    exact_edges = (
-        dig.join(group_min, "h")
-        .where(F.col("doc_id") != F.col("mn"))
-        .select(F.col("mn").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    reps = d.join(
-        group_min.select(F.col("mn").alias("doc_id")), "doc_id", "left_semi"
-    )
-    cand = prefix_filtered_pairs(reps, t_num=4, t_den=5)
-    sets_df = reps.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(F.split("text", " ")).alias("toks"),
-    )
-    sa = sets_df.alias("sa")
-    sb = sets_df.alias("sb")
-    i = F.size(F.array_intersect("sa.toks", "sb.toks"))
-    jac = i.cast("double") / (F.size("sa.toks") + F.size("sb.toks") - i)
-    near_edges = (
-        cand.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .where(jac >= 0.8)
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(exact_edges.unionByName(near_edges))
-    return comp.select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
-    ).orderBy("doc_id")

@@ -101,60 +101,6 @@ def sorted_layout_profile(spark: SparkSession) -> DataFrame:
     )
 
 
-@register(
-    "sink_sorted_parquet",
-    # Hash upgrade (VERDICT r6 item 4): the registered proof is the
-    # CONTENT roundtrip — write sorted, read back, aggregate — exactly
-    # the CSV/JSON roundtrip discipline. The per-file layout profile
-    # depends on sampled range bounds (nondeterministic file split
-    # points), so it stays a pytest-asserted diagnostic
-    # (sorted_layout_profile) rather than part of the hashed contract.
-    oracle="""
-        SELECT CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                    AS BIGINT) AS sum_cents,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price
-        FROM orders
-    """,
-    group="lake_ext",
-)
-def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-clustered sorted layout: ``repartitionByRange`` on the sort
-    key then ``sortWithinPartitions`` before the write, yielding files
-    with DISJOINT key ranges, each internally sorted — the zone-map
-    layout that lets any min/max-aware reader (parquet row-group stats,
-    every lakehouse format) prune key-range queries to a handful of
-    files. Layout properties (disjoint ranges, in-file sortedness) are
-    asserted footer-level in tests/test_lake_ext.py via
-    ``sorted_layout_profile``; the hashed return value proves the
-    roundtrip preserved every row (count, key cardinality, exact cents
-    total, extrema) against DuckDB aggregating the source directly.
-
-    Scale shape: one range exchange (sampled bounds) + in-partition sort
-    — the standard clustering pass; file count = shuffle partitions, so
-    size files by targeting ~1 GB per range at the real scale.
-    """
-    from desdb_spark.sources.sinks import _stage_dir
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    out = _stage_dir(spark, "lake_sorted_orders")
-    (
-        o.repartitionByRange(8, "o_totalprice")
-        .sortWithinPartitions("o_totalprice")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    back = spark.read.parquet(out)
-    return back.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("sum_cents"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
+# sink_sorted_parquet moved to sources/sinks.py (it is a sink; the write
+# paths live together, and its sorted output feeds sorted_layout_profile
+# above).

@@ -1,6 +1,6 @@
 """Round-6 batch-4 multi-dimensional clustering layout (Z-order).
 
-``sink_sorted_parquet`` (sources/lake_ext.py) already demonstrates
+``sink_sorted_parquet`` (sources/sinks.py) already demonstrates
 single-column range layout: sort by one key and parquet row-group min/max
 stats prune scans on that key. But a 100 TB fact table is queried on
 MORE than one dimension (customer AND date, part AND supplier), and a

@@ -96,49 +96,63 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(_sample(spark, sf_dir), "json")
 
 
-_ROUNDTRIP_ORACLE = """
-    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
-           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys,
-           round(sum(o_totalprice), 2) AS sum_price,
-           max(o_orderdate) AS max_date
-    FROM orders GROUP BY o_orderstatus
-"""
+@register(
+    "sink_sorted_parquet",
+    # Hash upgrade (VERDICT r6 item 4): the registered proof is the
+    # CONTENT roundtrip — write sorted, read back, aggregate — exactly
+    # the CSV/JSON roundtrip discipline. The per-file layout profile
+    # depends on sampled range bounds (nondeterministic file split
+    # points), so it stays a pytest-asserted diagnostic
+    # (lake_ext.sorted_layout_profile) rather than part of the hashed
+    # contract. Moved here from sources/lake_ext.py: it IS a sink, and
+    # the write paths live together.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+    """,
+    group="sinks",
+)
+def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sorted layout: ``repartitionByRange`` on the sort
+    key then ``sortWithinPartitions`` before the write, yielding files
+    with DISJOINT key ranges, each internally sorted — the zone-map
+    layout that lets any min/max-aware reader (parquet row-group stats,
+    every lakehouse format) prune key-range queries to a handful of
+    files. Layout properties (disjoint ranges, in-file sortedness) are
+    asserted footer-level in tests/test_lake_ext.py via
+    ``sorted_layout_profile``; the hashed return value proves the
+    roundtrip preserved every row (count, key cardinality, exact cents
+    total, extrema) against DuckDB aggregating the source directly.
 
-
-def _source_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    """Stage orders out as ``fmt`` text, read it back as a *source*, and
-    aggregate — the aggregate is hash-checked against the same SQL on the
-    original parquet, so any type-fidelity loss in the text round trip
-    (doubles, timestamps, quoting) fails the differential gate.
+    Scale shape: one range exchange (sampled bounds) + in-partition sort
+    — the standard clustering pass; file count = shuffle partitions, so
+    size files by targeting ~1 GB per range at the real scale.
     """
-    proj = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
-    out = _stage_dir(spark, f"src_{fmt}")
-    if fmt == "csv":
-        proj.write.mode("overwrite").option("header", True).csv(out)
-        back = spark.read.option("header", True).schema(proj.schema).csv(out)
-    else:
-        proj.write.mode("overwrite").json(out)
-        back = spark.read.schema(proj.schema).json(out)
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("cnt"),
-        F.countDistinct("o_orderkey").alias("distinct_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.max("o_orderdate").alias("max_date"),
+    out = _stage_dir(spark, "lake_sorted_orders")
+    (
+        o.repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
     )
-
-
-@register("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE, group="sources")
-def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV as a *source*: header + explicit schema, value-fidelity checked."""
-    return _source_roundtrip(spark, sf_dir, "csv")
-
-
-@register("source_json_roundtrip", oracle=_ROUNDTRIP_ORACLE, group="sources")
-def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines as a *source*: explicit schema, value-fidelity checked."""
-    return _source_roundtrip(spark, sf_dir, "json")
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
 
 
 def write_stream_stdout(df: DataFrame, fmt: str = "csv", out=None) -> int:

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from desdb_spark.extensions import dedup, multimodal, similarity
+from desdb_spark.extensions import dedup, dedup_components, multimodal, similarity
 from tests.conftest import SF_DIR
 
 
@@ -187,7 +187,7 @@ def test_cluster_components_cover_planted_dups(spark):
     assert truth
     clusters = {
         r.doc_id: r.cluster_id
-        for r in dedup.dedup_cluster_components(spark, SF_DIR_DOCS).collect()
+        for r in dedup_components.dedup_cluster_components(spark, SF_DIR_DOCS).collect()
     }
     for a, b in truth:
         assert clusters.get(a) == clusters.get(b), (a, b)

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from desdb_spark.sources import lake_ext
+from desdb_spark.sources.sinks import sink_sorted_parquet
 from tests.conftest import SF_DIR
 
 
@@ -20,7 +21,7 @@ def test_partition_pruned_scan_uses_dpp(spark):
 
 
 def test_sorted_sink_files_disjoint_and_sorted(spark):
-    (roundtrip,) = lake_ext.sink_sorted_parquet(spark, SF_DIR).collect()
+    (roundtrip,) = sink_sorted_parquet(spark, SF_DIR).collect()
     assert roundtrip.n_rows > 0 and roundtrip.min_price <= roundtrip.max_price
     profile = lake_ext.sorted_layout_profile(spark).collect()
     assert len(profile) >= 2  # range partitioning produced multiple files

@@ -187,44 +187,49 @@ def test_registry_order_import_pollution_proof():
     assert len(clean) == len(all_operators())
 
 
-#: The r7 driver window, frozen (VERDICT r6 item 1): the external driver
+#: The r8 driver window, frozen (VERDICT r7 item 1): the external driver
 #: hash-checks exactly the first 50 registered ops, so a refactor that
 #: reshuffles registration order silently changes WHAT GETS VERIFIED —
 #: the r4 regression class. Any intentional rotation must edit this list
-#: in the same commit that edits _OP_MODULES. Leads with the two
-#: repaired array-output ops (the r6 driver ERR class), then the
-#: capability-class never-driver-checked r6 ops, the late-changed
-#: extensions.text, and every module changed in r7.
-R7_WINDOW = [
-    "join_lateral_topn", "agg_collect_sorted_list",
-    "scalar_higher_order_funcs", "text_inverted_index",
-    "text_boolean_search", "docs_chunk_sliding", "source_xml_roundtrip",
-    "scalar_variant_json", "scalar_map_funcs", "docs_curriculum_buckets",
-    "join_bloom_runtime_filter", "join_interval_overlap",
-    "sample_priority_weighted", "sample_fixed_n_per_group",
-    "corpus_zipf_slope", "corpus_label_entropy", "docs_winsorized_stats",
-    "graph_degree_stats", "graph_triangle_count", "graph_pagerank_topk",
-    "agg_hll_sketch_union", "agg_freq_items_sketch", "linkage_blocked_fuzzy",
-    "layout_zorder_stats", "agg_incremental_merge",
-    "quality_constraint_audit", "stat_mad_outliers", "split_kfold_assign",
-    "stream_resume_exactly_once", "diff_snapshot_reconcile",
-    "source_schema_evolution_merge", "stream_static_enrich",
-    "cdc_apply_tombstones", "join_pit_versioned", "alloc_largest_remainder",
-    "stream_windowed_topk_users", "text_token_stats", "text_lang_profile",
-    "text_quality_score", "text_langid_ngram", "text_fingerprint",
-    "pipeline_quality_filter", "text_langid_confusion",
-    "window_max_drawdown", "analytics_abc_classes", "knn_hard_negatives",
-    "emb_whiten_project", "corpus_temperature_mix",
-    "stream_stateful_profile", "emb_gram_matrix",
+#: in the same commit that edits _OP_MODULES. This rotation clears the
+#: entire hash backlog: the 28 formula/analytics ops deferred since r6,
+#: the 17 r7 ops that registered past slot 50 when new, and the 5
+#: rows→hash oracle upgrades (sinks content-roundtrips + the capped
+#: components closure) — after this round every hash-checked op in the
+#: registry holds a driver hash-green row.
+R8_WINDOW = [
+    "analytics_skyline_2d", "text_bpe_pair_freq",
+    "events_attribution_last_touch", "events_attribution_time_to_convert",
+    "diag_column_stats", "diag_join_key_skew", "pipeline_curate_end2end",
+    "stat_linear_regression", "stat_welch_ttest", "events_funnel_ordered",
+    "exp_srm_check", "exp_cuped_adjusted", "events_decay_score",
+    "analytics_revenue_concentration", "events_concurrency_curve",
+    "window_rolling_median", "stat_cusum_changepoint",
+    "text_unigram_logprob", "stat_ks_two_sample", "analytics_basket_lift",
+    "agg_weighted_median", "corpus_source_jaccard",
+    "stat_jackknife_mean_ci", "text_char_entropy",
+    "analytics_growth_accounting", "events_markov_entropy_rate",
+    "scalar_try_funcs", "window_share_of_parent", "text_bm25_search",
+    "scan_keyset_pagination", "stream_stream_left_outer_join",
+    "stream_stream_full_outer_join", "sink_compact_small_files",
+    "dedup_incremental_new_batch", "corpus_length_retention_curve",
+    "corpus_length_cutoff_calibrate", "scan_observed_metrics",
+    "docs_boilerplate_ngrams", "events_seasonal_residual_anomaly",
+    "join_asof_forward", "sink_python_datasource",
+    "sample_neyman_allocation", "events_bot_regularity_score",
+    "docs_eval_substring_contamination", "events_dau_wau_stickiness",
+    "sink_parquet", "sink_csv", "sink_json", "sink_sorted_parquet",
+    "dedup_cluster_components",
 ]
 
 
-def test_r7_window_pinned():
+def test_r8_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R7_WINDOW, (
-        "driver window drifted from the documented r7 rotation plan; "
-        "if intentional, update R7_WINDOW in the same commit"
+    assert window == R8_WINDOW, (
+        "driver window drifted from the documented r8 rotation plan; "
+        "if intentional, update R8_WINDOW in the same commit"
     )
+
 
 
 def test_weyl_oracles_cast_phi_to_double():
