@@ -237,6 +237,14 @@ _OP_MODULES = (
     # --- rows-only ops never in a driver window (driver evidence for
     # rows-only checks is weaker than their pinned property pytests;
     # they rotate in only when hash backlog is clear — r9 candidates). --
+    # --- brand-new r8 ops: past the full window by design (the window
+    # was sized at exactly the 50-op hash backlog); evidence = committed
+    # selfcheck log lines + their pytests until the r9 rotation. ---
+    "desdb_spark.extensions.dedup_semantic",  # 1 op (NEW r8: SemDeDup-
+    # style embedding-cosine dedup over deterministic sign cells,
+    # exact fixed-point cosines — VERDICT r7 item 3)
+    "desdb_spark.extensions.dedup_url",  # 1 op (NEW r8: canonical-URL
+    # first-pass dedup with keep-best survivors — VERDICT r7 item 4)
     "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
     "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
     # single-aggregate fix per ADVICE)
