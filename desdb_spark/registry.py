@@ -245,6 +245,9 @@ _OP_MODULES = (
     # exact fixed-point cosines — VERDICT r7 item 3)
     "desdb_spark.extensions.dedup_url",  # 1 op (NEW r8: canonical-URL
     # first-pass dedup with keep-best survivors — VERDICT r7 item 4)
+    "desdb_spark.extensions.decontam_short",  # 1 op (NEW r8: char-gram
+    # lossless decontam for the anchor-less probes the token-anchor op
+    # scopes out — ADVICE r7)
     "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
     "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
     # single-aggregate fix per ADVICE)
