@@ -46,7 +46,20 @@ HEADLINE = [
     "dedup_exact_docs",
 ]
 
+#: LLM-pipeline suite (VERDICT r7 item 6): the data-curation tier tracked
+#: round-over-round next to the relational headline. Reported as separate
+#: JSON keys so the headline total stays comparable across rounds.
+#: DuckDB baselines appended to BASELINE.md; note dedup_near_minhash is
+#: the APPROXIMATE tier — its DuckDB baseline is the exact all-pairs
+#: Jaccard semantics it replaces (23.1 s at sf0.1), which is the point.
+LLM_SUITE = [
+    "text_bm25_search",
+    "docs_eval_substring_contamination",
+    "dedup_near_minhash",
+]
+
 RUNS = 5  # re-execution is cheap post-warmup; 5 medians out a GC outlier
+LLM_RUNS = 2  # near-minhash runs ~15 s at sf0.1; 2 runs bound bench time
 
 #: Committed historical action floor on the reference hardware (BENCH_r04:
 #: 0.1074 s; re-runs on a quiet machine land 0.10-0.15). A measured floor
@@ -131,6 +144,26 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(median(runs), 4)
 
+    # LLM-pipeline suite: run after the headline loop so its heavy
+    # shuffles never pollute the headline medians. Unlike the headline
+    # ops (scan-dominated), these are SHUFFLE-dominated — re-executing
+    # the same DataFrame would ride Spark's map-output reuse and time
+    # near the action floor (measured: near_minhash 15 s cold, 45 ms
+    # "re-run"), which is not what DuckDB's re-run baseline measures.
+    # So each timed run REBUILDS the plan (fresh shuffle ids → full
+    # recompute); the one untimed warm run amortizes JVM/codegen only.
+    for name in LLM_SUITE:
+        ops[name].fn(spark, sf_dir).toPandas()
+    llm_timings: dict[str, float] = {}
+    for name in LLM_SUITE:
+        runs = []
+        for _ in range(LLM_RUNS):
+            df = ops[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.toPandas()
+            runs.append(time.perf_counter() - t0)
+        llm_timings[name] = round(min(runs), 4)
+
     # Post-run floor: catches load that arrived DURING the timing loop.
     floor_after = measure_floor(spark, attempts=1)
     floor_ratio = round(max(floor, floor_after) / HISTORICAL_FLOOR_SEC, 2)
@@ -144,6 +177,8 @@ def main() -> None:
         "floor_sec": floor,
         "floor_after_sec": floor_after,
         "cold_first_action_sec": cold_first_action,
+        "llm_queries": llm_timings,
+        "llm_total_sec": round(sum(llm_timings.values()), 4),
     }
     if floor_ratio > FLOOR_TOLERANCE:
         # Every timing above is inflated by ambient machine load — the

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 
 from desdb_spark.extensions.classifier_ext import (
+    EARLY_STOP_TOL,
     LEARNING_RATE,
     N_ITERS,
     _features,
@@ -15,7 +16,7 @@ from desdb_spark.session import load_table
 from tests.conftest import SF_DIR
 
 
-def _numpy_reference(feats_pdf, n_iters, lr):
+def _numpy_reference(feats_pdf, n_iters, lr, tol=EARLY_STOP_TOL):
     X = np.column_stack(
         [
             np.ones(len(feats_pdf)),
@@ -34,6 +35,8 @@ def _numpy_reference(feats_pdf, n_iters, lr):
             -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean()
         )
         w = w - lr * (X.T @ (p - y)) / len(y)
+        if len(losses) >= 2 and losses[-2] - losses[-1] < tol:
+            break
     return w, losses
 
 
@@ -43,6 +46,7 @@ def test_distributed_gd_matches_numpy(spark):
     ref_w, ref_losses = _numpy_reference(
         feats.toPandas(), N_ITERS, LEARNING_RATE
     )
+    assert len(losses) == len(ref_losses)  # identical early-stop point
     assert np.allclose(w, ref_w, atol=1e-6), (w, ref_w)
     assert np.allclose(losses, ref_losses, atol=1e-6)
     # optimization actually progresses
@@ -56,7 +60,8 @@ def test_registered_op_reports_learning(spark):
     assert len(final) == 1
     (f,) = final
     iters = [r for r in rows if r.iteration >= 0]
-    assert len(iters) == N_ITERS
+    # early stop makes N_ITERS a ceiling, not a constant
+    assert 2 <= len(iters) <= N_ITERS
     # accuracy beats the majority-class baseline
     d = load_table(spark, SF_DIR, "documents").toPandas()
     maj = max((d["lang"] == "en").mean(), 1 - (d["lang"] == "en").mean())
