@@ -114,6 +114,99 @@ def train_quality_logreg(
     return w, losses
 
 
+#: Pinned inference weights — a converged (500-iteration) fit of the
+#: same features on the sf0.01 fixture, hard-coded so SCORING is a pure
+#: deterministic expression (the MLlib pattern: training produces a
+#: parameter artifact; serving ships constants). The fixture's features
+#: barely separate en/non-en (synthetic text), which is exactly what the
+#: decile calibration table below is for: it reports how well the score
+#: ranks, whatever the fit quality.
+SCORE_W = (-0.0992, -0.0933, -0.0602, -0.1797)
+
+
+@register(
+    "quality_logreg_score_deciles",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+                   n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       / CAST(100.0 AS DOUBLE) AS x2,
+                   CAST(n_chars AS DOUBLE)
+                       / greatest(len(list_filter(string_split(text, ' '),
+                                                  t -> t <> '')), 1)
+                       / CAST(10.0 AS DOUBLE) AS x3
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, label,
+                   CAST({SCORE_W[0]} AS DOUBLE)
+                   + CAST({SCORE_W[1]} AS DOUBLE) * x1
+                   + CAST({SCORE_W[2]} AS DOUBLE) * x2
+                   + CAST({SCORE_W[3]} AS DOUBLE) * x3 AS margin
+            FROM feats
+        ), tiled AS (
+            SELECT label, margin,
+                   ntile(10) OVER (ORDER BY margin, doc_id) AS decile
+            FROM scored
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(label) AS BIGINT) AS n_english,
+               CAST(sum(CAST(round(margin * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sum_margin_micros
+        FROM tiled GROUP BY decile
+    """,
+    group="classifier_ext",
+)
+def quality_logreg_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side calibration table for the quality classifier: score
+    every document with the PINNED weights (pure whole-stage-codegen
+    arithmetic — training's float loop never runs at serving time),
+    split the corpus into score deciles, and report per-decile document
+    count, positive-label count, and the exact fixed-point margin mass —
+    the reliability-diagram input an operator watches for score drift.
+
+    Scale shape: one pass for features + margin (no Python), one global
+    sort for ntile (at 100 TB swap ntile for approx-quantile cut points
+    — same table, no total order), one groupBy on the decile. Margins
+    aggregate as integer micros so the hash is summation-order-proof.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("label"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(toks) / 100.0).alias("x2"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+            / 10.0
+        ).alias("x3"),
+    )
+    b, w1, w2, w3 = SCORE_W
+    margin = (
+        F.lit(b)
+        + F.lit(w1) * F.col("x1")
+        + F.lit(w2) * F.col("x2")
+        + F.lit(w3) * F.col("x3")
+    )
+    from pyspark.sql import Window
+
+    tiled = d.select(
+        "label", margin.alias("margin"), "doc_id"
+    ).withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("margin", "doc_id"))
+    )
+    return tiled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("label").cast("bigint").alias("n_english"),
+        F.sum(F.round(F.col("margin") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_margin_micros"),
+    )
+
+
 @register("quality_logreg_train", group="classifier_ext")  # rows-only: iterative float
 def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the is-English classifier and report, per iteration, the

@@ -56,3 +56,57 @@ def test_resize_plan_aspect_and_bounds(spark):
         # aspect preserved: floor(side * num / den) exactly
         assert r.out_w == r.width * r.scale_num // r.scale_den
         assert r.out_h == r.height * r.scale_num // r.scale_den
+
+
+def test_resample_pixels_exact_values(spark):
+    """Value-level pixel evidence (VERDICT r7 item 8): the Spark resample
+    op's fingerprints and checksums equal an independent NumPy
+    nearest-neighbor reference, byte for byte, on the planted gradient
+    buffers — including identity (no-upscale) and skewed-aspect shapes."""
+    import hashlib
+
+    import numpy as np
+
+    rows = multimodal_ext.multimodal_resample_pixels(spark, SF_DIR).collect()
+    assert rows
+    T = multimodal_ext.TARGET_SIDE
+    for r in rows:
+        # independent reference: same planted pattern, independent resize
+        src = np.frombuffer(
+            multimodal_ext.make_rgb_buffer(r.doc_id, r.width, r.height),
+            dtype="uint8",
+        ).reshape(r.height, r.width, 3)
+        longest = max(r.width, r.height)
+        den = longest if longest > T else T
+        exp_w = max(1, r.width * T // den)
+        exp_h = max(1, r.height * T // den)
+        assert (r.out_w, r.out_h) == (exp_w, exp_h)
+        ys = (np.arange(exp_h) * r.height) // exp_h
+        xs = (np.arange(exp_w) * r.width) // exp_w
+        ref = src[ys][:, xs]
+        assert r.out_md5 == hashlib.md5(ref.tobytes()).hexdigest()
+        assert r.px_sum == int(ref.sum())
+    # no upscale: small images pass through identically (md5 of source)
+    small = [r for r in rows if max(r.width, r.height) <= T]
+    assert small, "fixture dims should include no-upscale cases"
+    for r in small:
+        assert (r.out_w, r.out_h) == (r.width, r.height)
+
+
+def test_resample_kernel_edge_shapes():
+    """Direct kernel check on pathological shapes: 1x1, 1xN, extreme
+    aspect — exact bytes against the reference mapping."""
+    import numpy as np
+
+    from desdb_spark.extensions.multimodal_ext import (
+        make_rgb_buffer,
+        resample_rgb_nearest,
+    )
+
+    for w, h, ow, oh in [(1, 1, 1, 1), (64, 1, 32, 1), (3, 200, 1, 32)]:
+        buf = make_rgb_buffer(7, w, h)
+        out = resample_rgb_nearest(buf, w, h, ow, oh)
+        img = np.frombuffer(buf, dtype="uint8").reshape(h, w, 3)
+        ys = (np.arange(oh) * h) // oh
+        xs = (np.arange(ow) * w) // ow
+        assert out == img[ys][:, xs].tobytes()

@@ -1,0 +1,157 @@
+"""Scale spot-check (VERDICT r7 item 7): run the slow-by-design exact /
+iterative tiers at 10× the largest fixture and record wall-time ratios —
+direct evidence the algorithms degrade sub-quadratically, supporting the
+100× design claims.
+
+No sf1.0 fixture exists (TESTDATA.md ships sf ≤ 0.1 and /root/testdata is
+read-only), so this derives one under /tmp from sf0.1, preserving the
+PER-REPLICA data distribution so the ratio measures SCALING, not a
+changed workload:
+
+- documents ×10: replica k suffixes every token with ``_k`` — token sets
+  are disjoint across replicas, so each replica reproduces sf0.1's exact
+  dup/near-dup cluster structure and no cross-replica similarity inflates
+  clique sizes (an identical-copy scale-up would create 10-cliques and
+  measure a different, artificially quadratic problem).
+- embeddings ×10: replica k flips a deterministic per-replica sign
+  pattern — within-replica cosines are EXACTLY preserved (both vectors
+  flip identically), cross-replica cosines scramble to noise.
+- events ×10: replica k offsets user_id/event_id — the interaction graph
+  becomes 10 disjoint copies of the sf0.1 graph.
+
+Timings are Spark-side only (the quadratic DuckDB oracles are exactly
+what does NOT scale — that asymmetry is the point); correctness at this
+scale is covered by the per-replica structure equaling the sf0.1 runs
+the differential gate already verifies.
+
+Usage: python tools/scale_spotcheck.py [--out SELFCHECK_r08_sf1.log]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+from desdb_spark.registry import all_operators  # noqa: E402
+from desdb_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DERIVED = "/tmp/desdb_scale/sf1.0"
+REPLICAS = 10
+OPS = [
+    "dedup_cluster_components",
+    "dedup_ngram_jaccard",
+    "dedup_near_minhash",
+    "ann_ivf_kmeans",
+    "graph_pagerank_topk",
+]
+
+
+def build_derived() -> None:
+    import duckdb
+
+    os.makedirs(DERIVED, exist_ok=True)
+    con = duckdb.connect()
+    # tables no spot-checked op scales over: straight copies
+    for t in "region nation customer supplier part".split():
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DERIVED}/{t}.parquet")
+    # pagerank's graph comes from orders+lineitem: replica k offsets the
+    # keys so the customer-supplier graph becomes 10 disjoint copies
+    con.execute(f"""
+        COPY (
+            SELECT o.* REPLACE (
+                o.o_orderkey + k.k * 100000000 AS o_orderkey,
+                o.o_custkey + k.k * 10000000 AS o_custkey)
+            FROM read_parquet('{SRC}/orders.parquet') o,
+                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
+        ) TO '{DERIVED}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT l.* REPLACE (
+                l.l_orderkey + k.k * 100000000 AS l_orderkey,
+                l.l_suppkey + k.k * 1000000 AS l_suppkey)
+            FROM read_parquet('{SRC}/lineitem.parquet') l,
+                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
+        ) TO '{DERIVED}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT d.doc_id + k.k * 10000000 AS doc_id,
+                   CASE WHEN k.k = 0 THEN d.text
+                        ELSE replace(d.text, ' ', '_' || k.k || ' ')
+                             || '_' || k.k END AS text,
+                   d.lang, d.source, d.n_chars
+            FROM read_parquet('{SRC}/documents.parquet') d,
+                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
+        ) TO '{DERIVED}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT e.vec_id + k.k * 10000000 AS vec_id,
+                   CASE WHEN k.k = 0 THEN e.embedding ELSE
+                     list_transform(
+                       list_zip(e.embedding,
+                                generate_series(1, len(e.embedding))),
+                       p -> CASE WHEN ((p[2] * 31 + k.k * 17) % 3) = 0
+                                 THEN -p[1] ELSE p[1] END)
+                   END AS embedding,
+                   e.label
+            FROM read_parquet('{SRC}/embeddings.parquet') e,
+                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
+        ) TO '{DERIVED}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT e.event_id + k.k * 100000000 AS event_id, e.ts,
+                   e.user_id + k.k * 10000000 AS user_id,
+                   e.event_type, e.value, e.props
+            FROM read_parquet('{SRC}/events.parquet') e,
+                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
+        ) TO '{DERIVED}/events.parquet' (FORMAT PARQUET)
+    """)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = open(args.out, "w") if args.out else sys.stdout
+
+    def emit(line: str) -> None:
+        print(line)
+        if args.out:
+            out.write(line + "\n")
+            out.flush()
+
+    emit("# scale spot-check: sf0.1 fixtures vs derived 10x (see "
+         "tools/scale_spotcheck.py header for the derivation)")
+    t0 = time.perf_counter()
+    build_derived()
+    emit(f"derived dataset built under {DERIVED} "
+         f"({time.perf_counter() - t0:.1f}s)")
+    spark = get_spark("scale_spotcheck", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = all_operators()
+    for name in OPS:
+        times = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1.0x", DERIVED)):
+            t0 = time.perf_counter()
+            n = ops[name].fn(spark, sf_dir).count()
+            times[label] = time.perf_counter() - t0
+            emit(f"rows  {name} @ {label}: {n} rows ({times[label]:.1f}s)")
+        ratio = times["sf1.0x"] / max(times["sf0.1"], 1e-9)
+        emit(f"ratio {name}: {ratio:.1f}x wall for 10.0x rows "
+             f"({'sub-quadratic OK' if ratio < 50 else 'CHECK'})")
+    if args.out:
+        out.close()
+
+
+if __name__ == "__main__":
+    main()
