@@ -29,7 +29,7 @@ from desdb_spark.session import load_table
 #: recall@10 on the planted sf0.01 set: 0.875 at nprobe=4, 0.925 at 5,
 #: 0.9875 at 6 (fixture has 8 cells; tests/test_ann_serving.py asserts
 #: the ≥0.9 floor). At corpus scale the cell count grows with n
-#: (cells ≈ n/4096), so nprobe=6 probes a vanishing fraction of cells.
+#: (occupancy-capped 4√n nlist), so nprobe=6 probes a vanishing fraction.
 DEFAULT_K = 10
 DEFAULT_NPROBE = 6
 N_PLANTED = 8

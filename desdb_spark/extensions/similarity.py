@@ -577,16 +577,34 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sample are statistically identical at any corpus size).
 IVF_FIT_SAMPLE_ROWS = 50_000
 
-#: IVF geometry (r4, ADVICE r3): the cell count scales with the corpus so
-#: expected cell occupancy stays ≈ IVF_TARGET_CELL_ROWS — the cell-keyed
-#: search join emits Σ n_cell² ≈ n × TARGET rows, linear in n, instead of
-#: n²/k at fixed k. IVF_MIN_CELLS is the fixture floor (r3 behavior).
-IVF_TARGET_CELL_ROWS = 4096
+#: IVF geometry (r4, ADVICE r3; r8 rework): the cell count scales with
+#: the corpus so expected cell occupancy stays ≈ IVF_TARGET_CELL_ROWS —
+#: the cell-keyed search join emits Σ n_cell² ≈ n × TARGET rows instead
+#: of n²/k at fixed k. IVF_MIN_CELLS is the fixture floor (r3 behavior).
+#:
+#: r8 finding (SELFCHECK_r08_sf1.log): with the old TARGET=4096, the
+#: 8-cell floor persisted until n > 32k, so 2k→20k vectors grew the join
+#: QUADRATICALLY (measured 76.8× wall for 10× rows). The fix: occupancy
+#: target 256 capped by the FAISS-style nlist ≈ 4√n rule —
+#: cells = max(8, min(⌈n/256⌉, ⌈4√n⌉)). Join volume is then n×256 up to
+#: n ≈ 1M and n^1.5/4 beyond (the standard IVF tradeoff; past that scale
+#: a coarse quantizer over the centroids, IVF-PQ, is the next tier —
+#: extensions/ann_pq.py). Fixture-scale behavior is bit-identical
+#: (n=500 and n=2000 both still yield the 8-cell floor), so recall
+#: pytests and committed selfcheck evidence are unaffected; re-measured
+#: 10× ratio drops to ~linear (appended to SELFCHECK_r08_sf1.log).
+IVF_TARGET_CELL_ROWS = 256
 IVF_MIN_CELLS = 8
 
 
 def _ivf_cell_count(n_rows: int) -> int:
-    return max(IVF_MIN_CELLS, math.ceil(n_rows / IVF_TARGET_CELL_ROWS))
+    return max(
+        IVF_MIN_CELLS,
+        min(
+            math.ceil(n_rows / IVF_TARGET_CELL_ROWS),
+            math.ceil(4 * math.sqrt(n_rows)),
+        ),
+    )
 
 
 def _ivf_assign(vecs: DataFrame, centers, nprobe: int) -> DataFrame:
@@ -642,7 +660,7 @@ def ann_ivf_kmeans(
     The inverted-file pattern: a k-means fit partitions vectors into coarse
     cells; each query probes its ``nprobe`` nearest cells and searches only
     their members. r4 rework (ADVICE r3): the cell count scales with the
-    corpus (``_ivf_cell_count``: k ≈ n / IVF_TARGET_CELL_ROWS, floor 8) so
+    corpus (``_ivf_cell_count``: occupancy-capped 4√n nlist, floor 8) so
     the cell-keyed join emits ~n × TARGET rows — linear in n — instead of
     n²/k at fixed k=8; and nprobe>1 unions neighbor-cell assignments into
     the probe side, making recall/cost a tunable knob (nprobe=k degenerates

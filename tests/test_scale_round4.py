@@ -234,10 +234,22 @@ def test_ivf_nprobe_monotone_recall(spark):
 
 def test_ivf_cell_count_scales():
     assert similarity._ivf_cell_count(500) == similarity.IVF_MIN_CELLS
+    assert similarity._ivf_cell_count(2000) == similarity.IVF_MIN_CELLS
     assert similarity._ivf_cell_count(10**6) > similarity.IVF_MIN_CELLS
-    # Expected cell occupancy stays ≈ TARGET → join emits ~n × TARGET rows.
-    n = 10**9
-    assert n / similarity._ivf_cell_count(n) <= similarity.IVF_TARGET_CELL_ROWS * 1.01
+    # r8 regression guard (SELFCHECK_r08_sf1.log): the old n/4096 rule
+    # floored at 8 cells until n > 32k, growing the cell join
+    # quadratically between fixture scale and 10x. Occupancy must stay
+    # ≈ TARGET through that range...
+    assert 20_000 / similarity._ivf_cell_count(20_000) <= (
+        similarity.IVF_TARGET_CELL_ROWS * 1.01
+    )
+    # ...and follow the FAISS-style √n/4 envelope in the sqrt regime
+    # (nlist ≈ 4√n), where IVF-PQ is the next tier anyway.
+    import math
+
+    for n in (10**6, 10**9):
+        cap = max(similarity.IVF_TARGET_CELL_ROWS, math.sqrt(n) / 4)
+        assert n / similarity._ivf_cell_count(n) <= cap * 1.01
 
 
 # ------------------------------------------------------------- tier contract

@@ -136,7 +136,15 @@ def main() -> None:
     build_derived()
     emit(f"derived dataset built under {DERIVED} "
          f"({time.perf_counter() - t0:.1f}s)")
-    spark = get_spark("scale_spotcheck", shuffle_partitions=32)
+    # local-mode default is a 1 GB driver JVM; the 10x edge sets
+    # (cluster_components materializes ~30M edges via localCheckpoint)
+    # thrash GC there. Size the heap for the spot-check — this conf only
+    # takes effect when this process creates the JVM, so run standalone.
+    spark = get_spark(
+        "scale_spotcheck",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ops = all_operators()
     for name in OPS:
