@@ -260,6 +260,8 @@ _OP_MODULES = (
     "desdb_spark.extensions.decontam_short",  # 1 op (NEW r8: char-gram
     # lossless decontam for the anchor-less probes the token-anchor op
     # scopes out — ADVICE r7)
+    "desdb_spark.extensions.dedup_eval",  # 1 op (NEW r8: MinHash-vs-
+    # exact-truth recall/efficiency audit, the dedup tier's telemetry)
     "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
     "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
     # single-aggregate fix per ADVICE)

@@ -79,3 +79,20 @@ def test_url_dedup_collapses_planted_variants(spark):
         src = host.split(".example.org")[0]
         page = int(path.rsplit("/", 1)[-1])
         assert r.keep_chars == best[(src, page)]
+
+
+def test_minhash_eval_invariants(spark):
+    """The audit's numbers must be internally consistent (verified ⊆
+    truth because both sides Jaccard-verify at the same threshold) and
+    recall must clear the planted floor — the fixture's dup pairs are
+    exact duplicates, which collide in every MinHash band, so the LSH
+    tier cannot miss them."""
+    from desdb_spark.extensions.dedup_eval import dedup_minhash_eval
+
+    (r,) = dedup_minhash_eval(spark, SF_DIR).collect()
+    assert r.n_lsh_verified <= r.n_truth
+    assert r.n_missed == r.n_truth - r.n_lsh_verified
+    assert r.n_lsh_candidates >= r.n_lsh_verified
+    assert r.recall_micros == (1_000_000 * r.n_lsh_verified) // max(r.n_truth, 1)
+    assert r.n_truth > 0  # fixture plants dups; an empty truth is a bug
+    assert r.recall_micros >= 900_000
