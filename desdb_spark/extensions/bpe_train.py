@@ -102,6 +102,58 @@ def train_bpe_merges(d: DataFrame, n_merges: int = N_MERGES):
     return merges, wf
 
 
+@register("text_bpe_apply_stats", group="bpe_train")  # rows-only: uses trained merges
+def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the merges, then APPLY them to the corpus and report the
+    compression: symbols before, tokens after, ratio in exact micros —
+    the number that tells a tokenizer team whether K merges were worth
+    it. Application chains the K known merge rewrites into ONE plan over
+    the word-frequency table (the merges are constants once trained, so
+    unlike training there is no per-round action — Catalyst fuses all K
+    array-aggregates into a single projection) and weights by word
+    frequency, so corpus-level totals come from the compressed table.
+
+    Rows-only (depends on the trained merges); the pytest checks the
+    totals against the reference tokenizer applied per word.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe_merges(d)
+    wf = word_freq_symbols(d)
+    before = wf
+    for left, right, _freq in merges:
+        wf = _merge_pair(wf, left, right)
+    row = (
+        before.select(
+            (F.size("syms") * F.col("freq")).alias("b"), F.lit(0).alias("a")
+        )
+        .unionByName(
+            wf.select(
+                F.lit(0).alias("b"), (F.size("syms") * F.col("freq")).alias("a")
+            )
+        )
+        .agg(
+            F.sum("b").cast("bigint").alias("symbols_before"),
+            F.sum("a").cast("bigint").alias("tokens_after"),
+        )
+        .first()
+    )
+    ratio_micros = (1_000_000 * int(row.tokens_after)) // max(
+        int(row.symbols_before), 1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                int(row.symbols_before),
+                int(row.tokens_after),
+                ratio_micros,
+            )
+        ],
+        "n_merges int, symbols_before bigint, tokens_after bigint, "
+        "compression_micros bigint",
+    )
+
+
 @register("text_bpe_train_merges", group="bpe_train")  # rows-only: iterative loop
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train N_MERGES BPE merges on the corpus and report the merge

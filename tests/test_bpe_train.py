@@ -68,3 +68,37 @@ def test_merge_sequence_matches_reference(spark):
     # merges actually compress: each chosen pair had positive weight
     assert all(f > 0 for _, _, f in got_merges)
     assert len(got_merges) == N_MERGES
+
+
+def test_apply_stats_match_reference(spark):
+    from desdb_spark.extensions.bpe_train import text_bpe_apply_stats
+
+    (r,) = text_bpe_apply_stats(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    wf = {
+        row.w: row.f
+        for row in d.selectExpr("explode(split(text, ' ')) AS w")
+        .where("w <> ''")
+        .groupBy("w")
+        .count()
+        .withColumnRenamed("count", "f")
+        .collect()
+    }
+    ref_merges, _ = _reference_bpe(wf, N_MERGES)
+    # apply reference merges per word, weight by freq
+    before = sum(len(w) * f for w, f in wf.items())
+    seqs = {w: list(w) for w in wf}
+    for l, rgt, _f in ref_merges:
+        for w, syms in seqs.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == rgt:
+                    out[-1] = l + rgt
+                else:
+                    out.append(s)
+            seqs[w] = out
+    after = sum(len(seqs[w]) * f for w, f in wf.items())
+    assert (r.symbols_before, r.tokens_after) == (before, after)
+    assert r.compression_micros == (1_000_000 * after) // before
+    assert r.n_merges == N_MERGES
+    assert after < before  # merges actually compressed the corpus
