@@ -121,8 +121,16 @@ def build_derived() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
+    ap.add_argument("--append", action="store_true",
+                    help="append to --out instead of truncating")
+    ap.add_argument("names", nargs="*",
+                    help="operator names to spot-check (default: the "
+                         "slow-by-design exact/iterative set)")
     args = ap.parse_args()
-    out = open(args.out, "w") if args.out else sys.stdout
+    global OPS
+    if args.names:
+        OPS = args.names
+    out = open(args.out, "a" if args.append else "w") if args.out else sys.stdout
 
     def emit(line: str) -> None:
         print(line)
