@@ -262,9 +262,12 @@ _OP_MODULES = (
     # scopes out — ADVICE r7)
     "desdb_spark.extensions.dedup_eval",  # 1 op (NEW r8: MinHash-vs-
     # exact-truth recall/efficiency audit, the dedup tier's telemetry)
-    "desdb_spark.extensions.bpe_train",  # 1 op (NEW r8: the BPE merge
+    "desdb_spark.extensions.bpe_train",  # 2 ops (NEW r8: the BPE merge
     # LOOP over the word-frequency table — 1 corpus scan + K small
-    # rounds; completes tokenizer_ext's counting primitive)
+    # rounds — plus the apply/compression report; completes
+    # tokenizer_ext's counting primitive)
+    "desdb_spark.extensions.quality_gopher",  # 1 op (NEW r8: Gopher
+    # rule census with per-rule failure attribution, one-pass)
     "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
     "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
     # single-aggregate fix per ADVICE)
