@@ -268,6 +268,9 @@ _OP_MODULES = (
     # tokenizer_ext's counting primitive)
     "desdb_spark.extensions.quality_gopher",  # 1 op (NEW r8: Gopher
     # rule census with per-rule failure attribution, one-pass)
+    "desdb_spark.extensions.bootstrap_ext",  # 1 op (NEW r8: one-pass
+    # Poisson-bootstrap CI — R deterministic replicate weights per row,
+    # all replicates aggregated in a single scan)
     "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
     "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
     # single-aggregate fix per ADVICE)
