@@ -271,6 +271,8 @@ _OP_MODULES = (
     "desdb_spark.extensions.bootstrap_ext",  # 1 op (NEW r8: one-pass
     # Poisson-bootstrap CI — R deterministic replicate weights per row,
     # all replicates aggregated in a single scan)
+    "desdb_spark.sources.time_travel",  # 1 op (NEW r8: manifest-based
+    # snapshot versioning + AS OF reads — the lakehouse commit shape)
     "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
     "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
     # single-aggregate fix per ADVICE)
