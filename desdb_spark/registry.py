@@ -241,17 +241,19 @@ _OP_MODULES = (
     # was sized at exactly the 50-op hash backlog); evidence = committed
     # selfcheck log lines + their pytests until the r9 rotation.
     # ROUND-9 ROTATION NOTE: if CORRECTNESS_r08 sweeps clean, every
-    # hash-checked op holds a driver hash row. The r9 window should
-    # lead with (1) these new r8 hash ops (dedup_semantic_embedding,
-    # dedup_url_canonical, docs_decontam_short_probes,
-    # quality_logreg_score_deciles in classifier_ext), (2) any module
-    # changed in r9, (3) the rows-only never-driver ops below
-    # (ann_serving/ann_pq/classifier_ext's train/footer_census +
-    # multimodal_resample_pixels) for rows-grade driver evidence, then
-    # oldest-green hash modules (sinks r2-green rows are the oldest
-    # refreshed r8; next oldest greens are r3/r4 blocks). Re-pin
-    # test_r8_window_pinned -> test_r9_window_pinned; regenerate
-    # SURVEY §2C. ---
+    # pre-r8 hash-checked op holds a driver hash row. The r9 window
+    # should lead with (1) the 8 new r8 HASH ops below —
+    # dedup_semantic_embedding, dedup_url_canonical,
+    # docs_decontam_short_probes, quality_logreg_score_deciles
+    # (classifier_ext), docs_quality_gopher_rules, stat_bootstrap_mean_ci,
+    # source_time_travel_read, source_manifest_pruned_read — plus
+    # (2) any module changed in r9, then (3) the rows-only never-driver
+    # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
+    # diag_rowgroup_stats, multimodal_resample_pixels,
+    # dedup_minhash_eval, text_bpe_train_merges, text_bpe_apply_stats)
+    # for rows-grade driver evidence, then oldest-green hash modules
+    # (r2/r3 blocks). Re-pin test_r8_window_pinned ->
+    # test_r9_window_pinned; regenerate SURVEY §2C. ---
     "desdb_spark.extensions.dedup_semantic",  # 1 op (NEW r8: SemDeDup-
     # style embedding-cosine dedup over deterministic sign cells,
     # exact fixed-point cosines — VERDICT r7 item 3)
