@@ -41,15 +41,14 @@ def _table_root(spark: SparkSession) -> str:
     return _stage_dir(spark, "tt_orders")
 
 
-def write_version(
+def write_data_files(
     df: DataFrame, root: str, version: int, stats_col: str | None = None
 ) -> list:
-    """Append ``df`` as a new snapshot: write immutable data files under
-    data/v{n}-*, then commit manifest/v{n}.json = prior entries + new
-    entries. With ``stats_col``, each entry also records the column's
-    per-file min/max (read from the parquet footer — the manifest-level
-    zone map Iceberg/Delta keep per data file). Returns the manifest
-    entries (plain paths, or {path, min, max} dicts)."""
+    """Write ``df`` as immutable data files under data_v{n}/ and return
+    their manifest entries (plain paths, or {path, min, max} dicts when
+    ``stats_col`` asks for the column's per-file zone map, read from the
+    parquet footer). Writing commits nothing — a version exists only
+    once :func:`commit_manifest` names these files."""
     out = os.path.join(root, f"data_v{version}")
     df.write.mode("overwrite").parquet(out)
     files = sorted(glob.glob(os.path.join(out, "*.parquet")))
@@ -71,22 +70,41 @@ def write_version(
             entries.append(
                 {"path": p, "min": str(min(mins)), "max": str(max(maxs))}
             )
-    prior: list = []
-    if version > 1:
-        with open(os.path.join(root, "manifest", f"v{version - 1}.json")) as fh:
-            prior = json.load(fh)["files"]
+    return entries
+
+
+def commit_manifest(root: str, version: int, entries: list) -> list:
+    """Commit manifest/v{n}.json naming exactly ``entries`` — the
+    atomic-rename-equivalent step every lakehouse format ends a
+    transaction with. Callers choose the semantics: append passes
+    prior + new, MERGE passes untouched + rewritten."""
     os.makedirs(os.path.join(root, "manifest"), exist_ok=True)
-    manifest = {"version": version, "files": prior + entries}
+    manifest = {"version": version, "files": entries}
     with open(os.path.join(root, "manifest", f"v{version}.json"), "w") as fh:
         json.dump(manifest, fh)
-    return manifest["files"]
+    return entries
+
+
+def read_manifest(root: str, version: int) -> list:
+    with open(os.path.join(root, "manifest", f"v{version}.json")) as fh:
+        return json.load(fh)["files"]
+
+
+def write_version(
+    df: DataFrame, root: str, version: int, stats_col: str | None = None
+) -> list:
+    """Append ``df`` as a new snapshot: write immutable data files, then
+    commit manifest/v{n}.json = prior entries + new entries. Returns the
+    committed entry list."""
+    entries = write_data_files(df, root, version, stats_col=stats_col)
+    prior: list = [] if version == 1 else read_manifest(root, version - 1)
+    return commit_manifest(root, version, prior + entries)
 
 
 def read_as_of(spark: SparkSession, root: str, version: int) -> DataFrame:
     """Time-travel read: the file list comes from the manifest, never
     from a directory listing."""
-    with open(os.path.join(root, "manifest", f"v{version}.json")) as fh:
-        entries = json.load(fh)["files"]
+    entries = read_manifest(root, version)
     files = [e["path"] if isinstance(e, dict) else e for e in entries]
     return spark.read.parquet(*files)
 
