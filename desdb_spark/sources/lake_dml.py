@@ -138,6 +138,49 @@ def build_merged_table(spark: SparkSession, sf_dir: str):
     return root, thr, len(entries), len(touched)
 
 
+def merge_into(spark: SparkSession, root: str, v_from: int, v_to: int, batch: DataFrame):
+    """Generic copy-on-write MERGE of a (k, cents) upsert batch with
+    SET-TO-VALUE semantics — replaying the same batch against the result
+    reproduces it bit-for-bit, which is what makes this the correct
+    foreachBatch body under checkpoint replay.
+
+    Zone maps classify each batch key: keys inside some file's [min,max]
+    MAY exist and full-outer-merge with exactly those files' rows (a
+    range-candidate key that turns out absent still inserts — the full
+    outer keeps it, so zone-map false positives cost a rewrite, never a
+    row); keys outside every range are provably absent and insert
+    directly. Commits v_to = untouched + rewritten + inserted; returns
+    (n_total_files, n_touched_files)."""
+    entries = read_manifest(root, v_from)
+    ranges = [(e["path"], int(e["min"]), int(e["max"])) for e in entries]
+    assign = F.when(F.col("k").between(ranges[0][1], ranges[0][2]), 0)
+    for i, (_p, lo, hi) in enumerate(ranges[1:], start=1):
+        assign = assign.when(F.col("k").between(lo, hi), i)
+    b = batch.select("k", "cents").withColumn("_f", assign)
+    touched_idx = sorted(
+        r[0]
+        for r in b.select("_f").where(F.col("_f").isNotNull()).distinct().collect()
+    )
+    touched = [ranges[i][0] for i in touched_idx]
+    untouched = [e for e in entries if e["path"] not in set(touched)]
+    inserts = b.where(F.col("_f").isNull()).select("k", "cents")
+    if touched:
+        cand = b.where(F.col("_f").isNotNull()).select(
+            "k", F.col("cents").alias("new_cents")
+        )
+        merged = (
+            spark.read.parquet(*touched)
+            .join(cand, on="k", how="full_outer")
+            .select("k", F.coalesce("new_cents", "cents").alias("cents"))
+        )
+        new_df = merged.unionByName(inserts)
+    else:
+        new_df = inserts
+    new_entries = write_data_files(new_df, root, v_to, stats_col="k")
+    commit_manifest(root, v_to, untouched + new_entries)
+    return len(entries), len(touched)
+
+
 @register(
     "source_merge_upsert",
     oracle=f"""
