@@ -78,15 +78,19 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_merged_table(spark: SparkSession, sf_dir: str):
+def build_merged_table(
+    spark: SparkSession, sf_dir: str, root_name: str = "dml_merge_orders"
+):
     """v1 = orders(k, cents) range-clustered into N_FILES files with
     per-file key zone maps in the manifest; v2 = copy-on-write MERGE of
     the deterministic update/insert batch. Returns
     (root, thr, n_total_files, n_touched_files) — the last two feed the
-    pytest pin on rewrite targeting.
+    pytest pin on rewrite targeting. Ops that MUTATE the table afterward
+    (vacuum, restore) pass their own ``root_name`` so the read-only ops
+    sharing the default root never observe their side effects.
     """
     base = _base(spark, sf_dir)
-    root = _stage_dir(spark, "dml_merge_orders")
+    root = _stage_dir(spark, root_name)
     clustered = base.repartitionByRange(N_FILES, "k").sortWithinPartitions("k")
     entries = write_version(clustered, root, 1, stats_col="k")
 
