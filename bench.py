@@ -58,8 +58,21 @@ LLM_SUITE = [
     "dedup_near_minhash",
 ]
 
+#: Lake-DML suite (r8): the manifest-table mutation tier. Each timed run
+#: REBUILDS the table from scratch (the op's own semantic — it writes
+#: v1, merges/deletes, reads back), so the number tracks the whole
+#: write-commit-read cycle, not a cached plan. DuckDB's baseline runs
+#: only the logical end-state aggregate (no versioning I/O) — the delta
+#: IS the measured cost of the DML machinery, tracked round-over-round.
+LAKE_SUITE = [
+    "source_merge_upsert",
+    "source_delete_vectors_read",
+    "stream_merge_manifest_table",
+]
+
 RUNS = 5  # re-execution is cheap post-warmup; 5 medians out a GC outlier
 LLM_RUNS = 2  # near-minhash runs ~15 s at sf0.1; 2 runs bound bench time
+LAKE_RUNS = 2  # each run rebuilds + rewrites the table; 2 bound bench time
 
 #: Committed historical action floor on the reference hardware (BENCH_r04:
 #: 0.1074 s; re-runs on a quiet machine land 0.10-0.15). A measured floor
@@ -164,6 +177,21 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         llm_timings[name] = round(min(runs), 4)
 
+    # Lake-DML suite: the op builds + mutates + reads its own table, so
+    # every run is inherently a fresh plan — no shuffle-reuse trap, no
+    # warm run to separate (the first run's JVM warmup is already paid
+    # by the suites above).
+    lake_timings: dict[str, float] = {}
+    for name in LAKE_SUITE:
+        runs = []
+        for _ in range(LAKE_RUNS):
+            # The mutation work happens inside fn() (writes v1, commits
+            # the merge/delete), so the timer wraps build AND read.
+            t0 = time.perf_counter()
+            ops[name].fn(spark, sf_dir).toPandas()
+            runs.append(time.perf_counter() - t0)
+        lake_timings[name] = round(min(runs), 4)
+
     # Post-run floor: catches load that arrived DURING the timing loop.
     floor_after = measure_floor(spark, attempts=1)
     floor_ratio = round(max(floor, floor_after) / HISTORICAL_FLOOR_SEC, 2)
@@ -179,6 +207,8 @@ def main() -> None:
         "cold_first_action_sec": cold_first_action,
         "llm_queries": llm_timings,
         "llm_total_sec": round(sum(llm_timings.values()), 4),
+        "lake_queries": lake_timings,
+        "lake_total_sec": round(sum(lake_timings.values()), 4),
     }
     if floor_ratio > FLOOR_TOLERANCE:
         # Every timing above is inflated by ambient machine load — the
