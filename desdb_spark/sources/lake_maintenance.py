@@ -37,6 +37,7 @@ from desdb_spark.sources.lake_dml import (
     BUMP_CENTS,
     INS_MOD,
     KEY_SHIFT,
+    N_FILES,
     UPD_MOD,
     build_merged_table,
 )
@@ -230,4 +231,70 @@ def source_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("bigint").alias("max_key"),
         F.lit(1 if published else 0).cast("bigint").alias("n_published"),
         F.lit(1 if rejected else 0).cast("bigint").alias("n_rejected"),
+    )
+
+
+#: The merged-state oracle CTE shared by vacuum and the cluster rewrite.
+_MERGED_CTE = f"""
+    WITH merged AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                 + CASE WHEN o_orderkey % {UPD_MOD} = 0
+                             AND o_orderkey <=
+                                 (SELECT CAST(floor(max(o_orderkey)
+                                      / CAST(4 AS DOUBLE)) AS BIGINT)
+                                  FROM orders)
+                        THEN {BUMP_CENTS} ELSE 0 END AS cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {KEY_SHIFT},
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        FROM orders WHERE o_orderkey % {INS_MOD} = 0
+    )
+"""
+
+
+@register(
+    "source_cluster_rewrite",
+    oracle=_MERGED_CTE
+    + f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(max(k) AS BIGINT) AS max_key,
+               CAST({N_FILES} AS BIGINT) AS n_files
+        FROM merged
+    """,
+    group="lake_maintenance",
+)
+def source_cluster_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE: each merge grows the file count (untouched +
+    rewritten + insert files) — broadcast-merge rewrites preserve
+    within-file clustering, but fragments accumulate commit over
+    commit, and fragment count is what kills scan planning at scale.
+    The cluster rewrite re-sorts the table into exactly N_FILES
+    range-disjoint files and commits v3; content preservation is
+    hashed (v3 must equal the merged state AND land in exactly
+    N_FILES files), and the compaction + pairwise-disjoint v3 zone
+    maps are pinned in tests/test_lake_maintenance.py.
+
+    Scale shape: one repartitionByRange shuffle of the table — the
+    standard amortized cost of OPTIMIZE, paid once so every later
+    range query reads files ∝ selectivity. History keeps v2, so the
+    rewrite is as safe as any other commit (RESTORE undoes it).
+    """
+    root, *_ = build_merged_table(spark, sf_dir, root_name="dml_optimize_orders")
+    t = read_as_of(spark, root, 2)
+    entries = write_data_files(
+        t.repartitionByRange(N_FILES, "k").sortWithinPartitions("k"),
+        root,
+        3,
+        stats_col="k",
+    )
+    commit_manifest(root, 3, entries)
+    t3 = read_as_of(spark, root, 3)
+    return t3.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.max("k").cast("bigint").alias("max_key"),
+        F.lit(len(entries)).cast("bigint").alias("n_files"),
     )

@@ -65,3 +65,31 @@ def test_rejected_wap_batch_never_enters_manifest_chain(spark):
         e["path"] if isinstance(e, dict) else e for e in read_manifest(root, 1)
     }
     assert all("data_v2" not in p for p in referenced)
+
+def test_cluster_rewrite_restores_disjoint_zone_maps(spark):
+    from desdb_spark.sources.lake_maintenance import source_cluster_rewrite
+
+    row = source_cluster_rewrite(spark, SF_DIR).collect()[0]
+    root = _stage_dir(spark, "dml_optimize_orders")
+
+    def ranges(version):
+        return sorted(
+            (int(e["min"]), int(e["max"]))
+            for e in read_manifest(root, version)
+            if isinstance(e, dict)
+        )
+
+    v3 = ranges(3)
+    assert row["n_files"] == len(v3)
+    # Post-OPTIMIZE files are pairwise range-disjoint (keys are unique,
+    # so sorted ranges must be strictly increasing)...
+    assert all(a[1] < b[0] for a, b in zip(v3, v3[1:]))
+    # ...and the rewrite COMPACTED the DML-accumulated file count
+    # (untouched + rewritten + insert files) back down to N_FILES.
+    v2 = ranges(2)
+    assert len(v2) > len(v3)
+    # A probe over the first file's key range touches exactly that one
+    # file — disjointness makes zone-map pruning exact again.
+    lo, hi = v3[0]
+    touched = sum(1 for a, b in v3 if a <= hi and b >= lo)
+    assert touched == 1
