@@ -42,33 +42,44 @@ def _table_root(spark: SparkSession) -> str:
 
 
 def write_data_files(
-    df: DataFrame, root: str, version: int, stats_col: str | None = None
+    df: DataFrame, root: str, version: int, stats_col=None
 ) -> list:
     """Write ``df`` as immutable data files under data_v{n}/ and return
-    their manifest entries (plain paths, or {path, min, max} dicts when
-    ``stats_col`` asks for the column's per-file zone map, read from the
-    parquet footer). Writing commits nothing — a version exists only
-    once :func:`commit_manifest` names these files."""
+    their manifest entries: plain paths; {path, min, max} dicts when
+    ``stats_col`` is a single column name (that column's per-file zone
+    map, read from the parquet footer); or {path, stats: {col: [min,
+    max]}} dicts when ``stats_col`` is a LIST of names (the
+    multi-dimension zone map a Z-ordered layout needs — Iceberg/Delta
+    likewise keep per-file bounds for every clustering column). Writing
+    commits nothing — a version exists only once :func:`commit_manifest`
+    names these files."""
     out = os.path.join(root, f"data_v{version}")
     df.write.mode("overwrite").parquet(out)
     files = sorted(glob.glob(os.path.join(out, "*.parquet")))
-    entries: list = files
-    if stats_col is not None:
-        import pyarrow.parquet as pq
+    if stats_col is None:
+        return files
 
-        entries = []
-        for p in files:
-            md = pq.ParquetFile(p).metadata
-            ci = {
-                md.schema.column(i).name: i for i in range(md.num_columns)
-            }[stats_col]
+    import pyarrow.parquet as pq
+
+    multi = not isinstance(stats_col, str)
+    cols = list(stats_col) if multi else [stats_col]
+    entries = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats = {}
+        for c in cols:
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
+                st = md.row_group(rg).column(idx[c]).statistics
                 mins.append(st.min)
                 maxs.append(st.max)
+            stats[c] = [str(min(mins)), str(max(maxs))]
+        if multi:
+            entries.append({"path": p, "stats": stats})
+        else:
             entries.append(
-                {"path": p, "min": str(min(mins)), "max": str(max(maxs))}
+                {"path": p, "min": stats[cols[0]][0], "max": stats[cols[0]][1]}
             )
     return entries
 
