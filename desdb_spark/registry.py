@@ -242,7 +242,7 @@ _OP_MODULES = (
     # selfcheck log lines + their pytests until the r9 rotation.
     # ROUND-9 ROTATION NOTE: if CORRECTNESS_r08 sweeps clean, every
     # pre-r8 hash-checked op holds a driver hash row. The r9 window
-    # should lead with (1) the 21 new r8 HASH ops below —
+    # should lead with (1) the 22 new r8 HASH ops below —
     # dedup_semantic_embedding, dedup_url_canonical,
     # docs_decontam_short_probes, quality_logreg_score_deciles
     # (classifier_ext), docs_quality_gopher_rules, stat_bootstrap_mean_ci,
@@ -256,7 +256,8 @@ _OP_MODULES = (
     # dedup_jaccard_retention_curve (dedup_curve),
     # source_incremental_view_refresh (lake_ivm),
     # source_zorder_pruned_read_2d (lake_zorder),
-    # source_txn_snapshot_join (lake_txn) — plus
+    # source_txn_snapshot_join (lake_txn),
+    # multimodal_audio_pcm_features (multimodal_audio) — plus
     # (2) any module changed in r9, then (3) the rows-only never-driver
     # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
     # diag_rowgroup_stats, multimodal_resample_pixels,
@@ -305,6 +306,8 @@ _OP_MODULES = (
     # manifest table, two-dimension zone-map pruned read)
     "desdb_spark.sources.lake_txn",  # 1 op (NEW r8: cross-table
     # transactional snapshots via a txn-pointer log)
+    "desdb_spark.extensions.multimodal_audio",  # 1 op (NEW r8: PCM
+    # binary round-trip + integer audio features, hash-checked)
     "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
     "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
     # single-aggregate fix per ADVICE)
