@@ -76,9 +76,16 @@ def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = normalize_events_ts(load_table(spark, sf_dir, "events")).select(
         "user_id", "ts", "event_id", "event_type"
     )
-    code = F.create_map(
-        *[F.lit(x) for kv in _CODE.items() for x in kv]
-    )[F.col("event_type")]
+    # coalesce to 'e' so an out-of-domain event_type matches the oracle's
+    # ELSE branch instead of becoming a NULL that array_join silently
+    # drops (which would make an intervening event invisible to the
+    # pattern — a semantic bug, not just a hash mismatch).
+    code = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _CODE.items() for x in kv])[
+            F.col("event_type")
+        ],
+        F.lit("e"),
+    )
     seq = (
         ev.withColumn("c", code)
         .groupBy("user_id")

@@ -67,6 +67,52 @@ DEL_MOD = 89
 #: Range-clustered file count for the staged table.
 N_FILES = 4
 
+#: The merged-state oracle CTE — the single definition of what the
+#: v1→v2 merge must produce, shared by every op whose oracle is "the
+#: merged end state" (merge_upsert here; vacuum and the cluster rewrite
+#: in lake_maintenance; the view refresh in lake_ivm). One copy, so the
+#: merge definition and its oracles cannot drift apart.
+MERGED_STATE_CTE = f"""
+    WITH merged AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                 + CASE WHEN o_orderkey % {UPD_MOD} = 0
+                             AND o_orderkey <=
+                                 (SELECT CAST(floor(max(o_orderkey)
+                                      / CAST(4 AS DOUBLE)) AS BIGINT)
+                                  FROM orders)
+                        THEN {BUMP_CENTS} ELSE 0 END AS cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {KEY_SHIFT},
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        FROM orders WHERE o_orderkey % {INS_MOD} = 0
+    )
+"""
+
+
+def _parse_ranges(entries: list) -> list:
+    return [(e["path"], int(e["min"]), int(e["max"])) for e in entries]
+
+
+def _zone_assign(ranges: list):
+    """When-chain mapping a key to its (disjoint) file-range index, NULL
+    if outside every range — the zone-map classify both merge paths use."""
+    assign = F.when(F.col("k").between(ranges[0][1], ranges[0][2]), 0)
+    for i, (_p, lo, hi) in enumerate(ranges[1:], start=1):
+        assign = assign.when(F.col("k").between(lo, hi), i)
+    return assign
+
+
+def read_or_empty(
+    spark: SparkSession, paths: list, schema: str = "k bigint, cents bigint"
+) -> DataFrame:
+    """Read a (possibly empty) file list — an empty manifest diff or a
+    fully-pruned probe yields an empty frame, not a zero-arg read crash."""
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*sorted(paths))
+
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders as (k, cents): key + price quantized to integer cents, so
@@ -114,13 +160,10 @@ def build_merged_table(
     # touched indices. At a million-file scale the same decision is a
     # range join of update keys against the manifest's sorted boundary
     # table; the decision data stays KB-sized either way.
-    ranges = [(e["path"], int(e["min"]), int(e["max"])) for e in entries]
-    assign = F.when(F.col("k").between(ranges[0][1], ranges[0][2]), 0)
-    for i, (_p, lo, hi) in enumerate(ranges[1:], start=1):
-        assign = assign.when(F.col("k").between(lo, hi), i)
+    ranges = _parse_ranges(entries)
     touched_idx = sorted(
         r[0]
-        for r in upd.select(assign.alias("f"))
+        for r in upd.select(_zone_assign(ranges).alias("f"))
         .where(F.col("f").isNotNull())
         .distinct()
         .collect()
@@ -156,11 +199,8 @@ def merge_into(spark: SparkSession, root: str, v_from: int, v_to: int, batch: Da
     directly. Commits v_to = untouched + rewritten + inserted; returns
     (n_total_files, n_touched_files)."""
     entries = read_manifest(root, v_from)
-    ranges = [(e["path"], int(e["min"]), int(e["max"])) for e in entries]
-    assign = F.when(F.col("k").between(ranges[0][1], ranges[0][2]), 0)
-    for i, (_p, lo, hi) in enumerate(ranges[1:], start=1):
-        assign = assign.when(F.col("k").between(lo, hi), i)
-    b = batch.select("k", "cents").withColumn("_f", assign)
+    ranges = _parse_ranges(entries)
+    b = batch.select("k", "cents").withColumn("_f", _zone_assign(ranges))
     touched_idx = sorted(
         r[0]
         for r in b.select("_f").where(F.col("_f").isNotNull()).distinct().collect()
@@ -187,22 +227,8 @@ def merge_into(spark: SparkSession, root: str, v_from: int, v_to: int, batch: Da
 
 @register(
     "source_merge_upsert",
-    oracle=f"""
-        WITH merged AS (
-            SELECT o_orderkey AS k,
-                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                     + CASE WHEN o_orderkey % {UPD_MOD} = 0
-                                 AND o_orderkey <=
-                                     (SELECT CAST(floor(max(o_orderkey)
-                                          / CAST(4 AS DOUBLE)) AS BIGINT)
-                                      FROM orders)
-                            THEN {BUMP_CENTS} ELSE 0 END AS cents
-            FROM orders
-            UNION ALL
-            SELECT o_orderkey + {KEY_SHIFT},
-                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
-            FROM orders WHERE o_orderkey % {INS_MOD} = 0
-        )
+    oracle=MERGED_STATE_CTE
+    + f"""
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS sum_cents,
                CAST(count(*) FILTER (WHERE k >= {KEY_SHIFT}) AS BIGINT)
@@ -282,8 +308,8 @@ def source_version_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, *_ = build_merged_table(spark, sf_dir)
     v1 = {e["path"] for e in read_manifest(root, 1)}
     v2 = {e["path"] for e in read_manifest(root, 2)}
-    pre = spark.read.parquet(*sorted(v1 - v2)).select("k", "cents")
-    post = spark.read.parquet(*sorted(v2 - v1)).select("k", "cents")
+    pre = read_or_empty(spark, list(v1 - v2)).select("k", "cents")
+    post = read_or_empty(spark, list(v2 - v1)).select("k", "cents")
     delta = (
         post.exceptAll(pre)
         .withColumn("change_type", F.lit("added"))

@@ -23,11 +23,9 @@ from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
 from desdb_spark.sources.lake_dml import (
-    BUMP_CENTS,
-    INS_MOD,
-    KEY_SHIFT,
-    UPD_MOD,
+    MERGED_STATE_CTE,
     build_merged_table,
+    read_or_empty,
 )
 from desdb_spark.sources.time_travel import read_as_of, read_manifest
 
@@ -48,22 +46,8 @@ def _bucket_agg(df: DataFrame) -> DataFrame:
 
 @register(
     "source_incremental_view_refresh",
-    oracle=f"""
-        WITH merged AS (
-            SELECT o_orderkey AS k,
-                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                     + CASE WHEN o_orderkey % {UPD_MOD} = 0
-                                 AND o_orderkey <=
-                                     (SELECT CAST(floor(max(o_orderkey)
-                                          / CAST(4 AS DOUBLE)) AS BIGINT)
-                                      FROM orders)
-                            THEN {BUMP_CENTS} ELSE 0 END AS cents
-            FROM orders
-            UNION ALL
-            SELECT o_orderkey + {KEY_SHIFT},
-                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
-            FROM orders WHERE o_orderkey % {INS_MOD} = 0
-        )
+    oracle=MERGED_STATE_CTE
+    + f"""
         SELECT CAST(k % {N_BUCKETS} AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -85,8 +69,8 @@ def source_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFra
 
     v1 = {e["path"] for e in read_manifest(root, 1)}
     v2 = {e["path"] for e in read_manifest(root, 2)}
-    pre = spark.read.parquet(*sorted(v1 - v2)).select("k", "cents")
-    post = spark.read.parquet(*sorted(v2 - v1)).select("k", "cents")
+    pre = read_or_empty(spark, list(v1 - v2)).select("k", "cents")
+    post = read_or_empty(spark, list(v2 - v1)).select("k", "cents")
     delta_rows = post.exceptAll(pre).withColumn("sign", F.lit(1)).unionByName(
         pre.exceptAll(post).withColumn("sign", F.lit(-1))
     )

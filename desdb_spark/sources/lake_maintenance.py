@@ -34,11 +34,8 @@ from pyspark.sql import functions as F
 from desdb_spark.registry import register
 from desdb_spark.session import load_table
 from desdb_spark.sources.lake_dml import (
-    BUMP_CENTS,
-    INS_MOD,
-    KEY_SHIFT,
+    MERGED_STATE_CTE,
     N_FILES,
-    UPD_MOD,
     build_merged_table,
 )
 from desdb_spark.sources.sinks import _stage_dir
@@ -76,22 +73,8 @@ def restore_version(root: str, src_version: int, new_version: int) -> list:
 
 @register(
     "source_vacuum_retention",
-    oracle=f"""
-        WITH merged AS (
-            SELECT o_orderkey AS k,
-                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                     + CASE WHEN o_orderkey % {UPD_MOD} = 0
-                                 AND o_orderkey <=
-                                     (SELECT CAST(floor(max(o_orderkey)
-                                          / CAST(4 AS DOUBLE)) AS BIGINT)
-                                      FROM orders)
-                            THEN {BUMP_CENTS} ELSE 0 END AS cents
-            FROM orders
-            UNION ALL
-            SELECT o_orderkey + {KEY_SHIFT},
-                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
-            FROM orders WHERE o_orderkey % {INS_MOD} = 0
-        )
+    oracle=MERGED_STATE_CTE
+    + """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS sum_cents,
                CAST(max(k) AS BIGINT) AS max_key
@@ -160,14 +143,17 @@ def wap_commit(
     entries = write_data_files(candidate, root, v_to, stats_col=None)
     staged = spark.read.parquet(*entries)
     main = read_as_of(spark, root, v_from).select("k")
-    n_null = staged.where(F.col("k").isNull()).count()
-    n_dup_in_batch = staged.groupBy("k").count().where(F.col("count") > 1).count()
+    # One aggregate pass over the staged files yields both local checks:
+    # nulls = count(*) - count(k); in-batch dups = count(k) - distinct.
+    n_total, n_keys, n_distinct = staged.agg(
+        F.count("*"), F.count("k"), F.countDistinct("k")
+    ).collect()[0]
     n_dup_vs_main = main.join(
         F.broadcast(staged.select("k").where(F.col("k").isNotNull()).distinct()),
         on="k",
         how="left_semi",
     ).count()
-    if n_null or n_dup_in_batch or n_dup_vs_main:
+    if (n_total - n_keys) or (n_keys - n_distinct) or n_dup_vs_main:
         return False
     commit_manifest(root, v_to, read_manifest(root, v_from) + entries)
     return True
@@ -234,29 +220,9 @@ def source_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: The merged-state oracle CTE shared by vacuum and the cluster rewrite.
-_MERGED_CTE = f"""
-    WITH merged AS (
-        SELECT o_orderkey AS k,
-               CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                 + CASE WHEN o_orderkey % {UPD_MOD} = 0
-                             AND o_orderkey <=
-                                 (SELECT CAST(floor(max(o_orderkey)
-                                      / CAST(4 AS DOUBLE)) AS BIGINT)
-                                  FROM orders)
-                        THEN {BUMP_CENTS} ELSE 0 END AS cents
-        FROM orders
-        UNION ALL
-        SELECT o_orderkey + {KEY_SHIFT},
-               CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        FROM orders WHERE o_orderkey % {INS_MOD} = 0
-    )
-"""
-
-
 @register(
     "source_cluster_rewrite",
-    oracle=_MERGED_CTE
+    oracle=MERGED_STATE_CTE
     + f"""
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS sum_cents,

@@ -77,9 +77,11 @@ def build_txn_tables(spark: SparkSession, sf_dir: str) -> str:
     )
     pre_o = o.where(F.col("o_orderdate") < PIVOT_DATE)
     post_o = o.where(F.col("o_orderdate") >= PIVOT_DATE)
+    # pre_keys is ~90% of orders' keys at this pivot — NOT a broadcast
+    # side. A plain semi/anti join lets the optimizer pick sort-merge.
     pre_keys = pre_o.select("k")
-    pre_l = li.join(F.broadcast(pre_keys), on="k", how="left_semi")
-    post_l = li.join(F.broadcast(pre_keys), on="k", how="left_anti")
+    pre_l = li.join(pre_keys, on="k", how="left_semi")
+    post_l = li.join(pre_keys, on="k", how="left_anti")
 
     write_version(pre_o.select("k", "cents"), os.path.join(root, "orders"), 1)
     write_version(pre_l, os.path.join(root, "lineitem"), 1)

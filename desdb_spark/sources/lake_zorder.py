@@ -87,9 +87,11 @@ def read_pruned_2d(
         for e in entries
         if int(e["stats"]["ck"][0]) <= ck_max and e["stats"]["d"][1] >= d_min
     ]
-    df = spark.read.parquet(*keep).where(
-        (F.col("ck") <= ck_max) & (F.col("d") >= d_min)
-    )
+    from desdb_spark.sources.lake_dml import read_or_empty
+
+    df = read_or_empty(
+        spark, keep, schema="k bigint, ck bigint, cents bigint, d date"
+    ).where((F.col("ck") <= ck_max) & (F.col("d") >= d_min))
     return df, len(entries), len(keep)
 
 

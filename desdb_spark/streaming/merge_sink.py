@@ -94,7 +94,11 @@ def run_stream_merge(spark: SparkSession, sf_dir: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Never read a half-merged table: stop the query (so it cannot
+        # keep committing under a later rmtree) and fail loudly.
+        q.stop()
+        raise RuntimeError("stream merge did not finish within 300s")
     return root
 
 

@@ -14,6 +14,7 @@ from desdb_spark.session import load_table
 from desdb_spark.sources.lake_dml import (
     DEL_MOD,
     KEY_SHIFT,
+    UPD_MOD,
     build_merged_table,
     source_delete_vectors_read,
 )
@@ -44,7 +45,7 @@ def test_merge_batch_nonempty_both_kinds(spark):
 
     v2 = read_as_of(spark, root, 2)
     n_upd = v2.where(
-        (F.col("k") % 97 == 0) & (F.col("k") <= thr) & (F.col("k") < KEY_SHIFT)
+        (F.col("k") % UPD_MOD == 0) & (F.col("k") <= thr) & (F.col("k") < KEY_SHIFT)
     ).count()
     n_ins = v2.where(F.col("k") >= KEY_SHIFT).count()
     assert n_upd > 0 and n_ins > 0
