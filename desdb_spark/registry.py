@@ -314,6 +314,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.classifier_ext",  # 1 op (numpy-parity test)
     "desdb_spark.operators.footer_census",  # 1 op (pyarrow ground-truth
     # pytest; r8 isdir fix per ADVICE)
+    "desdb_spark.extensions.lm_score",  # 1 op (NEW r8c: interpolated
+    # bigram-LM doc scoring — the CCNet quality signal above the
+    # unigram tier; hash-checked)
 )
 
 
