@@ -17,18 +17,12 @@ from desdb_spark.registry import register
 from desdb_spark.session import load_table
 
 
-@register(
-    "dedup_cluster_components",
-    # Hash upgrade (VERDICT r6 item 4): components over a PROVABLY
-    # reproducible edge set are SQL-expressible — DuckDB recomputes the
-    # identical edges (digest stars + all-pairs token Jaccard ≥ 0.8
-    # between digest representatives; the prefix filter on the Spark
-    # side is lossless at the threshold, so candidate-restricted equals
-    # all-pairs) and resolves connectivity with a recursive CTE
-    # (min-label over the transitive closure). The closure is
-    # sum-of-component-size² rows — fine for dup clusters, which are
-    # small; the Spark side stays O(log d) star rounds.
-    oracle="""
+#: The recursive-CTE chain computing the transitive closure of the
+#: lossless dup-edge set — `dig` through `reach` — shared by this op's
+#: oracle and the leakage-safe split's (extensions/split_safe.py), so
+#: both oracles provably agree with ``dup_edges`` on what "duplicate"
+#: means. Ends un-terminated: append the consuming CTE/SELECT.
+CLOSURE_CTES = """
         WITH RECURSIVE dig AS (
             SELECT doc_id, md5(text) AS h FROM documents
         ), gmin AS (
@@ -72,6 +66,22 @@ from desdb_spark.session import load_table
             SELECT s.dst AS id, reach.r
             FROM reach JOIN sym s ON s.src = reach.id
         )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    # Hash upgrade (VERDICT r6 item 4): components over a PROVABLY
+    # reproducible edge set are SQL-expressible — DuckDB recomputes the
+    # identical edges (digest stars + all-pairs token Jaccard ≥ 0.8
+    # between digest representatives; the prefix filter on the Spark
+    # side is lossless at the threshold, so candidate-restricted equals
+    # all-pairs) and resolves connectivity with a recursive CTE
+    # (min-label over the transitive closure). The closure is
+    # sum-of-component-size² rows — fine for dup clusters, which are
+    # small; the Spark side stays O(log d) star rounds.
+    oracle=CLOSURE_CTES
+    + """
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id
     """,
@@ -117,6 +127,19 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star rounds on the once-materialized edge set.
     """
     d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(dup_edges(d))
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def dup_edges(d: DataFrame) -> DataFrame:
+    """The lossless duplicate-pair edge set over a documents frame:
+    digest stars for exact copies + PPJoin-filtered, exactly-verified
+    token-Jaccard ≥ 0.8 pairs between digest representatives. Shared by
+    ``dedup_cluster_components`` and the leakage-safe split
+    (extensions/split_safe.py), which must agree on what "duplicate"
+    means for the split guarantee to cover the dedup tier's clusters."""
     dig = d.select("doc_id", F.md5("text").alias("h"))
     group_min = dig.groupBy("h").agg(F.min("doc_id").alias("mn"))
     exact_edges = (
@@ -142,7 +165,4 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.8)
         .select("id_a", "id_b")
     )
-    comp = connected_components(exact_edges.unionByName(near_edges))
-    return comp.select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
-    ).orderBy("doc_id")
+    return exact_edges.unionByName(near_edges)

@@ -317,6 +317,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.lm_score",  # 1 op (NEW r8c: interpolated
     # bigram-LM doc scoring — the CCNet quality signal above the
     # unigram tier; hash-checked)
+    "desdb_spark.extensions.split_safe",  # 1 op (NEW r8c: leakage-safe
+    # split at the dup-cluster grain; closure oracle capped at sf0.01
+    # like dedup_cluster_components)
 )
 
 
