@@ -320,6 +320,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.split_safe",  # 1 op (NEW r8c: leakage-safe
     # split at the dup-cluster grain; closure oracle capped at sf0.01
     # like dedup_cluster_components)
+    "desdb_spark.extensions.dedup_containment",  # 1 op (NEW r8c:
+    # asymmetric overlap-coefficient dedup on 3-gram shingles,
+    # lossless prefix-vs-full-index blocking; hash-checked)
 )
 
 
