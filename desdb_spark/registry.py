@@ -323,6 +323,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.dedup_containment",  # 1 op (NEW r8c:
     # asymmetric overlap-coefficient dedup on 3-gram shingles,
     # lossless prefix-vs-full-index blocking; hash-checked)
+    "desdb_spark.sources.lake_bloom",  # 1 op (NEW r8c: per-file bloom
+    # index for point lookups on a non-clustered column; hash-checked
+    # no-false-negative contract)
 )
 
 
