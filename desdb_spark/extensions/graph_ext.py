@@ -212,16 +212,141 @@ def pagerank(
     return ranks
 
 
-@register("graph_pagerank_topk", group="graph_ext")  # rows-only: iterative
+#: Fixed-point rank unit: 1.0 of probability mass = 10^12 picos.
+PR_SCALE = 1_000_000_000_000
+#: Damping as an integer ratio (α = 85/100).
+PR_ALPHA_NUM = 85
+PR_ALPHA_DEN = 100
+PR_ITERATIONS = 10
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame, iterations: int = PR_ITERATIONS
+) -> DataFrame:
+    """Power-iteration PageRank in exact BIGINT pico-units — the cents
+    discipline (emb_gram_matrix, linalg_ext.py) applied to graph
+    iteration, which is what makes a 10-round iterative algorithm
+    differentially hashable at all: every step is integer multiply /
+    floor-divide / sum, so no float summation order can drift between
+    engines, and the truncation dust (< 1 pico per node per round) is
+    identically placed in both.
+
+    Same distributed shape as :func:`pagerank` (one shuffle join on src
+    + one aggregation on dst + one 8-byte scalar reduce per round,
+    lineage truncated per round via ``localCheckpoint``); only the
+    arithmetic domain changed.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    edg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    base = (PR_ALPHA_DEN - PR_ALPHA_NUM) * PR_SCALE // (PR_ALPHA_DEN * n)
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n).cast("bigint").alias("rank")
+    ).localCheckpoint(eager=True)
+    has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+    contrib_expr = F.expr(
+        f"({PR_ALPHA_NUM} * rank) div ({PR_ALPHA_DEN} * od)"
+    )
+    for _ in range(iterations):
+        dmass = (
+            ranks.join(has_out, "node", "left")
+            .where(F.col("has_out").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
+            .first()[0]
+        )
+        dterm = PR_ALPHA_NUM * int(dmass) // (PR_ALPHA_DEN * n)
+        contrib = (
+            ranks.join(edg, ranks.node == edg.src)
+            .groupBy("dst")
+            .agg(F.sum(contrib_expr).alias("f"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("f"), F.lit(0)) + F.lit(dterm))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _pagerank_oracle(iterations: int = PR_ITERATIONS) -> str:
+    """The UNROLLED power iteration as one DuckDB CTE chain — ten
+    join+aggregate rounds with the dangling-mass scalar as a subquery
+    per round, mirroring the Spark arithmetic term for term. Standard
+    SQL forbids aggregation in a recursive term, so a fixed iteration
+    count unrolls instead; generation is mechanical to keep the two
+    sides provably in sync with the constants above."""
+    a, d, s = PR_ALPHA_NUM, PR_ALPHA_DEN, PR_SCALE
+    sql = f"""
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), nn AS MATERIALIZED (
+            SELECT count(*) AS n FROM nodes
+        ), outdeg AS MATERIALIZED (
+            SELECT src, count(*) AS od FROM edges GROUP BY src
+        ), r0 AS MATERIALIZED (
+            SELECT node, {s} // (SELECT n FROM nn) AS rank FROM nodes
+        )"""
+    for k in range(1, iterations + 1):
+        sql += f""", d{k} AS MATERIALIZED (
+            SELECT COALESCE(sum(r.rank), 0) AS dm
+            FROM r{k - 1} r LEFT JOIN outdeg o ON o.src = r.node
+            WHERE o.od IS NULL
+        ), infl{k} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(({a} * r.rank) // ({d} * o.od)) AS f
+            FROM r{k - 1} r
+            JOIN edges e ON e.src = r.node
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ), r{k} AS MATERIALIZED (
+            SELECT n.node,
+                   ({d - a} * {s}) // ({d} * (SELECT n FROM nn))
+                   + COALESCE(i.f, 0)
+                   + ({a} * (SELECT dm FROM d{k})) // ({d} * (SELECT n FROM nn))
+                       AS rank
+            FROM nodes n LEFT JOIN infl{k} i ON i.node = n.node
+        )"""
+    sql += f"""
+        SELECT node, CAST(rank AS BIGINT) AS rank_picos
+        FROM r{iterations} ORDER BY rank DESC, node LIMIT 20"""
+    return sql
+
+
+@register(
+    "graph_pagerank_topk",
+    # r8c rows→hash upgrade: fixed-point integer ranks make the
+    # 10-round iteration order-independent, and the oracle unrolls the
+    # same rounds as chained CTEs — the iterative-algorithm class IS
+    # SQL-expressible once the arithmetic is exact.
+    oracle=_pagerank_oracle(),
+    group="graph_ext",
+)
 def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes of the directed customer→supplier order
-    graph (an edge when a customer's order contains a supplier's line),
-    10 damped power iterations with dangling-mass redistribution.
+    graph (an edge when a customer's order contains a supplier's line):
+    10 damped power iterations with dangling-mass redistribution, ranks
+    in exact BIGINT picos (α = 0.85 as the integer ratio 85/100, floor
+    division throughout).
 
-    Iterative — no single SQL oracle (driver records rows-only);
-    tests/test_graph_ext.py checks the ranks against a NumPy power
-    iteration on the identical edge list to 1e-9, plus the Σrank=1
-    invariant here.
+    Hash-checked against an unrolled 10-round CTE oracle; the float
+    kernel (:func:`pagerank`) remains for callers who want IEEE ranks,
+    with its NumPy 1e-9 parity test in tests/test_graph_ext.py — the
+    fixed-point op additionally carries its own integer NumPy mirror
+    there.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -233,9 +358,9 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, alpha=0.85, iterations=10)
+    ranks = pagerank_fixedpoint(edges, iterations=PR_ITERATIONS)
     return (
-        ranks.select("node", F.round("rank", 8).alias("rank"))
-        .orderBy(F.desc("rank"), "node")
+        ranks.select("node", F.col("rank").alias("rank_picos"))
+        .orderBy(F.desc("rank_picos"), "node")
         .limit(20)
     )

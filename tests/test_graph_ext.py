@@ -48,6 +48,50 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[node] - r) < 1e-9, (node, got[node], r)
 
 
+def _numpy_pagerank_fixed(edges, iterations=graph_ext.PR_ITERATIONS):
+    """Integer mirror of pagerank_fixedpoint: same picos, same floor
+    divisions, python ints (arbitrary precision ⊇ int64)."""
+    a, d, s = graph_ext.PR_ALPHA_NUM, graph_ext.PR_ALPHA_DEN, graph_ext.PR_SCALE
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out: dict[str, int] = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    n = len(nodes)
+    r = {v: s // n for v in nodes}
+    base = (d - a) * s // (d * n)
+    for _ in range(iterations):
+        dmass = sum(r[v] for v in nodes if v not in out)
+        dterm = a * dmass // (d * n)
+        nxt = {v: 0 for v in nodes}
+        for u, v in edges:
+            nxt[v] += a * r[u] // (d * out[u])
+        r = {v: base + nxt[v] + dterm for v in nodes}
+    return r
+
+
+def test_pagerank_topk_matches_integer_mirror(spark):
+    got = graph_ext.graph_pagerank_topk(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    edges_df = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    ref = _numpy_pagerank_fixed(edges)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.node, r.rank_picos) for r in got] == want
+    # mass conservation up to floor-division dust: Σ picos ≤ SCALE,
+    # short by less than ~(iterations+1) picos per node
+    total = sum(ref.values())
+    assert total <= graph_ext.PR_SCALE
+    assert graph_ext.PR_SCALE - total < (graph_ext.PR_ITERATIONS + 2) * len(ref) * 2
+
+
 def test_pagerank_rank_mass_sums_to_one(spark):
     df = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], ["src", "dst"]
