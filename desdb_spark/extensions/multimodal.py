@@ -107,7 +107,32 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", group="multimodal")  # rows-only: stub kernel
+@register(
+    "multimodal_decode_features",
+    # r8c rows→hash upgrade: the stub kernel's byte arithmetic (first-64
+    # byte checksum over the ASCII payload) is SQL-expressible, so the
+    # WHOLE Arrow path — binary encode, mapInPandas batch iteration,
+    # pandas byte handling, array<float> output — is now value-checked
+    # against DuckDB recomputing the same features from the source text.
+    # A real codec stays rows-only by nature; the plumbing no longer is.
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                   AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(16 + csum % 64 AS INT) AS width,
+               CAST(16 + (csum // 64) % 64 AS INT) AS height,
+               round(CAST(octet_length(encode(text)) % 251 AS DOUBLE), 1)
+                   AS f0
+        FROM (
+            SELECT doc_id, text,
+                   COALESCE(list_sum(list_transform(
+                       generate_series(1, least(length(text), 64)),
+                       i -> ascii(substr(text, i, 1)))), 0) AS csum
+            FROM documents)
+    """,
+    group="multimodal",
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage over binary payloads via mapInPandas.
 
