@@ -91,16 +91,45 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """K seeded min-hashes of a shingle array — an array<int> signature.
+#: Mersenne prime modulus of the portable MinHash family.
+MH_P = 2_147_483_647
+#: Affine coefficients h_i(x) = (A_i·x + B_i) mod P — fixed formulas so
+#: an external engine can regenerate the identical family.
+def _mh_a(i: int) -> int:
+    return (i * 1_000_003 + 17) % MH_P
 
-    ``F.hash`` is Murmur3 with a seed argument: deterministic across runs
-    and executors (SURVEY.md §7.3 determinism requirement).
+
+def _mh_b(i: int) -> int:
+    return (i * 998_244_353 + 101) % MH_P
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """K seeded min-hashes of a shingle array — an array<bigint> signature.
+
+    r8c PORTABLE family (rows→hash upgrade of dedup_near_minhash): the
+    base hash is the first 60 bits of md5(shingle) reduced mod the
+    Mersenne prime P = 2³¹−1, then K affine maps (A_i·x + B_i) mod P —
+    the classic universal-hash MinHash construction (Broder). md5 and
+    hex→int exist in every engine, so the WHOLE signature pipeline is
+    differentially checkable; the previous family used Spark's seeded
+    Murmur3, which no oracle could recompute. Deterministic across
+    runs/executors either way (SURVEY.md §7.3). A_i·x < P² < 2⁶³, so
+    the arithmetic never overflows BIGINT in any engine.
     """
+    xs = F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MH_P),
+    )
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, lambda s: F.hash(s, F.lit(seed))))
-            for seed in range(num_hashes)
+            F.array_min(
+                F.transform(
+                    xs,
+                    lambda x: (F.lit(_mh_a(i)) * x + F.lit(_mh_b(i))) % F.lit(MH_P),
+                )
+            )
+            for i in range(num_hashes)
         ]
     )
 
@@ -269,7 +298,66 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-@register("dedup_near_minhash", group="dedup")  # rows-only: algorithmic output
+@register(
+    "dedup_near_minhash",
+    # r8c rows→hash upgrade: with the portable md5-affine hash family
+    # (minhash_signature) the ENTIRE LSH pipeline — shingling, K=32
+    # min-hashes, 8×4 banding, candidate equi-join, exact Jaccard
+    # verification — is recomputed by DuckDB and the outputs hashed.
+    # What the differential proves is cross-engine PARITY of the
+    # algorithm (including its probabilistic recall decisions, which
+    # are deterministic given the family); recall itself is pinned by
+    # the planted-dup pytest and audited by dedup_minhash_eval.
+    oracle=f"""
+        WITH arrs AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ), idx AS (
+            SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+            FROM arrs WHERE len(l) >= 3
+        ), grams AS (
+            SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+            FROM idx
+        ), gx AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {MH_P}
+                       AS x
+            FROM grams
+        ), seeds AS (
+            SELECT i, (i * 1000003 + 17) % {MH_P} AS a,
+                   (i * 998244353 + 101) % {MH_P} AS b
+            FROM (SELECT unnest(generate_series(0, 31)) AS i)
+        ), mins AS (
+            SELECT doc_id, s.i, min((s.a * gx.x + s.b) % {MH_P}) AS mh
+            FROM gx, seeds s GROUP BY doc_id, s.i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            FROM mins GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.sig = y.sig
+             AND x.doc_id < y.doc_id
+        ), dg AS (
+            SELECT DISTINCT doc_id, g FROM grams
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
+        ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c
+            JOIN dg a ON a.doc_id = c.id_a
+            JOIN dg b ON b.doc_id = c.id_b AND b.g = a.g
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= CAST(0.8 AS DOUBLE)
+    """,
+    group="dedup",
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified above 0.8.
 

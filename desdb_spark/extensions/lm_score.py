@@ -62,9 +62,9 @@ LAMBDA_DEN = 10
             SELECT v, sum(cb) AS cv FROM big GROUP BY v
         ), scored AS (
             SELECT p.doc_id,
-                   ln({LAMBDA_NUM / LAMBDA_DEN}
+                   ln(CAST({LAMBDA_NUM / LAMBDA_DEN!r} AS DOUBLE)
                         * CAST(b.cb AS DOUBLE) / CAST(x.cv AS DOUBLE)
-                      + {1 - LAMBDA_NUM / LAMBDA_DEN}
+                      + CAST({1 - LAMBDA_NUM / LAMBDA_DEN!r} AS DOUBLE)
                         * CAST(u.c AS DOUBLE) / (SELECT t FROM tot)) AS lp
             FROM pairs p
             JOIN big b ON b.v = p.v AND b.w = p.w
