@@ -378,25 +378,42 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document via explode + bit-vote hash aggregation.
 
-    Each token contributes ±1 per bit of its xxhash64; bits with positive
+    Each token contributes ±1 per bit of its hash; bits with positive
     vote sums are set. Formulated as one explode + one groupBy with 64
     codegen'd conditional sums — a map-side-combining hash agg, not a
     per-row array scan, so it's the shape that survives 100 TB.
     Returns (id, fp).
+
+    r8c PORTABLE family (rows→hash upgrade of dedup_simhash, mirroring
+    minhash_signature): bit i of a token's 64-bit hash is bit (i mod 16)
+    of chunk ⌊i/16⌋, where chunk k is hex chars [1+4k, 4+4k] of
+    md5(token) parsed base-16. md5 + hex→int exist in every engine, so
+    the whole fingerprint pipeline is differentially checkable; the
+    previous family was Spark-only xxhash64.
     """
 
     def mask(i: int) -> int:
         m = 1 << i
         return m - (1 << 64) if i == 63 else m  # keep the sign bit in long range
 
-    tok_hashes = ensure_parallelism(docs).select(
+    tok_chunks = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
-    votes = tok_hashes.groupBy("id").agg(
+    ).select(
+        "id",
+        *[
+            F.conv(F.substring(F.md5(F.col("tok")), 1 + 4 * k, 4), 16, 10)
+            .cast("long")
+            .alias(f"c{k}")
+            for k in range(4)
+        ],
+    )
+    votes = tok_chunks.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
+                F.when(
+                    F.col(f"c{i // 16}").bitwiseAND(F.lit(1 << (i % 16))) != 0, 1
+                ).otherwise(-1)
             ).alias(f"v{i}")
             for i in range(64)
         ]
@@ -411,7 +428,51 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return votes.select("id", fp.alias("fp"))
 
 
-@register("dedup_simhash", group="dedup")  # rows-only: algorithmic output
+@register(
+    "dedup_simhash",
+    # r8c rows→hash upgrade: with the portable md5-chunk bit family
+    # (simhash64) DuckDB recomputes the full pipeline — per-token bit
+    # votes, sign fingerprint, 16-bit banding, candidate equi-join,
+    # Hamming verification. The oracle never assembles the signed
+    # 64-bit fp; it compares per-bit signs directly, which is the same
+    # quantity bit_count(a.fp XOR b.fp) counts.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id, ks.k,
+                   CAST(('0x' || substr(md5(tok), 1 + 4 * ks.k, 4)) AS BIGINT)
+                       AS c
+            FROM toks, (SELECT unnest(generate_series(0, 3)) AS k) ks
+        ), bits AS (
+            SELECT doc_id, 16 * k + js.j AS i,
+                   CASE WHEN (c >> js.j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+            FROM chunks, (SELECT unnest(generate_series(0, 15)) AS j) js
+        ), sgn AS (
+            SELECT doc_id, i, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS s
+            FROM bits GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 16 AS band,
+                   sum(s * (CAST(1 AS BIGINT) << (i % 16))) AS val
+            FROM sgn GROUP BY doc_id, i // 16
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM cand c
+        JOIN sgn sa ON sa.doc_id = c.id_a
+        JOIN sgn sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY c.id_a, c.id_b
+        HAVING sum(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) <= 3
+        ORDER BY id_a, id_b
+    """,
+    group="dedup",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: identical 16-bit band → Hamming check.
 
@@ -444,7 +505,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= 3)

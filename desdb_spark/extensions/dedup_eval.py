@@ -17,10 +17,19 @@ the pair key plus three counts folded into a single-row report. At
 100 TB you run this on a sampled stratum, not the full corpus — the op
 takes the whole fixture because the fixture IS the sample.
 
-Rows-only: MinHash signatures come from seeded xxhash64 permutations
-DuckDB cannot reproduce; tests/test_dedup_r8.py pins the invariants
-(approx ⊆ truth, exact count identity, planted-exact-dup recall = 1,
-measured overall recall above the configured floor).
+Hash-checked since the r8c portable-family upgrade: MinHash signatures
+are the md5-affine family of ``minhash_signature`` (dedup.py), which the
+oracle recomputes end-to-end — LSH candidates, Jaccard-verified subset,
+PPJoin-equivalent truth (the all-pairs-sharing-a-gram join filtered at
+the threshold: both are lossless, so they define the same truth set) —
+and folds into the same six counters. The threshold test is exact
+integer arithmetic (den·i ≥ num·(|A|+|B|−i)), equivalent to the float
+``jaccard ≥ 0.8`` for any set sizes below ~10¹² (the rational gap
+around 4/5 at those denominators dwarfs a double ulp). The oracle skips
+documents with <3 tokens (no shingles → empty-signature band collisions
+in Spark); the fixture family guarantees ≥10 tokens per doc, and
+tests/test_dedup_r8.py still pins the algorithmic invariants
+(approx ⊆ truth, planted-exact-dup recall = 1, recall floor).
 """
 
 from __future__ import annotations
@@ -29,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.extensions.dedup import (
+    MH_P,
     minhash_candidate_pairs,
     ngram_jaccard,
     prefix_filtered_pairs,
@@ -39,7 +49,92 @@ from desdb_spark.session import load_table
 THRESHOLD_NUM, THRESHOLD_DEN = 4, 5  # t = 0.8, dedup_near_minhash's knob
 
 
-@register("dedup_minhash_eval", group="dedup_eval")  # rows-only: seeded hashes
+@register(
+    "dedup_minhash_eval",
+    # r8c rows→hash upgrade: the portable md5-affine MinHash family makes
+    # the whole audit recomputable — same signature/banding CTEs as the
+    # dedup_near_minhash oracle, plus an all-pairs-on-shared-gram truth
+    # tier (equivalent to the op's lossless PPJoin truth) and exact
+    # integer threshold tests in place of the float jaccard comparison.
+    oracle=f"""
+        WITH arrs AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ), idx AS (
+            SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+            FROM arrs WHERE len(l) >= 3
+        ), grams AS (
+            SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+            FROM idx
+        ), dg AS (
+            SELECT DISTINCT doc_id, g FROM grams
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
+        ), gx AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {MH_P}
+                       AS x
+            FROM grams
+        ), seeds AS (
+            SELECT i, (i * 1000003 + 17) % {MH_P} AS a,
+                   (i * 998244353 + 101) % {MH_P} AS b
+            FROM (SELECT unnest(generate_series(0, 31)) AS i)
+        ), mins AS (
+            SELECT doc_id, s.i, min((s.a * gx.x + s.b) % {MH_P}) AS mh
+            FROM gx, seeds s GROUP BY doc_id, s.i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            FROM mins GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.sig = y.sig
+             AND x.doc_id < y.doc_id
+        ), inter_c AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c
+            JOIN dg a ON a.doc_id = c.id_a
+            JOIN dg b ON b.doc_id = c.id_b AND b.g = a.g
+            GROUP BY c.id_a, c.id_b
+        ), verified AS (
+            SELECT x.id_a, x.id_b
+            FROM inter_c x
+            JOIN sizes sa ON sa.doc_id = x.id_a
+            JOIN sizes sb ON sb.doc_id = x.id_b
+            WHERE {THRESHOLD_DEN} * x.i
+                  >= {THRESHOLD_NUM} * (sa.n + sb.n - x.i)
+        ), inter_t AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM dg a JOIN dg b ON b.g = a.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), truth AS (
+            SELECT x.id_a, x.id_b
+            FROM inter_t x
+            JOIN sizes sa ON sa.doc_id = x.id_a
+            JOIN sizes sb ON sb.doc_id = x.id_b
+            WHERE {THRESHOLD_DEN} * x.i
+                  >= {THRESHOLD_NUM} * (sa.n + sb.n - x.i)
+        ), counts AS (
+            SELECT (SELECT count(*) FROM truth) AS nt,
+                   (SELECT count(*) FROM cand) AS nc,
+                   (SELECT count(*) FROM verified) AS nv,
+                   (SELECT count(*) FROM truth t
+                     WHERE NOT EXISTS (SELECT 1 FROM verified v
+                                        WHERE v.id_a = t.id_a
+                                          AND v.id_b = t.id_b)) AS nm
+        )
+        SELECT CAST(nt AS BIGINT) AS n_truth,
+               CAST(nc AS BIGINT) AS n_lsh_candidates,
+               CAST(nv AS BIGINT) AS n_lsh_verified,
+               CAST(nm AS BIGINT) AS n_missed,
+               CAST((1000000 * nv) // greatest(nt, 1) AS BIGINT)
+                   AS recall_micros,
+               CAST((1000000 * nv) // greatest(nc, 1) AS BIGINT)
+                   AS candidate_efficiency_micros
+        FROM counts
+    """,
+    group="dedup_eval",
+)
 def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row audit of the MinHash tier against exact truth at t=0.8:
     (n_truth, n_lsh_candidates, n_lsh_verified, n_missed, recall_micros,

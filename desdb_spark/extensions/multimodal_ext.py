@@ -72,7 +72,40 @@ def fake_sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
-@register("multimodal_frame_sample", group="multimodal_ext")  # rows-only: stub kernel
+@register(
+    "multimodal_frame_sample",
+    # r8c rows→hash upgrade (same move as multimodal_decode_features):
+    # the stub kernel's byte arithmetic — every 2nd 256-byte slice, its
+    # offset, length, and md5 — is SQL-expressible because the fixture
+    # payloads are ASCII (byte slice ≡ char substr; asserted for the
+    # whole family by the decode oracle's passing hash). So the entire
+    # Arrow fan-out path — binary encode, mapInPandas batch iteration,
+    # one-row→many-frames explosion, fingerprint output — is
+    # value-checked. A real GOP-aligned decoder stays rows-only by
+    # nature; the plumbing no longer is.
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS nb
+            FROM documents WHERE doc_id % 2 = 0
+        ), frames AS (
+            SELECT doc_id, text, nb,
+                   unnest(generate_series(
+                       0, CAST(greatest(nb // {FRAME_BYTES}, 1) AS INT) - 1,
+                       2)) AS frame_idx
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(frame_idx * {FRAME_BYTES} AS BIGINT) AS frame_off,
+               CAST(least({FRAME_BYTES}, nb - frame_idx * {FRAME_BYTES})
+                    AS INT) AS frame_len,
+               md5(substr(text, frame_idx * {FRAME_BYTES} + 1,
+                          {FRAME_BYTES})) AS frame_md5
+        FROM frames
+        ORDER BY doc_id, frame_idx
+    """,
+    group="multimodal_ext",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage: video-like payloads fan out to every 2nd
     frame row with offset + fingerprint via an Arrow-batched mapInPandas
