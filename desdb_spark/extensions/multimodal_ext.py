@@ -146,7 +146,7 @@ def plan_resize(width: F.Column, height: F.Column) -> list[F.Column]:
 
 RESAMPLE_SCHEMA = (
     "doc_id bigint, width int, height int, out_w int, out_h int, "
-    "out_md5 string, px_sum bigint"
+    "out_md5 string, out_wsum bigint, px_sum bigint"
 )
 
 
@@ -195,6 +195,7 @@ def resample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out_w = max(1, (w * TARGET_SIDE) // den)
             out_h = max(1, (h * TARGET_SIDE) // den)
             resampled = resample_rgb_nearest(bytes(payload), w, h, out_w, out_h)
+            arr = np.frombuffer(resampled, dtype="uint8").astype("int64")
             out.append(
                 {
                     "doc_id": doc_id,
@@ -203,39 +204,27 @@ def resample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "out_w": out_w,
                     "out_h": out_h,
                     "out_md5": hashlib.md5(resampled).hexdigest(),
-                    "px_sum": int(
-                        np.frombuffer(resampled, dtype="uint8").sum()
-                    ),
+                    # Position-weighted checksum Σ (i+1)·byte_i: order-
+                    # sensitive (unlike px_sum) yet SQL-recomputable
+                    # (unlike md5 of raw bytes) — the differential pin.
+                    "out_wsum": int(np.dot(np.arange(1, arr.size + 1), arr)),
+                    "px_sum": int(arr.sum()),
                 }
             )
         yield pd.DataFrame(
             out,
             columns=[
                 "doc_id", "width", "height", "out_w", "out_h",
-                "out_md5", "px_sum",
+                "out_md5", "out_wsum", "px_sum",
             ],
         )
 
 
-@register("multimodal_resample_pixels", group="multimodal_ext")  # rows-only: binary kernel
-def multimodal_resample_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-level pixel path (VERDICT r7 item 8): synthesize a
-    deterministic raw-RGB buffer per image doc (planted gradient — the
-    stand-in for a decoder's output, which is exactly a raw buffer),
-    then run the REAL nearest-neighbor resample kernel and report the
-    resampled fingerprint + exact pixel checksum. Unlike the decode
-    stub, every byte here is real work a production pipeline runs after
-    decode; tests/test_multimodal_ext.py asserts exact resampled pixel
-    values against an independent NumPy reference, including identity
-    (no upscale) and extreme-aspect cases.
-
-    Scale shape: synthesis and resampling are one fused Arrow-batched
-    pass (mapInPandas); dims derive from doc_id so the stage is
-    shuffle-free until the tiny result sort. Buffers never leave the
-    task: fingerprints and checksums flow on.
-    """
-    import hashlib  # noqa: F401  (kernel dependency)
-
+def resample_pixels_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full resample pipeline including the md5 fingerprint column —
+    the pytest's byte-exact surface. The registered op drops md5 (not
+    SQL-recomputable over raw bytes) in favour of the position-weighted
+    checksum, which is."""
     m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
     dims = m.select(
         "doc_id",
@@ -260,7 +249,112 @@ def multimodal_resample_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize_batch", group="multimodal_ext")  # rows-only: stub dims
+@register(
+    "multimodal_resample_pixels",
+    # r8c rows→hash upgrade: the planted-gradient source pixel (y, x, c)
+    # = (3x + 7y + 11c + doc_id) mod 256 and the integer floor index
+    # mapping make every RESAMPLED byte a closed-form expression, so the
+    # oracle regenerates the full output image per doc and folds it into
+    # the same px_sum and position-weighted checksum the NumPy kernel
+    # emits. Byte ORDER is pinned by the weighted sum; byte-exact md5
+    # remains asserted in tests/test_multimodal_ext.py via
+    # resample_pixels_full (md5 over raw bytes isn't SQL-expressible).
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id,
+                   CAST(doc_id % 48 + 9 AS BIGINT) AS w,
+                   CAST(doc_id % 29 + 5 AS BIGINT) AS h
+            FROM documents WHERE doc_id % 2 = 0
+        ), plan AS (
+            SELECT doc_id, w, h,
+                   CASE WHEN greatest(w, h) > {TARGET_SIDE}
+                        THEN greatest(w, h) ELSE {TARGET_SIDE} END AS den
+            FROM img
+        ), dims AS (
+            SELECT doc_id, w, h,
+                   greatest(1, (w * {TARGET_SIDE}) // den) AS out_w,
+                   greatest(1, (h * {TARGET_SIDE}) // den) AS out_h
+            FROM plan
+        ), yrows AS (
+            SELECT doc_id, w, h, out_w, out_h,
+                   unnest(generate_series(0, CAST(out_h AS INT) - 1)) AS y
+            FROM dims
+        ), xrows AS (
+            SELECT *, unnest(generate_series(0, CAST(out_w AS INT) - 1)) AS x
+            FROM yrows
+        ), px AS (
+            SELECT doc_id, w, h, out_w, out_h,
+                   (3 * ((x * w) // out_w) + 7 * ((y * h) // out_h)
+                    + 11 * cs.c + doc_id) % 256 AS byte,
+                   (y * out_w + x) * 3 + cs.c + 1 AS pos
+            FROM xrows, (SELECT unnest(generate_series(0, 2)) AS c) cs
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+               CAST(sum(pos * byte) AS BIGINT) AS out_wsum,
+               CAST(sum(byte) AS BIGINT) AS px_sum
+        FROM px
+        GROUP BY doc_id, w, h, out_w, out_h
+        ORDER BY doc_id
+    """,
+    group="multimodal_ext",
+)
+def multimodal_resample_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level pixel path (VERDICT r7 item 8): synthesize a
+    deterministic raw-RGB buffer per image doc (planted gradient — the
+    stand-in for a decoder's output, which is exactly a raw buffer),
+    then run the REAL nearest-neighbor resample kernel and report the
+    resampled dims + exact order-sensitive pixel checksums. Unlike the
+    decode stub, every byte here is real work a production pipeline
+    runs after decode; tests/test_multimodal_ext.py asserts exact
+    resampled pixel values (incl. md5) against an independent NumPy
+    reference, including identity (no upscale) and extreme-aspect cases.
+
+    Scale shape: synthesis and resampling are one fused Arrow-batched
+    pass (mapInPandas); dims derive from doc_id so the stage is
+    shuffle-free until the tiny result sort. Buffers never leave the
+    task: fingerprints and checksums flow on.
+    """
+    return resample_pixels_full(spark, sf_dir).drop("out_md5")
+
+
+@register(
+    "multimodal_resize_batch",
+    # r8c rows→hash upgrade: dims come from the decode stub's ASCII byte
+    # checksum (already differentially proven by multimodal_decode_
+    # features' oracle) and the resize plan is pure integer arithmetic,
+    # so the whole op — Arrow decode hop included — is recomputable.
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id,
+                   COALESCE(list_sum(list_transform(
+                       generate_series(1, least(length(text), 64)),
+                       i -> ascii(substr(text, i, 1)))), 0) AS csum
+            FROM documents WHERE doc_id % 2 = 0
+        ), dims AS (
+            SELECT doc_id,
+                   CAST(16 + csum % 64 AS BIGINT) AS width,
+                   CAST(16 + (csum // 64) % 64 AS BIGINT) AS height
+            FROM c
+        ), plan AS (
+            SELECT doc_id, width, height,
+                   CASE WHEN greatest(width, height) > {TARGET_SIDE}
+                        THEN greatest(width, height)
+                        ELSE {TARGET_SIDE} END AS den
+            FROM dims
+        )
+        SELECT doc_id,
+               CAST(width AS INT) AS width,
+               CAST(height AS INT) AS height,
+               CAST((width * {TARGET_SIDE}) // den AS INT) AS out_w,
+               CAST((height * {TARGET_SIDE}) // den AS INT) AS out_h,
+               CAST({TARGET_SIDE} AS INT) AS scale_num,
+               CAST(den AS INT) AS scale_den
+        FROM plan ORDER BY doc_id
+    """,
+    group="multimodal_ext",
+)
 def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch resize planning: decode dimensions (stub kernel, via the
     decode stage) → aspect-preserving integer resize plan per image. The

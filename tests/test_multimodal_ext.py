@@ -67,7 +67,7 @@ def test_resample_pixels_exact_values(spark):
 
     import numpy as np
 
-    rows = multimodal_ext.multimodal_resample_pixels(spark, SF_DIR).collect()
+    rows = multimodal_ext.resample_pixels_full(spark, SF_DIR).collect()
     assert rows
     T = multimodal_ext.TARGET_SIDE
     for r in rows:
