@@ -403,10 +403,41 @@ def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(emb: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of the embedding against each hyperplane."""
+#: Fixed-point scale of the portable LSH family: both the hyperplane
+#: weights and the embedding components are quantized to integer micros
+#: before the sign test, so bucket assignment is EXACT 64-bit integer
+#: arithmetic — bit-identical in any engine, no float summation-order or
+#: near-zero sign-flip hazard. |w| ≤ 1 and |e| ≤ ~10 keep every partial
+#: sum < 64·10¹³ ≪ 2⁶³. The ~1e-6 angular perturbation vs the float
+#: planes is orders of magnitude below the band geometry's resolution.
+PLANE_SCALE = 1_000_000
+
+
+def quantized_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[int]]:
+    """``hyperplanes`` quantized to integer micros (the portable family)."""
+    return [
+        [int(round(w * PLANE_SCALE)) for w in p] for p in hyperplanes(dim, num_planes, seed)
+    ]
+
+
+def lsh_signature(emb: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit signature of the embedding against each quantized
+    hyperplane — integer micro dot products (see PLANE_SCALE)."""
+    eq = F.transform(emb, lambda x: F.round(x * F.lit(PLANE_SCALE)).cast("long"))
     bits = [
-        F.when(dot(emb, F.array(*[F.lit(w) for w in p])) >= 0, "1").otherwise("0")
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    eq,
+                    F.array(*[F.lit(int(w)) for w in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            )
+            >= 0,
+            "1",
+        ).otherwise("0")
         for p in planes
     ]
     return F.concat(*bits)
@@ -414,7 +445,7 @@ def lsh_signature(emb: Column, planes: list[list[float]]) -> Column:
 
 def _banded_sigs(e: DataFrame, bands: int, bits: int, dim: int = 64) -> DataFrame:
     """(id, emb, band, sig) — one row per (vector, band), sig = sign bits."""
-    planes = hyperplanes(dim, bands * bits)
+    planes = quantized_planes(dim, bands * bits)
     emb = F.col("embedding").cast("array<double>")
     return e.select(
         F.col("vec_id").alias("id"),
@@ -509,7 +540,66 @@ def _bucketed_pairs(
     )
 
 
-@register("ann_lsh_bucketed", group="similarity")  # rows-only: approximate output
+def _lsh_bucketed_oracle() -> str:
+    """Generate the ann_lsh_bucketed differential SQL: the 8×4 quantized
+    sign-bit bands as explicit integer dot expressions (bit-exact in any
+    engine — see PLANE_SCALE), candidate equi-join, then the same rounded
+    exact-cosine verification the hash-green dedup_embedding_cosine
+    oracle uses. Plane constants are inlined as integer literals, so the
+    whole LSH pipeline is recomputed from scratch by DuckDB."""
+    planes = quantized_planes(64, 32)
+    selects = []
+    for b in range(8):
+        bits_sql = " || ".join(
+            "(CASE WHEN "
+            + " + ".join(
+                f"({w})*eq[{i + 1}]" for i, w in enumerate(planes[b * 4 + r])
+            )
+            + " >= 0 THEN '1' ELSE '0' END)"
+            for r in range(4)
+        )
+        selects.append(f"SELECT vec_id, {b} AS band, {bits_sql} AS sig FROM base")
+    sigs = "\nUNION ALL\n".join(selects)
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * {PLANE_SCALE}) AS BIGINT))
+                       AS eq
+            FROM embeddings
+        ), sigs AS (
+            {sigs}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])), 6)
+              >= 0.45
+        ORDER BY vec_a, vec_b
+    """
+
+
+@register(
+    "ann_lsh_bucketed",
+    # r8c rows→hash upgrade: bucket assignment is exact integer micro
+    # arithmetic (PLANE_SCALE quantization of planes AND embeddings), so
+    # the probabilistic candidate set is deterministic and recomputable;
+    # verification reuses the rounded-cosine compare already hash-proven
+    # by dedup_embedding_cosine. What the differential proves is
+    # cross-engine PARITY of the full LSH pipeline; recall vs the exact
+    # tier stays pinned in tests/test_extensions.py.
+    oracle=_lsh_bucketed_oracle(),
+    group="similarity",
+)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN near-neighbor pairs via random-hyperplane LSH bands.
 
@@ -531,7 +621,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dim = 64
     bands, bits = 8, 4
-    planes = hyperplanes(dim, bands * bits)
+    planes = quantized_planes(dim, bands * bits)
     emb = F.col("embedding").cast("array<double>")
     sigs = e.select(
         F.col("vec_id").alias("id"),
