@@ -326,6 +326,9 @@ _OP_MODULES = (
     "desdb_spark.sources.lake_bloom",  # 1 op (NEW r8c: per-file bloom
     # index for point lookups on a non-clustered column; hash-checked
     # no-false-negative contract)
+    "desdb_spark.extensions.span_dedup",  # 1 op (NEW r8d: exact-substring
+    # maximal repeated-span extents — the Lee-et-al removal grain above
+    # docs_boilerplate_ngrams; hash-checked)
 )
 
 
