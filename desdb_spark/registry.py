@@ -329,6 +329,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.span_dedup",  # 1 op (NEW r8d: exact-substring
     # maximal repeated-span extents — the Lee-et-al removal grain above
     # docs_boilerplate_ngrams; hash-checked)
+    "desdb_spark.extensions.ann_binary",  # 1 op (NEW r8d: sign-bit binary
+    # quantization, codegen Hamming prefilter, exact cosine rerank on
+    # candidates only; hash-checked)
 )
 
 
