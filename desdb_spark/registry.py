@@ -332,6 +332,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.ann_binary",  # 1 op (NEW r8d: sign-bit binary
     # quantization, codegen Hamming prefilter, exact cosine rerank on
     # candidates only; hash-checked)
+    "desdb_spark.extensions.line_dedup",  # 1 op (NEW r8d: C4 global
+    # line-grain dedup with md5-digested document reassembly;
+    # hash-checked)
 )
 
 
