@@ -335,6 +335,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.line_dedup",  # 1 op (NEW r8d: C4 global
     # line-grain dedup with md5-digested document reassembly;
     # hash-checked)
+    "desdb_spark.extensions.dsir_ext",  # 1 op (NEW r8d: DSIR hashed-
+    # bigram importance weighting against the en target domain;
+    # hash-checked)
 )
 
 
