@@ -257,7 +257,11 @@ _OP_MODULES = (
     # source_incremental_view_refresh (lake_ivm),
     # source_zorder_pruned_read_2d (lake_zorder),
     # source_txn_snapshot_join (lake_txn),
-    # multimodal_audio_pcm_features (multimodal_audio) — plus
+    # multimodal_audio_pcm_features (multimodal_audio),
+    # dedup_exact_substring_spans (span_dedup),
+    # ann_binary_hamming_rerank (ann_binary),
+    # docs_dedup_lines_global (line_dedup),
+    # docs_dsir_importance_weights (dsir_ext) — plus
     # (2) any module changed in r9, then (3) the rows-only never-driver
     # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
     # diag_rowgroup_stats, multimodal_resample_pixels,
