@@ -342,6 +342,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.dsir_ext",  # 1 op (NEW r8d: DSIR hashed-
     # bigram importance weighting against the en target domain;
     # hash-checked)
+    "desdb_spark.sources.lake_partition_evo",  # 1 op (NEW r8d: Iceberg-
+    # style partition-spec evolution — two-era pruned read, each era
+    # pruned under its own spec; hash-checked)
 )
 
 
