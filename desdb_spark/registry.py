@@ -345,6 +345,9 @@ _OP_MODULES = (
     "desdb_spark.sources.lake_partition_evo",  # 1 op (NEW r8d: Iceberg-
     # style partition-spec evolution — two-era pruned read, each era
     # pruned under its own spec; hash-checked)
+    "desdb_spark.extensions.novelty_ext",  # 1 op (NEW r8d: marginal
+    # n-gram novelty by arrival order, exact integer micros;
+    # hash-checked)
 )
 
 
