@@ -348,6 +348,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.novelty_ext",  # 1 op (NEW r8d: marginal
     # n-gram novelty by arrival order, exact integer micros;
     # hash-checked)
+    "desdb_spark.extensions.multimodal_phash",  # 1 op (NEW r8d: aHash
+    # image dedup over the Arrow binary kernel path — the multimodal
+    # tier's dedup stage; hash-checked closed-form)
 )
 
 
