@@ -351,6 +351,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.multimodal_phash",  # 1 op (NEW r8d: aHash
     # image dedup over the Arrow binary kernel path — the multimodal
     # tier's dedup stage; hash-checked closed-form)
+    "desdb_spark.extensions.matryoshka_ext",  # 1 op (NEW r8d: truncated-
+    # dimension retrieval recall curve via the broadcast GEMM kernel;
+    # hash-checked)
 )
 
 
