@@ -354,6 +354,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.matryoshka_ext",  # 1 op (NEW r8d: truncated-
     # dimension retrieval recall curve via the broadcast GEMM kernel;
     # hash-checked)
+    "desdb_spark.operators.asof_tolerance",  # 1 op (NEW r8d: feature-
+    # store as-of with staleness bound + three-way freshness class;
+    # hash-checked)
 )
 
 
