@@ -66,11 +66,13 @@ _COS_SCHEMA = "vec_id bigint, d int, qid bigint, c double"
             SELECT qid, vec_id FROM topk WHERE d = {DIMS[-1]}
         )
         SELECT CAST(t.d AS BIGINT) AS d_trunc,
-               CAST(count(*) AS BIGINT) AS sum_overlap,
+               CAST(sum(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sum_overlap,
                CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_pairs,
-               CAST(count(*) * 1000000 // {N_QUERIES * TOP_K} AS BIGINT)
+               CAST(sum(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // {N_QUERIES * TOP_K} AS BIGINT)
                    AS recall_micros
-        FROM topk t JOIN fullk f
+        FROM topk t LEFT JOIN fullk f
           ON t.qid = f.qid AND t.vec_id = f.vec_id
         GROUP BY t.d
         ORDER BY d_trunc
@@ -139,9 +141,14 @@ def emb_truncation_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.join(
             F.broadcast(fullk),
             (F.col("qid") == F.col("f_qid")) & (F.col("vec_id") == F.col("f_vec")),
+            "left",
         )
         .groupBy("d")
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.sum(
+                F.when(F.col("f_qid").isNotNull(), 1).otherwise(0)
+            ).alias("n_overlap")
+        )
         .select(
             F.col("d").cast("bigint").alias("d_trunc"),
             F.col("n_overlap").cast("bigint").alias("sum_overlap"),
