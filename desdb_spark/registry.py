@@ -261,7 +261,12 @@ _OP_MODULES = (
     # dedup_exact_substring_spans (span_dedup),
     # ann_binary_hamming_rerank (ann_binary),
     # docs_dedup_lines_global (line_dedup),
-    # docs_dsir_importance_weights (dsir_ext) — plus
+    # docs_dsir_importance_weights (dsir_ext),
+    # source_partition_evolution_read (lake_partition_evo),
+    # text_ngram_novelty_curve (novelty_ext),
+    # multimodal_image_ahash_dedup (multimodal_phash),
+    # emb_truncation_recall_curve (matryoshka_ext),
+    # join_asof_tolerance (asof_tolerance) — plus
     # (2) any module changed in r9, then (3) the rows-only never-driver
     # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
     # diag_rowgroup_stats, multimodal_resample_pixels,
