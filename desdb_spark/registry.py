@@ -362,6 +362,8 @@ _OP_MODULES = (
     "desdb_spark.operators.asof_tolerance",  # 1 op (NEW r8d: feature-
     # store as-of with staleness bound + three-way freshness class;
     # hash-checked)
+    "desdb_spark.extensions.waterfill_ext",  # 1 op (NEW r8d: exact
+    # integer waterfilling per-domain token caps; hash-checked)
 )
 
 
