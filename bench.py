@@ -56,6 +56,10 @@ LLM_SUITE = [
     "text_bm25_search",
     "docs_eval_substring_contamination",
     "dedup_near_minhash",
+    # r8d curation tier (BASELINE.md has their DuckDB numbers):
+    "docs_dedup_lines_global",
+    "dedup_exact_substring_spans",
+    "docs_dsir_importance_weights",
 ]
 
 #: Lake-DML suite (r8): the manifest-table mutation tier. Each timed run
