@@ -116,14 +116,7 @@ def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(ahash_kernel, _HASH_SCHEMA)
 
 
-@register(
-    "multimodal_image_ahash_dedup",
-    # The synthesized pixel, the box mean, the global mean, and the bit
-    # packing are all closed-form integer arithmetic, so the oracle
-    # regenerates every hash from scratch — the kernel's byte path is
-    # additionally pinned against an independent NumPy reference in
-    # tests/test_multimodal_phash.py.
-    oracle=f"""
+AHASH_DEDUP_ORACLE = f"""
         WITH img AS (
             SELECT doc_id, doc_id % {N_GROUPS} AS g
             FROM documents WHERE doc_id % 2 = 0
@@ -164,7 +157,17 @@ def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY hash_lo, hash_hi
         HAVING count(*) >= 2
         ORDER BY hash_lo, hash_hi
-    """,
+    """
+
+
+@register(
+    "multimodal_image_ahash_dedup",
+    # The synthesized pixel, the box mean, the global mean, and the bit
+    # packing are all closed-form integer arithmetic, so the oracle
+    # regenerates every hash from scratch — the kernel's byte path is
+    # additionally pinned against an independent NumPy reference in
+    # tests/test_multimodal_phash.py.
+    oracle=AHASH_DEDUP_ORACLE,
     group="multimodal_phash",
 )
 def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

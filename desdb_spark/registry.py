@@ -266,7 +266,9 @@ _OP_MODULES = (
     # text_ngram_novelty_curve (novelty_ext),
     # multimodal_image_ahash_dedup (multimodal_phash),
     # emb_truncation_recall_curve (matryoshka_ext),
-    # join_asof_tolerance (asof_tolerance) — plus
+    # join_asof_tolerance (asof_tolerance),
+    # corpus_waterfill_domain_caps (waterfill_ext),
+    # stream_image_ahash_dedup (media_dedup) — plus
     # (2) any module changed in r9, then (3) the rows-only never-driver
     # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
     # diag_rowgroup_stats, multimodal_resample_pixels,
@@ -364,6 +366,9 @@ _OP_MODULES = (
     # hash-checked)
     "desdb_spark.extensions.waterfill_ext",  # 1 op (NEW r8d: exact
     # integer waterfilling per-domain token caps; hash-checked)
+    "desdb_spark.streaming.media_dedup",  # 1 op (NEW r8d: streaming
+    # aHash dedup — the Arrow kernel inside a real readStream pipeline,
+    # hash-checked against the batch oracle)
 )
 
 

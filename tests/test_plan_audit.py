@@ -47,6 +47,7 @@ SKIP = {
     "stream_stream_enrich_join",
     "stream_stream_left_outer_join",
     "stream_stream_full_outer_join",
+    "stream_image_ahash_dedup",
 }
 
 
@@ -165,6 +166,27 @@ def test_skip_set_plans(spark):
     _assert_clean(plan, "stream_stateful_profile")
     assert "FlatMapGroupsInPandasWithState" in plan
     _assert_scalar_outputs(profile, "stream_stateful_profile")
+
+    # stream_image_ahash_dedup: build (never start) the streaming graph —
+    # two mapInPandas kernels feeding a stateful hash-keyed aggregate.
+    from desdb_spark.extensions.multimodal_phash import (
+        _HASH_SCHEMA,
+        ahash_kernel,
+    )
+
+    docs_schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    media_stream = (
+        spark.readStream.schema(docs_schema)
+        .parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.encode(F.lit("x"), "utf-8").alias("payload"))
+        .mapInPandas(ahash_kernel, _HASH_SCHEMA)
+        .groupBy("hash_lo", "hash_hi")
+        .agg(F.count("*").alias("n_members"))
+    )
+    plan = media_stream._jdf.queryExecution().analyzed().toString()
+    _assert_clean(plan, "stream_image_ahash_dedup")
+    assert "MapInPandas" in plan
 
 
 def test_no_rdd_access_in_engine():
