@@ -268,7 +268,8 @@ _OP_MODULES = (
     # emb_truncation_recall_curve (matryoshka_ext),
     # join_asof_tolerance (asof_tolerance),
     # corpus_waterfill_domain_caps (waterfill_ext),
-    # stream_image_ahash_dedup (media_dedup) — plus
+    # stream_image_ahash_dedup (media_dedup),
+    # docs_strip_repeated_spans (span_rewrite) — plus
     # (2) any module changed in r9, then (3) the rows-only never-driver
     # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
     # diag_rowgroup_stats, multimodal_resample_pixels,
@@ -369,6 +370,8 @@ _OP_MODULES = (
     "desdb_spark.streaming.media_dedup",  # 1 op (NEW r8d: streaming
     # aHash dedup — the Arrow kernel inside a real readStream pipeline,
     # hash-checked against the batch oracle)
+    "desdb_spark.extensions.span_rewrite",  # 1 op (NEW r8d: repeated-
+    # span removal rewrite consuming the span extents; hash-checked)
 )
 
 
