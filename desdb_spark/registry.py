@@ -372,6 +372,9 @@ _OP_MODULES = (
     # hash-checked against the batch oracle)
     "desdb_spark.extensions.span_rewrite",  # 1 op (NEW r8d: repeated-
     # span removal rewrite consuming the span extents; hash-checked)
+    "desdb_spark.extensions.retrieval_ext3",  # 3 ops (NEW r8e: vocab
+    # coverage curve, collocation lift mining, positional phrase
+    # search; all hash-checked, exact decimal micros)
 )
 
 
