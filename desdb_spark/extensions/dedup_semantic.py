@@ -53,10 +53,13 @@ TWIN_OFFSET = 10_000_000
 
 _Q = "1000000"  # 1e-6 fixed-point scale
 
-
-@register(
-    "dedup_semantic_embedding",
-    oracle=f"""
+#: Shared CTE chain ending in ``scored(ka, kb, cos_q)`` — every
+#: same-cell pair of the twinned corpus with its exact fixed-point
+#: cosine, BEFORE any threshold. dedup_semantic_embedding filters it at
+#: SEM_THRESHOLD; semdedup_curve's threshold sweep aggregates it
+#: per-candidate (extensions/semdedup_curve.py) — one definition, two
+#: oracles, so the engines can never drift apart on the pair grain.
+SCORED_CTE = f"""
         WITH el0 AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                    CAST(unnest(embedding) AS DOUBLE) AS x
@@ -94,25 +97,14 @@ _Q = "1000000"  # 1e-6 fixed-point scale
             JOIN qnorm na ON na.vec_id = ka
             JOIN qnorm nb ON nb.vec_id = kb
         )
-        SELECT CAST(kb AS BIGINT) AS vec_id,
-               CAST(ka AS BIGINT) AS keep_id,
-               cos_q AS cos_sim
-        FROM (
-            SELECT ka, kb, cos_q,
-                   row_number() OVER (PARTITION BY kb ORDER BY ka) AS rn
-            FROM scored
-            WHERE cos_q >= CAST({SEM_THRESHOLD} AS DOUBLE))
-        WHERE rn = 1
-    """,
-    group="dedup_semantic",
-)
-def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic duplicates over the (twinned) embedding corpus: for every
-    vector that has a same-cell partner with cosine ≥ SEM_THRESHOLD and a
-    smaller vec_id, report the minimum such partner as its survivor
-    (``keep_id``) plus the exact fixed-point cosine — the "delete this,
-    keep that" decision list a SemDeDup pass feeds downstream.
-    """
+"""
+
+
+def twinned_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SCORED_CTE: every same-cell (ka < kb) pair of the
+    twinned corpus with its exact fixed-point cosine ``cos_q`` — the
+    candidate grain both the dedup decision list and the threshold
+    sweep consume."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -151,18 +143,42 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.col("a.qn").cast("double") * F.col("b.qn").cast("double")),
         6,
     )
-    scored = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("ka"),
-            F.col("b.vec_id").alias("kb"),
-            cos_q.alias("cos_q"),
-        )
-        .where(F.col("cos_q") >= F.lit(SEM_THRESHOLD))
+    return a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("ka"),
+        F.col("b.vec_id").alias("kb"),
+        cos_q.alias("cos_q"),
+    )
+
+
+@register(
+    "dedup_semantic_embedding",
+    oracle=SCORED_CTE
+    + f"""
+        SELECT CAST(kb AS BIGINT) AS vec_id,
+               CAST(ka AS BIGINT) AS keep_id,
+               cos_q AS cos_sim
+        FROM (
+            SELECT ka, kb, cos_q,
+                   row_number() OVER (PARTITION BY kb ORDER BY ka) AS rn
+            FROM scored
+            WHERE cos_q >= CAST({SEM_THRESHOLD} AS DOUBLE))
+        WHERE rn = 1
+    """,
+    group="dedup_semantic",
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicates over the (twinned) embedding corpus: for every
+    vector that has a same-cell partner with cosine ≥ SEM_THRESHOLD and a
+    smaller vec_id, report the minimum such partner as its survivor
+    (``keep_id``) plus the exact fixed-point cosine — the "delete this,
+    keep that" decision list a SemDeDup pass feeds downstream.
+    """
+    scored = twinned_scored_pairs(spark, sf_dir).where(
+        F.col("cos_q") >= F.lit(SEM_THRESHOLD)
     )
     w = Window.partitionBy("kb").orderBy("ka")
     return (

@@ -375,6 +375,12 @@ _OP_MODULES = (
     "desdb_spark.extensions.retrieval_ext3",  # 3 ops (NEW r8e: vocab
     # coverage curve, collocation lift mining, positional phrase
     # search; all hash-checked, exact decimal micros)
+    "desdb_spark.extensions.semdedup_curve",  # 1 op (NEW r8e: SemDeDup
+    # threshold retention sweep over the shared same-cell pair grain;
+    # hash-checked)
+    "desdb_spark.extensions.privacy_ext",  # 1 op (NEW r8e: k-anonymity
+    # class-size audit over release-visible quasi-identifiers;
+    # hash-checked)
 )
 
 
