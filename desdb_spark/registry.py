@@ -381,6 +381,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.privacy_ext",  # 1 op (NEW r8e: k-anonymity
     # class-size audit over release-visible quasi-identifiers;
     # hash-checked)
+    "desdb_spark.extensions.multimodal_vad",  # 1 op (NEW r8e: energy-
+    # gate VAD segments over the PCM binary tier, gaps-and-islands
+    # merge; hash-checked via the regenerable gated waveform)
 )
 
 
