@@ -37,9 +37,11 @@ LAMBDA_NUM = 8
 LAMBDA_DEN = 10
 
 
-@register(
-    "text_bigram_interp_logprob",
-    oracle=f"""
+#: Shared CTE chain ending in ``scored(doc_id, lp)`` — one transition
+#: log-probability row per in-vocabulary bigram instance, the grain both
+#: the worst-docs report and ccnet_buckets' head/middle/tail split
+#: consume (extensions/ccnet_buckets.py).
+SCORED_CTE = f"""
         WITH arrs AS (
             SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -71,27 +73,13 @@ LAMBDA_DEN = 10
             JOIN ctx x ON x.v = p.v
             JOIN uni u ON u.w = p.w
         )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(lp), 4) AS mean_logprob,
-               round(exp(-avg(lp)), 2) AS perplexity
-        FROM scored GROUP BY doc_id
-        ORDER BY mean_logprob, doc_id LIMIT 40
-    """,
-    group="lm_score",
-)
-def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 40 least-fluent documents under the corpus's own interpolated
-    bigram LM: per doc, bigram count, mean transition log-probability
-    (λ=0.8 bigram + 0.2 unigram backoff), and bigram perplexity.
+"""
 
-    Every arithmetic step mirrors the oracle exactly — (λ·cb)/cv +
-    ((1−λ)·c)/N with left-associative double division — so the 4-dp
-    round is parity, not luck. Documents with fewer than two tokens have
-    no transitions and are excluded in both engines; the unigram/total
-    tables are built over ALL documents so the backoff term is the same
-    model `text_unigram_logprob` scores against.
-    """
+
+def scored_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SCORED_CTE: one (doc_id, lp) row per in-vocabulary
+    bigram transition under the interpolated model — the shared grain of
+    the worst-docs report and the CCNet bucket split."""
     lam = LAMBDA_NUM / LAMBDA_DEN
     d = load_table(spark, sf_dir, "documents")
     arr = F.filter(F.split("text", " "), lambda x: x != "")
@@ -127,8 +115,36 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
+    return pairs.join(F.broadcast(probs), ["v", "w"]).select("doc_id", "lp")
+
+
+@register(
+    "text_bigram_interp_logprob",
+    oracle=SCORED_CTE
+    + """
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 4) AS mean_logprob,
+               round(exp(-avg(lp)), 2) AS perplexity
+        FROM scored GROUP BY doc_id
+        ORDER BY mean_logprob, doc_id LIMIT 40
+    """,
+    group="lm_score",
+)
+def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 40 least-fluent documents under the corpus's own interpolated
+    bigram LM: per doc, bigram count, mean transition log-probability
+    (λ=0.8 bigram + 0.2 unigram backoff), and bigram perplexity.
+
+    Every arithmetic step mirrors the oracle exactly — (λ·cb)/cv +
+    ((1−λ)·c)/N with left-associative double division — so the 4-dp
+    round is parity, not luck. Documents with fewer than two tokens have
+    no transitions and are excluded in both engines; the unigram/total
+    tables are built over ALL documents so the backoff term is the same
+    model `text_unigram_logprob` scores against.
+    """
     return (
-        pairs.join(F.broadcast(probs), ["v", "w"])
+        scored_bigrams(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),

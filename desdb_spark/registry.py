@@ -384,6 +384,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.multimodal_vad",  # 1 op (NEW r8e: energy-
     # gate VAD segments over the PCM binary tier, gaps-and-islands
     # merge; hash-checked via the regenerable gated waveform)
+    "desdb_spark.extensions.ccnet_buckets",  # 1 op (NEW r8e: CCNet
+    # head/middle/tail perplexity split per language over the shared
+    # bigram-LM grain; hash-checked in integer tenth-millis)
 )
 
 
