@@ -387,6 +387,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.ccnet_buckets",  # 1 op (NEW r8e: CCNet
     # head/middle/tail perplexity split per language over the shared
     # bigram-LM grain; hash-checked in integer tenth-millis)
+    "desdb_spark.extensions.epoch_schedule",  # 1 op (NEW r8e: per-
+    # source epoch schedule under a token budget — exact integer
+    # epochs/remainder/oversample; hash-checked)
 )
 
 
