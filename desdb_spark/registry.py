@@ -390,6 +390,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.epoch_schedule",  # 1 op (NEW r8e: per-
     # source epoch schedule under a token budget — exact integer
     # epochs/remainder/oversample; hash-checked)
+    "desdb_spark.operators.asof_nearest",  # 1 op (NEW r8e: nearest-
+    # direction as-of completing the family — two shared-sort windows,
+    # exact microsecond gaps; hash-checked)
 )
 
 
