@@ -269,7 +269,19 @@ _OP_MODULES = (
     # join_asof_tolerance (asof_tolerance),
     # corpus_waterfill_domain_caps (waterfill_ext),
     # stream_image_ahash_dedup (media_dedup),
-    # docs_strip_repeated_spans (span_rewrite) — plus
+    # docs_strip_repeated_spans (span_rewrite),
+    # and the 10 r8e HASH ops: text_vocab_coverage_curve,
+    # text_collocation_lift_topk, text_phrase_search_positional
+    # (retrieval_ext3), dedup_semantic_retention_curve (semdedup_curve),
+    # docs_k_anonymity_audit (privacy_ext),
+    # multimodal_audio_vad_segments (multimodal_vad),
+    # docs_ccnet_ppl_buckets (ccnet_buckets),
+    # corpus_epoch_schedule (epoch_schedule),
+    # join_asof_nearest (asof_nearest) — note dedup_semantic_embedding
+    # and text_bigram_interp_logprob were REFACTORED in r8e (shared
+    # pair/score grain extracted for the curve/bucket ops; selfcheck
+    # re-passed at sf0.001/0.01/0.1) so they count as changed-since-
+    # checked and should also rotate in — plus
     # (2) any module changed in r9, then (3) the rows-only never-driver
     # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
     # diag_rowgroup_stats, multimodal_resample_pixels,
