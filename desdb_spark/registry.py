@@ -277,7 +277,9 @@ _OP_MODULES = (
     # multimodal_audio_vad_segments (multimodal_vad),
     # docs_ccnet_ppl_buckets (ccnet_buckets),
     # corpus_epoch_schedule (epoch_schedule),
-    # join_asof_nearest (asof_nearest) — note dedup_semantic_embedding
+    # join_asof_nearest (asof_nearest),
+    # window_rolling_regression_slope (rolling_regression)
+    # — note dedup_semantic_embedding
     # and text_bigram_interp_logprob were REFACTORED in r8e (shared
     # pair/score grain extracted for the curve/bucket ops; selfcheck
     # re-passed at sf0.001/0.01/0.1) so they count as changed-since-
@@ -405,6 +407,9 @@ _OP_MODULES = (
     "desdb_spark.operators.asof_nearest",  # 1 op (NEW r8e: nearest-
     # direction as-of completing the family — two shared-sort windows,
     # exact microsecond gaps; hash-checked)
+    "desdb_spark.operators.rolling_regression",  # 1 op (NEW r8e:
+    # windowed-OLS trailing slope from exact integer sufficient stats;
+    # hash-checked with floor-division parity)
 )
 
 
