@@ -278,7 +278,8 @@ _OP_MODULES = (
     # docs_ccnet_ppl_buckets (ccnet_buckets),
     # corpus_epoch_schedule (epoch_schedule),
     # join_asof_nearest (asof_nearest),
-    # window_rolling_regression_slope (rolling_regression)
+    # window_rolling_regression_slope (rolling_regression),
+    # corpus_dup_mass_by_ngram_len (dupmass_curve)
     # — note dedup_semantic_embedding
     # and text_bigram_interp_logprob were REFACTORED in r8e (shared
     # pair/score grain extracted for the curve/bucket ops; selfcheck
@@ -410,6 +411,8 @@ _OP_MODULES = (
     "desdb_spark.operators.rolling_regression",  # 1 op (NEW r8e:
     # windowed-OLS trailing slope from exact integer sufficient stats;
     # hash-checked with floor-division parity)
+    "desdb_spark.extensions.dupmass_curve",  # 1 op (NEW r8e: duplicate-
+    # mass curve across gram lengths 1..5 in one shuffle; hash-checked)
 )
 
 
