@@ -279,7 +279,9 @@ _OP_MODULES = (
     # corpus_epoch_schedule (epoch_schedule),
     # join_asof_nearest (asof_nearest),
     # window_rolling_regression_slope (rolling_regression),
-    # corpus_dup_mass_by_ngram_len (dupmass_curve)
+    # corpus_dup_mass_by_ngram_len (dupmass_curve),
+    # docs_shard_assignment_balance + emb_cell_cosine_histogram
+    # (sharding_ext)
     # — note dedup_semantic_embedding
     # and text_bigram_interp_logprob were REFACTORED in r8e (shared
     # pair/score grain extracted for the curve/bucket ops; selfcheck
@@ -413,6 +415,9 @@ _OP_MODULES = (
     # hash-checked with floor-division parity)
     "desdb_spark.extensions.dupmass_curve",  # 1 op (NEW r8e: duplicate-
     # mass curve across gram lengths 1..5 in one shuffle; hash-checked)
+    "desdb_spark.extensions.sharding_ext",  # 2 ops (NEW r8e: md5-shard
+    # balance audit + same-cell cosine separation histogram over the
+    # shared SemDeDup pair grain; both hash-checked)
 )
 
 
