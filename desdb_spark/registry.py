@@ -281,7 +281,7 @@ _OP_MODULES = (
     # window_rolling_regression_slope (rolling_regression),
     # corpus_dup_mass_by_ngram_len (dupmass_curve),
     # docs_shard_assignment_balance + emb_cell_cosine_histogram
-    # (sharding_ext)
+    # (sharding_ext), quality_signal_correlation (signal_corr)
     # — note dedup_semantic_embedding
     # and text_bigram_interp_logprob were REFACTORED in r8e (shared
     # pair/score grain extracted for the curve/bucket ops; selfcheck
@@ -418,6 +418,9 @@ _OP_MODULES = (
     "desdb_spark.extensions.sharding_ext",  # 2 ops (NEW r8e: md5-shard
     # balance audit + same-cell cosine separation histogram over the
     # shared SemDeDup pair grain; both hash-checked)
+    "desdb_spark.extensions.signal_corr",  # 1 op (NEW r8e: quality-
+    # signal Pearson agreement from exact integer sufficient stats;
+    # hash-checked)
 )
 
 
