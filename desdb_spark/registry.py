@@ -281,7 +281,8 @@ _OP_MODULES = (
     # window_rolling_regression_slope (rolling_regression),
     # corpus_dup_mass_by_ngram_len (dupmass_curve),
     # docs_shard_assignment_balance + emb_cell_cosine_histogram
-    # (sharding_ext), quality_signal_correlation (signal_corr)
+    # (sharding_ext), quality_signal_correlation (signal_corr),
+    # text_hapax_ratio_by_source (hapax_ext)
     # — note dedup_semantic_embedding
     # and text_bigram_interp_logprob were REFACTORED in r8e (shared
     # pair/score grain extracted for the curve/bucket ops; selfcheck
@@ -421,6 +422,8 @@ _OP_MODULES = (
     "desdb_spark.extensions.signal_corr",  # 1 op (NEW r8e: quality-
     # signal Pearson agreement from exact integer sufficient stats;
     # hash-checked)
+    "desdb_spark.extensions.hapax_ext",  # 1 op (NEW r8e: per-source
+    # hapax-legomena richness ratio; hash-checked)
 )
 
 
