@@ -148,9 +148,19 @@ def minhash_candidate_pairs(
     join. Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col)), num_hashes).alias("sig"),
+    # Docs with <3 tokens have no 3-gram shingles: every minhash in their
+    # signature is NULL, and concat_ws skips NULLs, so all of them would
+    # collapse onto the SAME empty band signature — a single quadratic
+    # candidate bucket (ADVICE r8). Excluding them up front matches the
+    # oracle's len(l) >= 3 filter: no shingles ⇒ no signature ⇒ no
+    # candidates, which is also the only Jaccard-consistent semantics.
+    sig = (
+        ensure_parallelism(docs)
+        .where(F.size(F.split(F.col(text_col), " ")) >= 3)
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_signature(shingles(F.col(text_col)), num_hashes).alias("sig"),
+        )
     )
     banded = sig.select(
         "id",
@@ -210,16 +220,28 @@ def prefix_tokens(
     t_den: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int | None = None,
 ) -> DataFrame:
-    """(doc_id, tok, n) — each doc's Jaccard-prefix tokens under the global
-    (document frequency, token) order: the first |s| − ⌈t·|s|⌉ + 1 tokens,
-    with n = |s|. Exposed for the prune/exactness tests; see
-    ``prefix_filtered_pairs`` for the lemma and the integer-⌈t·n⌉ note."""
+    """(doc_id, tok, n) — each doc's Jaccard-prefix elements under the
+    global (document frequency, element) order: the first
+    |s| − ⌈t·|s|⌉ + 1 elements, with n = |s|. Exposed for the
+    prune/exactness tests; see ``prefix_filtered_pairs`` for the lemma and
+    the integer-⌈t·n⌉ note.
+
+    ``ngram=None`` prefixes over the unigram TOKEN set; ``ngram=k``
+    prefixes over the k-gram SHINGLE set instead (r9, ADVICE r8: the
+    prefix lemma is set-family-agnostic, and shingle-grain candidates are
+    what a shingle-Jaccard verification needs for losslessness)."""
     from pyspark.sql import Window
 
+    elems = (
+        F.array_distinct(shingles(F.col(text_col), ngram))
+        if ngram is not None
+        else F.array_distinct(F.split(text_col, " "))
+    )
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
+        F.explode(elems).alias("tok"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfc = toks.groupBy("tok").agg(F.count("*").alias("df"))
@@ -240,10 +262,16 @@ def prefix_filtered_pairs(
     t_den: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int | None = None,
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs for token-set Jaccard ≥ t_num/t_den via
-    the prefix filter (public algorithm: Chaudhuri et al. SSJoin'06 / Xiao
-    et al. PPJoin, WWW'08). EXACT — no qualifying pair is missed:
+    """Candidate (id_a, id_b) pairs for set Jaccard ≥ t_num/t_den via the
+    prefix filter (public algorithm: Chaudhuri et al. SSJoin'06 / Xiao
+    et al. PPJoin, WWW'08). EXACT — no qualifying pair is missed. The set
+    family is the unigram token set by default, or the ``ngram``-shingle
+    set when given (the lemma holds for any set family, but losslessness
+    is ONLY with respect to the SAME family's Jaccard — token-prefix
+    candidates can miss shingle-Jaccard-qualifying pairs whose token-set
+    sizes violate the length filter; ADVICE r8):
 
     Order all tokens globally by (document frequency, token). A set s only
     needs its first |s| − ⌈t·|s|⌉ + 1 tokens in that order (its *prefix*)
@@ -260,7 +288,9 @@ def prefix_filtered_pairs(
     exactness. A length filter (t·|A| ≤ |B| ≤ |A|/t, integer form) prunes
     size-incompatible pairs before the distinct.
     """
-    prefix = prefix_tokens(docs, t_num, t_den, id_col=id_col, text_col=text_col)
+    prefix = prefix_tokens(
+        docs, t_num, t_den, id_col=id_col, text_col=text_col, ngram=ngram
+    )
     a = prefix.alias("a")
     b = prefix.alias("b")
     return (
@@ -277,8 +307,21 @@ def prefix_filtered_pairs(
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
-    sets_df = ensure_parallelism(docs).select(
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+
+    r9 payload cut (VERDICT r8 item 5): shingle arrays are built only for
+    docs that actually appear in a candidate pair (semi-join on the union
+    of pair ids), so the verification joins shuffle candidate-bound array
+    payloads, never the full corpus's. ``pairs`` is referenced twice (the
+    id semi-join and the verify join) — callers whose candidate plan is
+    expensive should ``localCheckpoint()`` it first, as the registered
+    minhash ops do."""
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_df = docs.join(ids, "doc_id", "left_semi").select(
         F.col("doc_id").alias("id"),
         F.array_distinct(shingles(F.col("text"), n)).alias("sh"),
     )
@@ -295,83 +338,6 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
                 / F.size(F.array_union("sa.sh", "sb.sh"))
             ).alias("jaccard"),
         )
-    )
-
-
-@register(
-    "dedup_near_minhash",
-    # r8c rows→hash upgrade: with the portable md5-affine hash family
-    # (minhash_signature) the ENTIRE LSH pipeline — shingling, K=32
-    # min-hashes, 8×4 banding, candidate equi-join, exact Jaccard
-    # verification — is recomputed by DuckDB and the outputs hashed.
-    # What the differential proves is cross-engine PARITY of the
-    # algorithm (including its probabilistic recall decisions, which
-    # are deterministic given the family); recall itself is pinned by
-    # the planted-dup pytest and audited by dedup_minhash_eval.
-    oracle=f"""
-        WITH arrs AS (
-            SELECT doc_id, string_split(text, ' ') AS l FROM documents
-        ), idx AS (
-            SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
-            FROM arrs WHERE len(l) >= 3
-        ), grams AS (
-            SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
-            FROM idx
-        ), gx AS (
-            SELECT doc_id,
-                   CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {MH_P}
-                       AS x
-            FROM grams
-        ), seeds AS (
-            SELECT i, (i * 1000003 + 17) % {MH_P} AS a,
-                   (i * 998244353 + 101) % {MH_P} AS b
-            FROM (SELECT unnest(generate_series(0, 31)) AS i)
-        ), mins AS (
-            SELECT doc_id, s.i, min((s.a * gx.x + s.b) % {MH_P}) AS mh
-            FROM gx, seeds s GROUP BY doc_id, s.i
-        ), bands AS (
-            SELECT doc_id, i // 4 AS band,
-                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-            FROM mins GROUP BY doc_id, i // 4
-        ), cand AS (
-            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.sig = y.sig
-             AND x.doc_id < y.doc_id
-        ), dg AS (
-            SELECT DISTINCT doc_id, g FROM grams
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
-        ), inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS i
-            FROM cand c
-            JOIN dg a ON a.doc_id = c.id_a
-            JOIN dg b ON b.doc_id = c.id_b AND b.g = a.g
-            GROUP BY c.id_a, c.id_b
-        )
-        SELECT id_a, id_b,
-               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= CAST(0.8 AS DOUBLE)
-    """,
-    group="dedup",
-)
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, Jaccard-verified above 0.8.
-
-    Exact duplicates (planted in the fixture) are guaranteed candidates —
-    identical signatures collide in every band — so recall on them is 1.0
-    (asserted in tests/test_extensions.py).
-    """
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(d)
-    return (
-        ngram_jaccard(d, pairs)
-        .where(F.col("jaccard") >= 0.8)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -426,93 +392,6 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             )
         )
     return votes.select("id", fp.alias("fp"))
-
-
-@register(
-    "dedup_simhash",
-    # r8c rows→hash upgrade: with the portable md5-chunk bit family
-    # (simhash64) DuckDB recomputes the full pipeline — per-token bit
-    # votes, sign fingerprint, 16-bit banding, candidate equi-join,
-    # Hamming verification. The oracle never assembles the signed
-    # 64-bit fp; it compares per-bit signs directly, which is the same
-    # quantity bit_count(a.fp XOR b.fp) counts.
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents
-        ), chunks AS (
-            SELECT doc_id, ks.k,
-                   CAST(('0x' || substr(md5(tok), 1 + 4 * ks.k, 4)) AS BIGINT)
-                       AS c
-            FROM toks, (SELECT unnest(generate_series(0, 3)) AS k) ks
-        ), bits AS (
-            SELECT doc_id, 16 * k + js.j AS i,
-                   CASE WHEN (c >> js.j) & 1 = 1 THEN 1 ELSE -1 END AS vote
-            FROM chunks, (SELECT unnest(generate_series(0, 15)) AS j) js
-        ), sgn AS (
-            SELECT doc_id, i, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS s
-            FROM bits GROUP BY doc_id, i
-        ), bands AS (
-            SELECT doc_id, i // 16 AS band,
-                   sum(s * (CAST(1 AS BIGINT) << (i % 16))) AS val
-            FROM sgn GROUP BY doc_id, i // 16
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-        )
-        SELECT c.id_a, c.id_b,
-               CAST(sum(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS BIGINT)
-                   AS hamming
-        FROM cand c
-        JOIN sgn sa ON sa.doc_id = c.id_a
-        JOIN sgn sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-        GROUP BY c.id_a, c.id_b
-        HAVING sum(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) <= 3
-        ORDER BY id_a, id_b
-    """,
-    group="dedup",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: identical 16-bit band → Hamming check.
-
-    Bands (4×16 bits) turn Hamming-≤3 search into equi-joins; the final
-    popcount filter verifies distance. Exact dups share all bands.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    fp = simhash64(d)
-    banded = fp.select(
-        "id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("fp"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_id", "band_val"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
-    )
 
 
 @register(

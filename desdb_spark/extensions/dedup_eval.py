@@ -4,11 +4,16 @@ exact-tier truth does the MinHash tier recover, and at what candidate
 cost? (The ANN analogue is extensions/ann_eval.py; this is the same
 telemetry for the dedup cascade.)
 
-Truth = the PPJoin prefix-filtered exact tier at t = 0.8 (provably
-lossless at the threshold, so it IS the ground truth); approx = the
-banded MinHash tier at the same threshold. Both sides Jaccard-verify
-their candidates, so approx ⊆ truth and the audit reduces to exact
-set arithmetic on (id_a, id_b) pair keys — recall, miss count, and
+Truth = the PPJoin prefix-filtered exact tier at t = 0.8, prefixed over
+the SHINGLE sets (r9, ADVICE r8: the verification metric is
+shingle-Jaccard, and the prefix lemma is only lossless with respect to
+the same set family it prefixes — the earlier token-set prefix could
+drop a shingle-qualifying pair whose token-set sizes violate the length
+filter, e.g. a short doc contained in a slightly longer one with a few
+extra token types, silently understating n_truth). Approx = the banded
+MinHash tier at the same threshold. Both sides Jaccard-verify their
+candidates, so approx ⊆ truth and the audit reduces to exact set
+arithmetic on (id_a, id_b) pair keys — recall, miss count, and
 candidate efficiency (verified / generated, the shuffle-waste number).
 
 Scale shape: both tiers are the already-audited candidate-bound paths
@@ -20,9 +25,12 @@ takes the whole fixture because the fixture IS the sample.
 Hash-checked since the r8c portable-family upgrade: MinHash signatures
 are the md5-affine family of ``minhash_signature`` (dedup.py), which the
 oracle recomputes end-to-end — LSH candidates, Jaccard-verified subset,
-PPJoin-equivalent truth (the all-pairs-sharing-a-gram join filtered at
-the threshold: both are lossless, so they define the same truth set) —
-and folds into the same six counters. The threshold test is exact
+and the truth tier as the all-pairs-sharing-a-gram join filtered at the
+threshold (every pair with shingle-Jaccard > 0 shares a gram, so that
+join is trivially lossless; the Spark side's shingle-grain prefix
+filter is lossless by the prefix lemma over the same family — the two
+therefore define the same truth set on ANY corpus, not just the
+closed-vocabulary fixture) — and folds into the same six counters. The threshold test is exact
 integer arithmetic (den·i ≥ num·(|A|+|B|−i)), equivalent to the float
 ``jaccard ≥ 0.8`` for any set sizes below ~10¹² (the rational gap
 around 4/5 at those denominators dwarfs a double ulp). The oracle skips
@@ -54,8 +62,9 @@ THRESHOLD_NUM, THRESHOLD_DEN = 4, 5  # t = 0.8, dedup_near_minhash's knob
     # r8c rows→hash upgrade: the portable md5-affine MinHash family makes
     # the whole audit recomputable — same signature/banding CTEs as the
     # dedup_near_minhash oracle, plus an all-pairs-on-shared-gram truth
-    # tier (equivalent to the op's lossless PPJoin truth) and exact
-    # integer threshold tests in place of the float jaccard comparison.
+    # tier (equivalent to the op's shingle-grain PPJoin truth — both are
+    # lossless for shingle-Jaccard ≥ t; ADVICE r8) and exact integer
+    # threshold tests in place of the float jaccard comparison.
     oracle=f"""
         WITH arrs AS (
             SELECT doc_id, string_split(text, ' ') AS l FROM documents
@@ -144,13 +153,22 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = float(THRESHOLD_NUM) / THRESHOLD_DEN
 
-    exact_cand = prefix_filtered_pairs(d, t_num=THRESHOLD_NUM, t_den=THRESHOLD_DEN)
+    # Truth candidates prefix over the SHINGLE family (ngram=3) — the
+    # same family the verification measures, so the filter is lossless
+    # for the metric (ADVICE r8). Both candidate sets are checkpointed:
+    # each is referenced twice downstream (ngram_jaccard's candidate-doc
+    # semi-join + verify join; lsh_cand additionally feeds the raw
+    # candidate counter), and the checkpoint runs each expensive
+    # generation plan exactly once, materializing only id pairs.
+    exact_cand = prefix_filtered_pairs(
+        d, t_num=THRESHOLD_NUM, t_den=THRESHOLD_DEN, ngram=3
+    ).localCheckpoint()
     truth = (
         ngram_jaccard(d, exact_cand)
         .where(F.col("jaccard") >= t)
         .select("id_a", "id_b")
     )
-    lsh_cand = minhash_candidate_pairs(d)
+    lsh_cand = minhash_candidate_pairs(d).localCheckpoint()
     verified = (
         ngram_jaccard(d, lsh_cand.select("id_a", "id_b"))
         .where(F.col("jaccard") >= t)

@@ -105,13 +105,14 @@ def corpus_dup_mass_by_ngram_len(
             (F.col("instances") - F.col("distinct_grams"))
             .cast("bigint")
             .alias("dup_instances"),
-            F.floor(
-                (F.col("instances") - F.col("distinct_grams"))
-                * 1000000
-                / F.col("instances")
-            )
-            .cast("bigint")
-            .alias("dup_share_micros"),
+            # Integer DIV on DECIMAL(38,0), not floor(double division)
+            # (ADVICE r8): gram-instance counts ×10⁶ cross 2^53 well
+            # below corpus scale; DECIMAL div matches the oracle's //
+            # exactly at any scale.
+            F.expr(
+                "CAST((CAST(instances - distinct_grams AS DECIMAL(38,0))"
+                " * 1000000) div instances AS BIGINT)"
+            ).alias("dup_share_micros"),
         )
         .orderBy("n")
     )

@@ -324,43 +324,3 @@ def _pagerank_oracle(iterations: int = PR_ITERATIONS) -> str:
         SELECT node, CAST(rank AS BIGINT) AS rank_picos
         FROM r{iterations} ORDER BY rank DESC, node LIMIT 20"""
     return sql
-
-
-@register(
-    "graph_pagerank_topk",
-    # r8c rows→hash upgrade: fixed-point integer ranks make the
-    # 10-round iteration order-independent, and the oracle unrolls the
-    # same rounds as chained CTEs — the iterative-algorithm class IS
-    # SQL-expressible once the arithmetic is exact.
-    oracle=_pagerank_oracle(),
-    group="graph_ext",
-)
-def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 PageRank nodes of the directed customer→supplier order
-    graph (an edge when a customer's order contains a supplier's line):
-    10 damped power iterations with dangling-mass redistribution, ranks
-    in exact BIGINT picos (α = 0.85 as the integer ratio 85/100, floor
-    division throughout).
-
-    Hash-checked against an unrolled 10-round CTE oracle; the float
-    kernel (:func:`pagerank`) remains for callers who want IEEE ranks,
-    with its NumPy 1e-9 parity test in tests/test_graph_ext.py — the
-    fixed-point op additionally carries its own integer NumPy mirror
-    there.
-    """
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    ranks = pagerank_fixedpoint(edges, iterations=PR_ITERATIONS)
-    return (
-        ranks.select("node", F.col("rank").alias("rank_picos"))
-        .orderBy(F.desc("rank_picos"), "node")
-        .limit(20)
-    )

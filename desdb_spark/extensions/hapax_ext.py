@@ -67,18 +67,26 @@ def text_hapax_ratio_by_source(
         F.count("*").cast("bigint").alias("c")
     )
     hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-    return (
-        wc.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_types"),
-            F.sum("c").cast("bigint").alias("n_instances"),
-            hapax.cast("bigint").alias("n_hapax"),
-            F.floor(hapax * 1000000 / F.count("*"))
-            .cast("bigint")
-            .alias("hapax_type_share_micros"),
-            F.floor(hapax * 1000000 / F.sum("c"))
-            .cast("bigint")
-            .alias("hapax_instance_share_micros"),
-        )
-        .orderBy("source")
+    # Shares via integer DIV on DECIMAL(38,0), not floor(double division)
+    # (ADVICE r8): n_hapax×10⁶ crosses 2^53 (double-exactness) near 10⁹
+    # types and int64 near 10¹³ — real corpus-scale counts; DECIMAL div
+    # matches the oracle's // at any scale.
+    counts = wc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_instances"),
+        hapax.cast("bigint").alias("n_hapax"),
     )
+    return counts.select(
+        "source",
+        "n_types",
+        "n_instances",
+        "n_hapax",
+        F.expr(
+            "CAST((CAST(n_hapax AS DECIMAL(38,0)) * 1000000)"
+            " div n_types AS BIGINT)"
+        ).alias("hapax_type_share_micros"),
+        F.expr(
+            "CAST((CAST(n_hapax AS DECIMAL(38,0)) * 1000000)"
+            " div n_instances AS BIGINT)"
+        ).alias("hapax_instance_share_micros"),
+    ).orderBy("source")

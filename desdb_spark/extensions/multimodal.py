@@ -105,49 +105,3 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.lang").alias("meta_lang"),
         F.col("meta.n_chars").alias("meta_n_chars"),
     )
-
-
-@register(
-    "multimodal_decode_features",
-    # r8c rows→hash upgrade: the stub kernel's byte arithmetic (first-64
-    # byte checksum over the ASCII payload) is SQL-expressible, so the
-    # WHOLE Arrow path — binary encode, mapInPandas batch iteration,
-    # pandas byte handling, array<float> output — is now value-checked
-    # against DuckDB recomputing the same features from the source text.
-    # A real codec stays rows-only by nature; the plumbing no longer is.
-    oracle="""
-        SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
-                   AS media_type,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(16 + csum % 64 AS INT) AS width,
-               CAST(16 + (csum // 64) % 64 AS INT) AS height,
-               round(CAST(octet_length(encode(text)) % 251 AS DOUBLE), 1)
-                   AS f0
-        FROM (
-            SELECT doc_id, text,
-                   COALESCE(list_sum(list_transform(
-                       generate_series(1, least(length(text), 64)),
-                       i -> ascii(substr(text, i, 1)))), 0) AS csum
-            FROM documents)
-    """,
-    group="multimodal",
-)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stage over binary payloads via mapInPandas.
-
-    Repartitions by doc_id first — at 100 TB this is the knob that sizes
-    decode tasks independently of the upstream file layout.
-    """
-    m = media_table(spark, sf_dir).repartition(8, "doc_id")
-    feats = m.select("doc_id", "media_type", "payload").mapInPandas(
-        fake_decode_media, schema=DECODE_SCHEMA
-    )
-    return feats.select(
-        "doc_id",
-        "media_type",
-        "n_bytes",
-        "width",
-        "height",
-        F.round(F.element_at("feat", 1).cast("double"), 1).alias("f0"),
-    ).orderBy("doc_id")

@@ -82,15 +82,22 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
-    return (
+    # Ratio via integer DIV on DECIMAL(38,0), not floor(double division)
+    # (ADVICE r8): exact at any count scale, matching the oracle's //.
+    counts = (
         doc_grams.join(first_seen, "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams_distinct"),
             novel.cast("bigint").alias("n_novel"),
-            F.floor(novel * 1000000 / F.count("*"))
-            .cast("bigint")
-            .alias("novelty_micros"),
         )
-        .orderBy("doc_id")
     )
+    return counts.select(
+        "doc_id",
+        "n_grams_distinct",
+        "n_novel",
+        F.expr(
+            "CAST((CAST(n_novel AS DECIMAL(38,0)) * 1000000)"
+            " div n_grams_distinct AS BIGINT)"
+        ).alias("novelty_micros"),
+    ).orderBy("doc_id")

@@ -103,20 +103,26 @@ def corpus_waterfill_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     w_sorted = Window.partitionBy().orderBy("s", "source", "lang")
     w_prefix = w_sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Budget and quotients below use integer DIV on DECIMAL(38,0), not
+    # double division + floor (ADVICE r8): floor(x*a/b) through binary64
+    # is exact only while x*a < 2^53, and a 100 TB corpus's token total
+    # (~10^13) times BUDGET_NUM crosses that; DECIMAL div matches the
+    # oracle's // at any scale, as the module's exactness claim requires.
     tot = supply.select(
         "source",
         "lang",
         "s",
-        (F.sum("s").over(w_all) * BUDGET_NUM / BUDGET_DEN)
-        .cast("bigint")
-        .alias("b_raw"),
-        F.floor(F.sum("s").over(w_all) * BUDGET_NUM / BUDGET_DEN)
-        .cast("bigint")
-        .alias("b"),
+        F.sum("s").over(w_all).alias("total_s"),
         F.sum("s").over(w_prefix).alias("prefix"),
         F.row_number().over(w_sorted).alias("rn"),
         F.count("*").over(w_all).alias("n"),
-    ).drop("b_raw")
+    ).withColumn(
+        "b",
+        F.expr(
+            f"CAST((CAST(total_s AS DECIMAL(38,0)) * {BUDGET_NUM})"
+            f" div {BUDGET_DEN} AS BIGINT)"
+        ),
+    ).drop("total_s")
     marked = tot.withColumn(
         "full",
         F.when(
@@ -132,7 +138,11 @@ def corpus_waterfill_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("full_sum"),
         F.sum("full").over(w_all).alias("k"),
     )
-    q = F.floor((F.col("b") - F.col("full_sum")) / (F.col("n") - F.col("k")))
+    # b, full_sum, n, k are all BIGINT and b ≥ full_sum by construction,
+    # so `div` here is the oracle's floor `//` exactly (no 2^53 hazard,
+    # no double round-trip). n = k (all groups full) cannot happen with
+    # BUDGET < 1, and the oracle would error identically if it did.
+    q = F.expr("(b - full_sum) div (n - k)")
     r = (F.col("b") - F.col("full_sum")) % (F.col("n") - F.col("k"))
     return level.select(
         "source",

@@ -78,352 +78,190 @@ _REGISTRY: dict[str, Operator] = {}
 #: refactor can't silently reshuffle it (the r4 regression class).
 #: Union driver coverage after this round's CORRECTNESS file: 189/189.
 _OP_MODULES = (
-    # --- r8 driver window (slots 1-50) — VERDICT r7 item 1 executed:
-    # exactly the 50 hash-checked ops with no driver hash-green row
-    # (45 never-driver + 5 rows->hash oracle upgrades), zero wasted
-    # slots. To make the upgrade ops contiguous with the window, three
-    # module moves landed this round (implementations unchanged):
-    # source_*_roundtrip -> sources/roundtrips.py, sink_sorted_parquet
-    # -> sources/sinks.py, dedup_cluster_components ->
-    # extensions/dedup_components.py. Pinned by
-    # tests/test_registry.py::test_r8_window_pinned.
-    #
-    # Block 1: the 17 formula/analytics modules deferred since r6
-    # (28 ops; selfcheck-green in every committed log since they landed,
-    # judge-sampled green r6+r7 sessions).
-    "desdb_spark.extensions.skyline",  # 1 op (2-D Pareto frontier)
-    "desdb_spark.extensions.tokenizer_ext",  # 1 op (BPE char-pair freq)
-    "desdb_spark.extensions.attribution",  # 2 ops (last-touch credit,
-    # touch-to-conversion latency)
-    "desdb_spark.operators.stats_catalog",  # 3 ops (ANALYZE-style column
-    # stats, join-key skew profile, curation composite)
-    "desdb_spark.extensions.stats_inference",  # 2 ops (OLS from
-    # sufficient stats, Welch t-test)
-    "desdb_spark.extensions.funnel_ext",  # 1 op (time-constrained
-    # ordered funnel)
-    "desdb_spark.extensions.experiment_ext",  # 2 ops (SRM check, CUPED)
-    "desdb_spark.extensions.analytics_ext2",  # 2 ops (decay score,
-    # revenue concentration/Gini)
-    "desdb_spark.extensions.sweepline_ext",  # 2 ops (sweep-line
-    # concurrency curve, rolling median)
-    "desdb_spark.extensions.monitor_ext2",  # 2 ops (CUSUM changepoint,
-    # unigram LM scoring)
-    "desdb_spark.extensions.analytics_ext3",  # 2 ops (KS two-sample
-    # test, market-basket lift)
-    "desdb_spark.operators.aggregates_ext2",  # 2 ops (weighted median,
-    # source-vocabulary Jaccard)
-    "desdb_spark.extensions.resampling_ext",  # 1 op (grouped jackknife)
-    "desdb_spark.extensions.analytics_ext4",  # 2 ops (char entropy,
-    # growth accounting waterfall)
-    "desdb_spark.extensions.markov_ext",  # 1 op (Markov entropy rate)
-    "desdb_spark.functions.safe_funcs",  # 1 op (ANSI try_* census)
-    "desdb_spark.operators.hierarchy_ext",  # 1 op (hierarchical
-    # share-of-parent windows)
-    # Block 2: the 15 hash-checked modules that registered past slot 50
-    # when they were new in r7 (17 ops; selfcheck-green in
-    # SELFCHECK_r07_sf0.1.log, judge-sampled green r7 session).
-    # asof_ext/decontam_ext carry this round's ADVICE fixes.
-    "desdb_spark.extensions.retrieval_ext2",  # 1 op (BM25 ranked search)
-    "desdb_spark.operators.pagination_ext",  # 1 op (keyset pagination)
-    "desdb_spark.streaming.outer_join",  # 2 ops (watermarked
-    # stream-stream LEFT and FULL OUTER interval joins)
-    "desdb_spark.sources.compaction",  # 1 op (small-file compaction)
-    "desdb_spark.extensions.dedup_incremental",  # 1 op (new-batch-vs-
-    # corpus-index dedup)
-    "desdb_spark.extensions.calibration_ext",  # 2 ops (length retention
-    # curve + token-budget cutoff calibration)
-    "desdb_spark.operators.observability",  # 1 op (df.observe metrics)
-    "desdb_spark.extensions.boilerplate_ext",  # 1 op (repeated n-gram
-    # boilerplate detection)
-    "desdb_spark.extensions.seasonal_ext",  # 1 op (seasonal-slot
-    # residual anomaly)
-    "desdb_spark.operators.asof_ext",  # 1 op (forward as-of; r8 tie fix)
-    "desdb_spark.sources.pyds_sink",  # 1 op (Python DataSource writer)
-    "desdb_spark.extensions.sampling_ext2",  # 1 op (Neyman allocation)
-    "desdb_spark.extensions.bot_ext",  # 1 op (inter-arrival bot score)
-    "desdb_spark.extensions.decontam_ext",  # 1 op (verbatim eval
-    # decontamination; r8 explicit interior-token scope)
-    "desdb_spark.extensions.engagement_ext",  # 1 op (DAU/WAU stickiness)
-    # Block 3: the 5 rows->hash oracle upgrades from r6/r7 whose last
-    # driver row predates the oracle (4 sink content-roundtrip hashes +
-    # the capped components closure oracle).
-    "desdb_spark.sources.sinks",  # 4 ops (sink_parquet/csv/json +
-    # sink_sorted_parquet, moved in from lake_ext)
-    "desdb_spark.extensions.dedup_components",  # 1 op
-    # (dedup_cluster_components, split out of dedup.py; oracle capped
-    # at the driver's own sf0.01)
-    # --- end of window: everything below holds a hash-green driver row
-    # from the round named in its comment, code unchanged since, and is
-    # re-proven at HEAD by the committed full-registry selfcheck log. ---
-    "desdb_spark.operators.relational_ext9",  # 3 ops (r7-green)
-    "desdb_spark.extensions.retrieval_ext",  # 3 ops (r7-green)
-    "desdb_spark.sources.formats_ext3",  # 1 op (r7-green)
-    "desdb_spark.functions.modern_types",  # 2 ops (r7-green)
-    "desdb_spark.extensions.curriculum",  # 1 op (r7-green)
-    "desdb_spark.operators.joins_ext2",  # 2 ops (r7-green)
-    "desdb_spark.extensions.sampling_ext",  # 2 ops (r7-green)
-    "desdb_spark.extensions.corpus_stats",  # 3 ops (r7-green)
-    "desdb_spark.extensions.graph_ext",  # 3 ops (r7-green)
-    "desdb_spark.extensions.sketches_ext",  # 2 ops (r7-green)
-    "desdb_spark.extensions.linkage_ext",  # 1 op (r7-green)
-    "desdb_spark.sources.layout_ext",  # 1 op (r7-green)
-    "desdb_spark.operators.incremental",  # 1 op (r7-green)
-    "desdb_spark.extensions.constraints",  # 3 ops (r7-green)
-    "desdb_spark.streaming.resume",  # 1 op (r7-green)
-    "desdb_spark.operators.reconcile",  # 1 op (r7-green)
-    "desdb_spark.sources.schema_evolution",  # 1 op (r7-green)
-    "desdb_spark.streaming.static_join",  # 1 op (r7-green)
-    "desdb_spark.operators.cdc",  # 1 op (r7-green)
-    "desdb_spark.operators.temporal_ext",  # 1 op (r7-green)
-    "desdb_spark.operators.allocation",  # 1 op (r7-green)
-    "desdb_spark.streaming.windowed_topk",  # 1 op (r7-green)
-    "desdb_spark.extensions.text",  # 7 ops (r7-green)
-    "desdb_spark.extensions.analytics_ext5",  # 2 ops (r7-green)
-    "desdb_spark.extensions.mining_ext",  # 3 ops (r7-green)
-    "desdb_spark.streaming.stateful",  # 1 op (r7-green)
-    "desdb_spark.extensions.linalg_ext",  # 1 op (r7-green)
-    "desdb_spark.operators.relational_ext8",  # 4 ops (r6-green)
-    "desdb_spark.streaming.foreach",  # 1 op (r6-green)
-    "desdb_spark.sources.formats_ext2",  # 1 op (r6-green)
-    "desdb_spark.extensions.timeseries_ext",  # 2 ops (r6-green)
-    "desdb_spark.extensions.multimodal_ext",  # 2 ops (r6-green)
-    "desdb_spark.extensions.ann_eval",  # 1 op (r6-green)
-    "desdb_spark.sources.lake_ext",  # 1 op (r6-green; sink_sorted_parquet
-    # moved to sources.sinks for the r8 window)
-    "desdb_spark.operators.relational_ext10",  # 4 ops (r6-green)
-    "desdb_spark.extensions.pipeline_ext",  # 2 ops (r6-green)
-    "desdb_spark.operators.diagnostics",  # 2 ops (r6-green rows)
-    "desdb_spark.sources.ingest_ext",  # 2 ops (r6-green)
-    "desdb_spark.plans.lineage",  # 1 op (r6-green)
-    "desdb_spark.operators.relational_ext11",  # 7 ops (r6-green)
-    "desdb_spark.extensions.quality_gates",  # 2 ops (r6-green)
-    "desdb_spark.streaming.joins",  # 1 op (r6-green)
-    "desdb_spark.extensions.dedup_ext",  # 2 ops (r6-green)
-    "desdb_spark.extensions.similarity",  # 5 ops (r6-green)
-    "desdb_spark.extensions.dedup",  # 4 ops (r6-green;
-    # dedup_cluster_components split into extensions.dedup_components)
-    "desdb_spark.extensions.stats_monitor",  # 2 ops (r5-green)
-    "desdb_spark.sources.formats_ext",  # 1 op (r5-green)
-    "desdb_spark.operators.relational_ext6",  # 2 ops (r5-green)
-    "desdb_spark.operators.scans",  # 4 ops (r5-green)
-    "desdb_spark.functions.paths",  # 1 op (r5-green)
-    "desdb_spark.streaming.windows",  # 5 ops (r5-green)
-    "desdb_spark.operators.relational_ext",  # 11 ops (r5-green)
-    "desdb_spark.functions.udfs",  # 4 ops (r5-green)
-    "desdb_spark.operators.relational_ext7",  # 4 ops (r5-green)
-    "desdb_spark.extensions.text_ext",  # 3 ops (r5-green)
-    "desdb_spark.operators.relational_ext2",  # 3 ops (r4-green)
-    "desdb_spark.operators.relational_ext3",  # 9 ops (r4-green)
-    "desdb_spark.extensions.pipeline_analytics",  # 7 ops (r4-green)
-    "desdb_spark.sources.lake",  # 1 op (r4-green)
-    "desdb_spark.operators.relational_ext4",  # 6 ops (r4-green)
-    "desdb_spark.extensions.corpus_timeseries",  # 5 ops (r4-green)
-    "desdb_spark.operators.relational_ext5",  # 8 ops (r4-green)
-    "desdb_spark.extensions.training_prep",  # 5 ops (r4-green)
-    "desdb_spark.operators.temporal",  # 1 op (r4-green)
-    "desdb_spark.extensions.quality_ext",  # 2 ops (r4-green)
-    "desdb_spark.operators.joins_ext",  # 1 op (r4-green)
-    "desdb_spark.operators.projections",  # 3 ops (r2-green)
-    "desdb_spark.operators.joins",  # 10 ops (r2-green)
-    "desdb_spark.extensions.multimodal",  # 2 ops (r2-green)
-    "desdb_spark.sources.roundtrips",  # 2 ops (r2-green; split out of
-    # sources.sinks so the sink upgrades fit the window exactly)
-    "desdb_spark.sources.filecatalog",  # 1 op (r2-green)
-    "desdb_spark.operators.aggregates",  # 9 ops (r3-green)
-    "desdb_spark.operators.windows",  # 5 ops (r3-green)
-    "desdb_spark.operators.sorts_sets",  # 5 ops (r3-green)
-    "desdb_spark.functions.scalars",  # 5 ops (r3-green)
-    "desdb_spark.operators.aggregates_ext",  # 3 ops (r3-green)
-    # --- rows-only ops never in a driver window (driver evidence for
-    # rows-only checks is weaker than their pinned property pytests;
-    # they rotate in only when hash backlog is clear — r9 candidates). --
-    # --- brand-new r8 ops: past the full window by design (the window
-    # was sized at exactly the 50-op hash backlog); evidence = committed
-    # selfcheck log lines + their pytests until the r9 rotation.
-    # ROUND-9 ROTATION NOTE: if CORRECTNESS_r08 sweeps clean, every
-    # pre-r8 hash-checked op holds a driver hash row. The r9 window
-    # should lead with (1) the 22 new r8 HASH ops below —
-    # dedup_semantic_embedding, dedup_url_canonical,
-    # docs_decontam_short_probes, quality_logreg_score_deciles
-    # (classifier_ext), docs_quality_gopher_rules, stat_bootstrap_mean_ci,
-    # source_time_travel_read, source_manifest_pruned_read,
-    # source_merge_upsert, source_version_diff_cdf,
-    # source_delete_vectors_read (lake_dml),
-    # stream_merge_manifest_table (merge_sink),
-    # source_vacuum_retention, source_restore_version,
-    # source_wap_publish, source_cluster_rewrite (lake_maintenance),
-    # events_pattern_match_regex (sequence_ext),
-    # dedup_jaccard_retention_curve (dedup_curve),
-    # source_incremental_view_refresh (lake_ivm),
-    # source_zorder_pruned_read_2d (lake_zorder),
-    # source_txn_snapshot_join (lake_txn),
-    # multimodal_audio_pcm_features (multimodal_audio),
-    # dedup_exact_substring_spans (span_dedup),
-    # ann_binary_hamming_rerank (ann_binary),
-    # docs_dedup_lines_global (line_dedup),
-    # docs_dsir_importance_weights (dsir_ext),
-    # source_partition_evolution_read (lake_partition_evo),
-    # text_ngram_novelty_curve (novelty_ext),
-    # multimodal_image_ahash_dedup (multimodal_phash),
-    # emb_truncation_recall_curve (matryoshka_ext),
-    # join_asof_tolerance (asof_tolerance),
-    # corpus_waterfill_domain_caps (waterfill_ext),
-    # stream_image_ahash_dedup (media_dedup),
-    # docs_strip_repeated_spans (span_rewrite),
-    # and the 10 r8e HASH ops: text_vocab_coverage_curve,
-    # text_collocation_lift_topk, text_phrase_search_positional
-    # (retrieval_ext3), dedup_semantic_retention_curve (semdedup_curve),
-    # docs_k_anonymity_audit (privacy_ext),
-    # multimodal_audio_vad_segments (multimodal_vad),
-    # docs_ccnet_ppl_buckets (ccnet_buckets),
-    # corpus_epoch_schedule (epoch_schedule),
-    # join_asof_nearest (asof_nearest),
-    # window_rolling_regression_slope (rolling_regression),
-    # corpus_dup_mass_by_ngram_len (dupmass_curve),
-    # docs_shard_assignment_balance + emb_cell_cosine_histogram
-    # (sharding_ext), quality_signal_correlation (signal_corr),
-    # text_hapax_ratio_by_source (hapax_ext)
-    # — note dedup_semantic_embedding
-    # and text_bigram_interp_logprob were REFACTORED in r8e (shared
-    # pair/score grain extracted for the curve/bucket ops; selfcheck
-    # re-passed at sf0.001/0.01/0.1) so they count as changed-since-
-    # checked and should also rotate in — plus
-    # (2) any module changed in r9, then (3) the rows-only never-driver
-    # ops (ann_query_topk, ann_pq_codebook_stats, quality_logreg_train,
-    # diag_rowgroup_stats, multimodal_resample_pixels,
-    # dedup_minhash_eval, text_bpe_train_merges, text_bpe_apply_stats)
-    # for rows-grade driver evidence, then oldest-green hash modules
-    # (r2/r3 blocks). Re-pin test_r8_window_pinned ->
-    # test_r9_window_pinned; regenerate SURVEY §2C. ---
-    "desdb_spark.extensions.dedup_semantic",  # 1 op (NEW r8: SemDeDup-
-    # style embedding-cosine dedup over deterministic sign cells,
-    # exact fixed-point cosines — VERDICT r7 item 3)
-    "desdb_spark.extensions.dedup_url",  # 1 op (NEW r8: canonical-URL
-    # first-pass dedup with keep-best survivors — VERDICT r7 item 4)
-    "desdb_spark.extensions.decontam_short",  # 1 op (NEW r8: char-gram
-    # lossless decontam for the anchor-less probes the token-anchor op
-    # scopes out — ADVICE r7)
-    "desdb_spark.extensions.dedup_eval",  # 1 op (NEW r8: MinHash-vs-
-    # exact-truth recall/efficiency audit, the dedup tier's telemetry)
-    "desdb_spark.extensions.bpe_train",  # 2 ops (NEW r8: the BPE merge
-    # LOOP over the word-frequency table — 1 corpus scan + K small
-    # rounds — plus the apply/compression report; completes
-    # tokenizer_ext's counting primitive)
-    "desdb_spark.extensions.quality_gopher",  # 1 op (NEW r8: Gopher
-    # rule census with per-rule failure attribution, one-pass)
-    "desdb_spark.extensions.bootstrap_ext",  # 1 op (NEW r8: one-pass
-    # Poisson-bootstrap CI — R deterministic replicate weights per row,
-    # all replicates aggregated in a single scan)
-    "desdb_spark.sources.time_travel",  # 2 ops (NEW r8: manifest-based
-    # snapshot versioning + AS OF reads — the lakehouse commit shape —
-    # plus manifest zone-map pruned reads)
-    "desdb_spark.sources.lake_dml",  # 3 ops (NEW r8: lakehouse DML —
-    # copy-on-write MERGE upsert, positional deletion-vector reads,
-    # manifest-diff change data feed; all hash-checked)
-    "desdb_spark.streaming.merge_sink",  # 1 op (NEW r8: foreachBatch
-    # streaming CDC → one copy-on-write MERGE commit per micro-batch;
-    # hash-checked final state)
-    "desdb_spark.sources.lake_maintenance",  # 4 ops (NEW r8: VACUUM
-    # orphan cleanup, RESTORE rollback-as-commit, write-audit-publish,
-    # OPTIMIZE cluster rewrite; all hash-checked)
-    "desdb_spark.extensions.sequence_ext",  # 1 op (NEW r8:
-    # MATCH_RECOGNIZE-lite row-pattern regex over per-user sequences)
-    "desdb_spark.extensions.dedup_curve",  # 1 op (NEW r8: Jaccard
-    # threshold retention curve from one lossless candidate pass)
-    "desdb_spark.sources.lake_ivm",  # 1 op (NEW r8: incremental
-    # materialized-view refresh via the manifest change feed)
-    "desdb_spark.sources.lake_zorder",  # 1 op (NEW r8: Z-ordered
-    # manifest table, two-dimension zone-map pruned read)
-    "desdb_spark.sources.lake_txn",  # 1 op (NEW r8: cross-table
-    # transactional snapshots via a txn-pointer log)
-    "desdb_spark.extensions.multimodal_audio",  # 1 op (NEW r8: PCM
-    # binary round-trip + integer audio features, hash-checked)
-    "desdb_spark.extensions.ann_serving",  # 1 op (recall@10 pytest)
-    "desdb_spark.extensions.ann_pq",  # 1 op (distortion pytest; r8
-    # single-aggregate fix per ADVICE)
-    "desdb_spark.extensions.classifier_ext",  # 1 op (numpy-parity test)
-    "desdb_spark.operators.footer_census",  # 1 op (pyarrow ground-truth
-    # pytest; r8 isdir fix per ADVICE)
-    "desdb_spark.extensions.lm_score",  # 1 op (NEW r8c: interpolated
-    # bigram-LM doc scoring — the CCNet quality signal above the
-    # unigram tier; hash-checked)
-    "desdb_spark.extensions.split_safe",  # 1 op (NEW r8c: leakage-safe
-    # split at the dup-cluster grain; closure oracle capped at sf0.01
-    # like dedup_cluster_components)
-    "desdb_spark.extensions.dedup_containment",  # 1 op (NEW r8c:
-    # asymmetric overlap-coefficient dedup on 3-gram shingles,
-    # lossless prefix-vs-full-index blocking; hash-checked)
-    "desdb_spark.sources.lake_bloom",  # 1 op (NEW r8c: per-file bloom
-    # index for point lookups on a non-clustered column; hash-checked
-    # no-false-negative contract)
-    "desdb_spark.extensions.span_dedup",  # 1 op (NEW r8d: exact-substring
-    # maximal repeated-span extents — the Lee-et-al removal grain above
-    # docs_boilerplate_ngrams; hash-checked)
-    "desdb_spark.extensions.ann_binary",  # 1 op (NEW r8d: sign-bit binary
-    # quantization, codegen Hamming prefilter, exact cosine rerank on
-    # candidates only; hash-checked)
-    "desdb_spark.extensions.line_dedup",  # 1 op (NEW r8d: C4 global
-    # line-grain dedup with md5-digested document reassembly;
-    # hash-checked)
-    "desdb_spark.extensions.dsir_ext",  # 1 op (NEW r8d: DSIR hashed-
-    # bigram importance weighting against the en target domain;
-    # hash-checked)
-    "desdb_spark.sources.lake_partition_evo",  # 1 op (NEW r8d: Iceberg-
-    # style partition-spec evolution — two-era pruned read, each era
-    # pruned under its own spec; hash-checked)
-    "desdb_spark.extensions.novelty_ext",  # 1 op (NEW r8d: marginal
-    # n-gram novelty by arrival order, exact integer micros;
-    # hash-checked)
-    "desdb_spark.extensions.multimodal_phash",  # 1 op (NEW r8d: aHash
-    # image dedup over the Arrow binary kernel path — the multimodal
-    # tier's dedup stage; hash-checked closed-form)
-    "desdb_spark.extensions.matryoshka_ext",  # 1 op (NEW r8d: truncated-
-    # dimension retrieval recall curve via the broadcast GEMM kernel;
-    # hash-checked)
-    "desdb_spark.operators.asof_tolerance",  # 1 op (NEW r8d: feature-
-    # store as-of with staleness bound + three-way freshness class;
-    # hash-checked)
-    "desdb_spark.extensions.waterfill_ext",  # 1 op (NEW r8d: exact
-    # integer waterfilling per-domain token caps; hash-checked)
-    "desdb_spark.streaming.media_dedup",  # 1 op (NEW r8d: streaming
-    # aHash dedup — the Arrow kernel inside a real readStream pipeline,
-    # hash-checked against the batch oracle)
-    "desdb_spark.extensions.span_rewrite",  # 1 op (NEW r8d: repeated-
-    # span removal rewrite consuming the span extents; hash-checked)
-    "desdb_spark.extensions.retrieval_ext3",  # 3 ops (NEW r8e: vocab
-    # coverage curve, collocation lift mining, positional phrase
-    # search; all hash-checked, exact decimal micros)
-    "desdb_spark.extensions.semdedup_curve",  # 1 op (NEW r8e: SemDeDup
-    # threshold retention sweep over the shared same-cell pair grain;
-    # hash-checked)
-    "desdb_spark.extensions.privacy_ext",  # 1 op (NEW r8e: k-anonymity
-    # class-size audit over release-visible quasi-identifiers;
-    # hash-checked)
-    "desdb_spark.extensions.multimodal_vad",  # 1 op (NEW r8e: energy-
-    # gate VAD segments over the PCM binary tier, gaps-and-islands
-    # merge; hash-checked via the regenerable gated waveform)
-    "desdb_spark.extensions.ccnet_buckets",  # 1 op (NEW r8e: CCNet
-    # head/middle/tail perplexity split per language over the shared
-    # bigram-LM grain; hash-checked in integer tenth-millis)
-    "desdb_spark.extensions.epoch_schedule",  # 1 op (NEW r8e: per-
-    # source epoch schedule under a token budget — exact integer
-    # epochs/remainder/oversample; hash-checked)
-    "desdb_spark.operators.asof_nearest",  # 1 op (NEW r8e: nearest-
-    # direction as-of completing the family — two shared-sort windows,
-    # exact microsecond gaps; hash-checked)
-    "desdb_spark.operators.rolling_regression",  # 1 op (NEW r8e:
-    # windowed-OLS trailing slope from exact integer sufficient stats;
-    # hash-checked with floor-division parity)
-    "desdb_spark.extensions.dupmass_curve",  # 1 op (NEW r8e: duplicate-
-    # mass curve across gram lengths 1..5 in one shuffle; hash-checked)
-    "desdb_spark.extensions.sharding_ext",  # 2 ops (NEW r8e: md5-shard
-    # balance audit + same-cell cosine separation histogram over the
-    # shared SemDeDup pair grain; both hash-checked)
-    "desdb_spark.extensions.signal_corr",  # 1 op (NEW r8e: quality-
-    # signal Pearson agreement from exact integer sufficient stats;
-    # hash-checked)
-    "desdb_spark.extensions.hapax_ext",  # 1 op (NEW r8e: per-source
-    # hapax-legomena richness ratio; hash-checked)
+    # --- r9 driver window (slots 1-50) — VERDICT r8 item 1 executed:
+    # 50 of the 62 hash-checked ops with no driver hash-green row, the
+    # 8 oracle-upgrade ops first (riskiest class: code/oracle changed
+    # AFTER their last driver row), then the 42 r8-new ops with the
+    # least trivial kernels. Four single-purpose module moves landed
+    # this round (implementations unchanged, same mechanism as r8):
+    # dedup_near_minhash+dedup_simhash -> extensions/dedup_near.py,
+    # ann_lsh_bucketed -> extensions/ann_lsh.py, graph_pagerank_topk ->
+    # extensions/graph_pagerank.py, multimodal_decode_features ->
+    # extensions/multimodal_decode.py. The 12 deferred ops (r8e simple
+    # exact-integer kernels, listed right after the window) queue for
+    # r10 with committed selfcheck evidence; with registry growth
+    # paused per VERDICT r8 item 2, (12 deferred + r9-new) <= 50 keeps
+    # the r10 window able to clear the whole backlog. Pinned by
+    # tests/test_registry.py::test_r9_window_pinned.
+    "desdb_spark.extensions.dedup_near",  # 2 ops (MOVED r9 from extensions.dedup: dedup_near_minhash + dedup_simhash — r8c rows→hash oracle upgrades postdating their r6 driver rows)
+    "desdb_spark.extensions.ann_lsh",  # 1 op (MOVED r9 from extensions.similarity: ann_lsh_bucketed — r8c oracle upgrade postdating its r6 driver row)
+    "desdb_spark.extensions.graph_pagerank",  # 1 op (MOVED r9 from extensions.graph_ext: graph_pagerank_topk — r8c fixed-point oracle upgrade postdating its r7 driver row)
+    "desdb_spark.extensions.multimodal_decode",  # 1 op (MOVED r9 from extensions.multimodal: multimodal_decode_features — r8c oracle upgrade postdating its r2 driver row)
+    "desdb_spark.extensions.multimodal_ext",  # 3 ops (frame_sample / resample_pixels / resize_batch — r8c oracle upgrades postdating their r6 driver rows)
+    "desdb_spark.extensions.dedup_semantic",  # 1 op (NEW r8: SemDeDup deterministic sign-hyperplane cells)
+    "desdb_spark.extensions.dedup_url",  # 1 op (NEW r8: canonical-URL first-pass dedup)
+    "desdb_spark.extensions.decontam_short",  # 1 op (NEW r8: char-gram decontamination arm for anchor-less probes)
+    "desdb_spark.extensions.dedup_eval",  # 1 op (NEW r8: MinHash-vs-exact-truth audit; r9 shingle-grain truth tier per ADVICE)
+    "desdb_spark.extensions.quality_gopher",  # 1 op (NEW r8: Gopher quality-rule census)
+    "desdb_spark.extensions.bootstrap_ext",  # 1 op (NEW r8: one-pass Poisson bootstrap CI)
+    "desdb_spark.sources.time_travel",  # 2 ops (NEW r8: manifest snapshots — pruned read + AS OF read)
+    "desdb_spark.sources.lake_dml",  # 3 ops (NEW r8: lakehouse MERGE / version-diff CDF / delete vectors)
+    "desdb_spark.streaming.merge_sink",  # 1 op (NEW r8: foreachBatch MERGE into manifest table)
+    "desdb_spark.sources.lake_maintenance",  # 4 ops (NEW r8: VACUUM / RESTORE / WAP publish / cluster rewrite)
+    "desdb_spark.extensions.sequence_ext",  # 1 op (NEW r8: event regex pattern match)
+    "desdb_spark.extensions.dedup_curve",  # 1 op (NEW r8: Jaccard threshold retention curve)
+    "desdb_spark.sources.lake_ivm",  # 1 op (NEW r8: incremental view refresh)
+    "desdb_spark.sources.lake_zorder",  # 1 op (NEW r8: Z-ordered 2-D pruned read)
+    "desdb_spark.sources.lake_txn",  # 1 op (NEW r8: cross-table snapshot-consistent join)
+    "desdb_spark.extensions.multimodal_audio",  # 1 op (NEW r8: PCM audio features)
+    "desdb_spark.extensions.lm_score",  # 1 op (NEW r8c: interpolated bigram LM scoring)
+    "desdb_spark.extensions.split_safe",  # 1 op (NEW r8c: leakage-safe cluster split)
+    "desdb_spark.extensions.dedup_containment",  # 1 op (NEW r8c: asymmetric n-gram containment)
+    "desdb_spark.sources.lake_bloom",  # 1 op (NEW r8c: per-file bloom pruned read)
+    "desdb_spark.extensions.span_dedup",  # 1 op (NEW r8d: exact-substring repeated spans)
+    "desdb_spark.extensions.ann_binary",  # 1 op (NEW r8d: sign-bit binary Hamming rerank)
+    "desdb_spark.extensions.line_dedup",  # 1 op (NEW r8d: C4 global line dedup)
+    "desdb_spark.extensions.dsir_ext",  # 1 op (NEW r8d: DSIR hashed-ngram importance weights)
+    "desdb_spark.sources.lake_partition_evo",  # 1 op (NEW r8d: partition-spec evolution read)
+    "desdb_spark.extensions.novelty_ext",  # 1 op (NEW r8d: marginal n-gram novelty; r9 DECIMAL div per ADVICE)
+    "desdb_spark.extensions.multimodal_phash",  # 1 op (NEW r8d: aHash image dedup batch)
+    "desdb_spark.extensions.matryoshka_ext",  # 1 op (NEW r8d: truncated-dim retrieval recall curve)
+    "desdb_spark.operators.asof_tolerance",  # 1 op (NEW r8d: as-of with staleness bound)
+    "desdb_spark.extensions.waterfill_ext",  # 1 op (NEW r8d: waterfilling domain caps; r9 integer-div per ADVICE)
+    "desdb_spark.streaming.media_dedup",  # 1 op (NEW r8d: streaming aHash dedup)
+    "desdb_spark.extensions.span_rewrite",  # 1 op (NEW r8d: repeated-span removal rewrite)
+    "desdb_spark.extensions.multimodal_vad",  # 1 op (NEW r8e: energy-gate VAD segments)
+    "desdb_spark.operators.asof_nearest",  # 1 op (NEW r8e: nearest-direction as-of)
+    "desdb_spark.operators.rolling_regression",  # 1 op (NEW r8e: windowed-OLS trailing slope)
+    "desdb_spark.extensions.classifier_ext",  # slot 50 = quality_logreg_score_deciles (hash, NEW r8); its rows-only companion quality_logreg_train lands at 51, OUTSIDE the window, so no hash slot is wasted
+    # --- end of window. First the rows-only + r10-deferred queue: ---
+    "desdb_spark.extensions.bpe_train",  # 2 rows-only ops (driver evidence is rows-by-design; merge-sequence pytest pin)
+    "desdb_spark.extensions.retrieval_ext3",  # 3 ops (r8e; deferred to r10 — simple exact-integer kernels)
+    "desdb_spark.extensions.semdedup_curve",  # 1 op (r8e; deferred to r10)
+    "desdb_spark.extensions.privacy_ext",  # 1 op (r8e; deferred to r10)
+    "desdb_spark.extensions.ccnet_buckets",  # 1 op (r8e; deferred to r10)
+    "desdb_spark.extensions.epoch_schedule",  # 1 op (r8e; deferred to r10)
+    "desdb_spark.extensions.dupmass_curve",  # 1 op (r8e; deferred to r10; r9 DECIMAL div per ADVICE)
+    "desdb_spark.extensions.sharding_ext",  # 2 ops (r8e; deferred to r10)
+    "desdb_spark.extensions.signal_corr",  # 1 op (r8e; deferred to r10)
+    "desdb_spark.extensions.hapax_ext",  # 1 op (r8e; deferred to r10; r9 DECIMAL div per ADVICE)
+    "desdb_spark.extensions.ann_serving",  # 1 rows-only op (recall-floor pytest pin)
+    "desdb_spark.extensions.ann_pq",  # 1 rows-only op (ADC-ranking pytest pin)
+    "desdb_spark.operators.footer_census",  # 1 rows-only op (isdir/footer pytest pin)
+    # --- everything below holds a hash-green driver row from the round
+    # named in SURVEY §2C, code unchanged since, re-proven at HEAD by
+    # the committed full-registry selfcheck log. Modules that lost a
+    # registration to an r9 move (dedup, similarity, graph_ext,
+    # multimodal) keep their remaining ops in place. ---
+    "desdb_spark.extensions.skyline",
+    "desdb_spark.extensions.tokenizer_ext",
+    "desdb_spark.extensions.attribution",
+    "desdb_spark.operators.stats_catalog",
+    "desdb_spark.extensions.stats_inference",
+    "desdb_spark.extensions.funnel_ext",
+    "desdb_spark.extensions.experiment_ext",
+    "desdb_spark.extensions.analytics_ext2",
+    "desdb_spark.extensions.sweepline_ext",
+    "desdb_spark.extensions.monitor_ext2",
+    "desdb_spark.extensions.analytics_ext3",
+    "desdb_spark.operators.aggregates_ext2",
+    "desdb_spark.extensions.resampling_ext",
+    "desdb_spark.extensions.analytics_ext4",
+    "desdb_spark.extensions.markov_ext",
+    "desdb_spark.functions.safe_funcs",
+    "desdb_spark.operators.hierarchy_ext",
+    "desdb_spark.extensions.retrieval_ext2",
+    "desdb_spark.operators.pagination_ext",
+    "desdb_spark.streaming.outer_join",
+    "desdb_spark.sources.compaction",
+    "desdb_spark.extensions.dedup_incremental",
+    "desdb_spark.extensions.calibration_ext",
+    "desdb_spark.operators.observability",
+    "desdb_spark.extensions.boilerplate_ext",
+    "desdb_spark.extensions.seasonal_ext",
+    "desdb_spark.operators.asof_ext",
+    "desdb_spark.sources.pyds_sink",
+    "desdb_spark.extensions.sampling_ext2",
+    "desdb_spark.extensions.bot_ext",
+    "desdb_spark.extensions.decontam_ext",
+    "desdb_spark.extensions.engagement_ext",
+    "desdb_spark.sources.sinks",
+    "desdb_spark.extensions.dedup_components",
+    "desdb_spark.operators.relational_ext9",
+    "desdb_spark.extensions.retrieval_ext",
+    "desdb_spark.sources.formats_ext3",
+    "desdb_spark.functions.modern_types",
+    "desdb_spark.extensions.curriculum",
+    "desdb_spark.operators.joins_ext2",
+    "desdb_spark.extensions.sampling_ext",
+    "desdb_spark.extensions.corpus_stats",
+    "desdb_spark.extensions.graph_ext",
+    "desdb_spark.extensions.sketches_ext",
+    "desdb_spark.extensions.linkage_ext",
+    "desdb_spark.sources.layout_ext",
+    "desdb_spark.operators.incremental",
+    "desdb_spark.extensions.constraints",
+    "desdb_spark.streaming.resume",
+    "desdb_spark.operators.reconcile",
+    "desdb_spark.sources.schema_evolution",
+    "desdb_spark.streaming.static_join",
+    "desdb_spark.operators.cdc",
+    "desdb_spark.operators.temporal_ext",
+    "desdb_spark.operators.allocation",
+    "desdb_spark.streaming.windowed_topk",
+    "desdb_spark.extensions.text",
+    "desdb_spark.extensions.analytics_ext5",
+    "desdb_spark.extensions.mining_ext",
+    "desdb_spark.streaming.stateful",
+    "desdb_spark.extensions.linalg_ext",
+    "desdb_spark.operators.relational_ext8",
+    "desdb_spark.streaming.foreach",
+    "desdb_spark.sources.formats_ext2",
+    "desdb_spark.extensions.timeseries_ext",
+    "desdb_spark.extensions.ann_eval",
+    "desdb_spark.sources.lake_ext",
+    "desdb_spark.operators.relational_ext10",
+    "desdb_spark.extensions.pipeline_ext",
+    "desdb_spark.operators.diagnostics",
+    "desdb_spark.sources.ingest_ext",
+    "desdb_spark.plans.lineage",
+    "desdb_spark.operators.relational_ext11",
+    "desdb_spark.extensions.quality_gates",
+    "desdb_spark.streaming.joins",
+    "desdb_spark.extensions.dedup_ext",
+    "desdb_spark.extensions.similarity",
+    "desdb_spark.extensions.dedup",
+    "desdb_spark.extensions.stats_monitor",
+    "desdb_spark.sources.formats_ext",
+    "desdb_spark.operators.relational_ext6",
+    "desdb_spark.operators.scans",
+    "desdb_spark.functions.paths",
+    "desdb_spark.streaming.windows",
+    "desdb_spark.operators.relational_ext",
+    "desdb_spark.functions.udfs",
+    "desdb_spark.operators.relational_ext7",
+    "desdb_spark.extensions.text_ext",
+    "desdb_spark.operators.relational_ext2",
+    "desdb_spark.operators.relational_ext3",
+    "desdb_spark.extensions.pipeline_analytics",
+    "desdb_spark.sources.lake",
+    "desdb_spark.operators.relational_ext4",
+    "desdb_spark.extensions.corpus_timeseries",
+    "desdb_spark.operators.relational_ext5",
+    "desdb_spark.extensions.training_prep",
+    "desdb_spark.operators.temporal",
+    "desdb_spark.extensions.quality_ext",
+    "desdb_spark.operators.joins_ext",
+    "desdb_spark.operators.projections",
+    "desdb_spark.operators.joins",
+    "desdb_spark.extensions.multimodal",
+    "desdb_spark.sources.roundtrips",
+    "desdb_spark.sources.filecatalog",
+    "desdb_spark.operators.aggregates",
+    "desdb_spark.operators.windows",
+    "desdb_spark.operators.sorts_sets",
+    "desdb_spark.functions.scalars",
+    "desdb_spark.operators.aggregates_ext",
 )
 
 

@@ -6,7 +6,15 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from desdb_spark.extensions import dedup, dedup_components, multimodal, similarity
+from desdb_spark.extensions import (
+    ann_lsh,
+    dedup,
+    dedup_components,
+    dedup_near,
+    multimodal,
+    multimodal_decode,
+    similarity,
+)
 from tests.conftest import SF_DIR
 
 
@@ -71,7 +79,7 @@ def test_ann_lsh_recall_vs_exact(spark):
     }
     approx = {
         (r.vec_a, r.vec_b): r.cos_sim
-        for r in similarity.ann_lsh_bucketed(spark, SF_DIR).collect()
+        for r in ann_lsh.ann_lsh_bucketed(spark, SF_DIR).collect()
     }
     assert set(approx) <= set(exact)
     if exact:
@@ -126,7 +134,7 @@ def test_dedup_embedding_fallback_recall(spark, monkeypatch):
 
 
 def test_multimodal_decode_batches(spark):
-    out = multimodal.multimodal_decode_features(spark, SF_DIR).collect()
+    out = multimodal_decode.multimodal_decode_features(spark, SF_DIR).collect()
     assert len(out) == 500
     for r in out[:20]:
         assert r.n_bytes > 0

@@ -7,7 +7,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from desdb_spark.extensions import graph_ext
+from desdb_spark.extensions import graph_ext, graph_pagerank
 from desdb_spark.session import load_table
 from tests.conftest import SF_DIR
 
@@ -70,7 +70,7 @@ def _numpy_pagerank_fixed(edges, iterations=graph_ext.PR_ITERATIONS):
 
 
 def test_pagerank_topk_matches_integer_mirror(spark):
-    got = graph_ext.graph_pagerank_topk(spark, SF_DIR).collect()
+    got = graph_pagerank.graph_pagerank_topk(spark, SF_DIR).collect()
     orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
     edges_df = (

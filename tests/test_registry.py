@@ -187,48 +187,59 @@ def test_registry_order_import_pollution_proof():
     assert len(clean) == len(all_operators())
 
 
-#: The r8 driver window, frozen (VERDICT r7 item 1): the external driver
+#: The r9 driver window, frozen (VERDICT r8 item 1): the external driver
 #: hash-checks exactly the first 50 registered ops, so a refactor that
 #: reshuffles registration order silently changes WHAT GETS VERIFIED —
 #: the r4 regression class. Any intentional rotation must edit this list
-#: in the same commit that edits _OP_MODULES. This rotation clears the
-#: entire hash backlog: the 28 formula/analytics ops deferred since r6,
-#: the 17 r7 ops that registered past slot 50 when new, and the 5
-#: rows→hash oracle upgrades (sinks content-roundtrips + the capped
-#: components closure) — after this round every hash-checked op in the
-#: registry holds a driver hash-green row.
-R8_WINDOW = [
-    "analytics_skyline_2d", "text_bpe_pair_freq",
-    "events_attribution_last_touch", "events_attribution_time_to_convert",
-    "diag_column_stats", "diag_join_key_skew", "pipeline_curate_end2end",
-    "stat_linear_regression", "stat_welch_ttest", "events_funnel_ordered",
-    "exp_srm_check", "exp_cuped_adjusted", "events_decay_score",
-    "analytics_revenue_concentration", "events_concurrency_curve",
-    "window_rolling_median", "stat_cusum_changepoint",
-    "text_unigram_logprob", "stat_ks_two_sample", "analytics_basket_lift",
-    "agg_weighted_median", "corpus_source_jaccard",
-    "stat_jackknife_mean_ci", "text_char_entropy",
-    "analytics_growth_accounting", "events_markov_entropy_rate",
-    "scalar_try_funcs", "window_share_of_parent", "text_bm25_search",
-    "scan_keyset_pagination", "stream_stream_left_outer_join",
-    "stream_stream_full_outer_join", "sink_compact_small_files",
-    "dedup_incremental_new_batch", "corpus_length_retention_curve",
-    "corpus_length_cutoff_calibrate", "scan_observed_metrics",
-    "docs_boilerplate_ngrams", "events_seasonal_residual_anomaly",
-    "join_asof_forward", "sink_python_datasource",
-    "sample_neyman_allocation", "events_bot_regularity_score",
-    "docs_eval_substring_contamination", "events_dau_wau_stickiness",
-    "sink_parquet", "sink_csv", "sink_json", "sink_sorted_parquet",
-    "dedup_cluster_components",
+#: in the same commit that edits _OP_MODULES. This rotation takes 50 of
+#: the 62 driver-pending hash ops: the 8 rows→hash oracle-upgrade ops
+#: first (dedup_near_minhash, dedup_simhash, ann_lsh_bucketed,
+#: graph_pagerank_topk, the three multimodal_ext kernels,
+#: multimodal_decode_features — their oracles changed AFTER their last
+#: driver row), then the 42 least-trivial r8-new ops; the 12 simplest
+#: r8e formula ops defer to r10 (see _OP_MODULES comments).
+R9_WINDOW = [
+    "dedup_near_minhash", "dedup_simhash", "ann_lsh_bucketed",
+    "graph_pagerank_topk", "multimodal_decode_features",
+    "multimodal_frame_sample", "multimodal_resample_pixels",
+    "multimodal_resize_batch", "dedup_semantic_embedding",
+    "dedup_url_canonical", "docs_decontam_short_probes",
+    "dedup_minhash_eval", "docs_quality_gopher_rules",
+    "stat_bootstrap_mean_ci", "source_manifest_pruned_read",
+    "source_time_travel_read", "source_merge_upsert",
+    "source_version_diff_cdf", "source_delete_vectors_read",
+    "stream_merge_manifest_table", "source_vacuum_retention",
+    "source_restore_version", "source_wap_publish",
+    "source_cluster_rewrite", "events_pattern_match_regex",
+    "dedup_jaccard_retention_curve", "source_incremental_view_refresh",
+    "source_zorder_pruned_read_2d", "source_txn_snapshot_join",
+    "multimodal_audio_pcm_features", "text_bigram_interp_logprob",
+    "split_cluster_safe", "dedup_containment_ngram",
+    "source_bloom_pruned_read", "dedup_exact_substring_spans",
+    "ann_binary_hamming_rerank", "docs_dedup_lines_global",
+    "docs_dsir_importance_weights", "source_partition_evolution_read",
+    "text_ngram_novelty_curve", "multimodal_image_ahash_dedup",
+    "emb_truncation_recall_curve", "join_asof_tolerance",
+    "corpus_waterfill_domain_caps", "stream_image_ahash_dedup",
+    "docs_strip_repeated_spans", "multimodal_audio_vad_segments",
+    "join_asof_nearest", "window_rolling_regression_slope",
+    "quality_logreg_score_deciles",
 ]
 
 
-def test_r8_window_pinned():
+def test_r9_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R8_WINDOW, (
-        "driver window drifted from the documented r8 rotation plan; "
-        "if intentional, update R8_WINDOW in the same commit"
+    assert window == R9_WINDOW, (
+        "driver window drifted from the documented r9 rotation plan; "
+        "if intentional, update R9_WINDOW in the same commit"
     )
+    # Every window slot must be hash-checkable — a rows-only op inside
+    # the window wastes a driver hash slot (the r8 classifier_ext
+    # placement trick keeps quality_logreg_train at slot 51).
+    ops = all_operators()
+    rows_only = [n for n in window if ops[n].oracle is None]
+    assert not rows_only, f"rows-only ops occupy window slots: {rows_only}"
+
 
 
 

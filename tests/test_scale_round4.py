@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from desdb_spark.extensions import dedup, similarity
+from desdb_spark.extensions import ann_lsh, dedup, dedup_near, similarity
 from tests.conftest import SF_DIR
 
 
@@ -169,7 +169,7 @@ def test_lsh_candidate_exchanges_are_array_free(spark):
     embedding array — the candidate join must shuffle ids only (VERDICT r3
     item 4). Checked on the executed plan tree, covering both broadcast and
     shuffle exchange modes."""
-    df = similarity.ann_lsh_bucketed(spark, SF_DIR)
+    df = ann_lsh.ann_lsh_bucketed(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan()
 
     nodes = []
