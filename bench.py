@@ -62,6 +62,20 @@ LLM_SUITE = [
     "docs_dsir_importance_weights",
 ]
 
+#: r9 sf1 arm (VERDICT r8 item 4): the five floor-bound LLM cells re-run
+#: at 10× (the derived sf1 corpus from tools/scale_spotcheck — same
+#: per-replica distribution, disjoint token sets) where stage floors
+#: amortize and the ratio vs BASELINE.md's sf1 DuckDB numbers reads
+#: signal. Only runs when the main sf_dir is the default sf0.1 (the
+#: derivation source); skipped silently otherwise.
+LLM_SF1_SUITE = [
+    "text_bm25_search",
+    "docs_eval_substring_contamination",
+    "docs_dedup_lines_global",
+    "dedup_exact_substring_spans",
+    "docs_dsir_importance_weights",
+]
+
 #: Lake-DML suite (r8): the manifest-table mutation tier. Each timed run
 #: REBUILDS the table from scratch (the op's own semantic — it writes
 #: v1, merges/deletes, reads back), so the number tracks the whole
@@ -121,7 +135,13 @@ def main() -> None:
     spark = get_spark(
         "bench",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.files.maxPartitionBytes": "4194304"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4194304",
+            # The sf1 arm's 10× shuffles thrash the local-mode default
+            # 1 GB driver heap (GCLocker retry warnings); the headline
+            # numbers are unaffected by a larger quiet heap.
+            "spark.driver.memory": "16g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
@@ -169,17 +189,42 @@ def main() -> None:
     # "re-run"), which is not what DuckDB's re-run baseline measures.
     # So each timed run REBUILDS the plan (fresh shuffle ids → full
     # recompute); the one untimed warm run amortizes JVM/codegen only.
+    # r9: the timer wraps fn() + toPandas() — several ops now
+    # localCheckpoint an expensive intermediate DURING fn() (near-
+    # minhash candidate pairs, the DSIR md5 stream), and a toPandas-only
+    # timer would silently exclude that work (the lake suite already
+    # times this way for the same reason).
     for name in LLM_SUITE:
         ops[name].fn(spark, sf_dir).toPandas()
     llm_timings: dict[str, float] = {}
     for name in LLM_SUITE:
         runs = []
         for _ in range(LLM_RUNS):
-            df = ops[name].fn(spark, sf_dir)
             t0 = time.perf_counter()
-            df.toPandas()
+            ops[name].fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         llm_timings[name] = round(min(runs), 4)
+
+    # sf1 arm: 10× derived corpus, fresh-plan fn()+toPandas() timing.
+    llm_sf1_timings: dict[str, float] = {}
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        try:
+            from tools.scale_spotcheck import DERIVED, build_derived
+
+            build_derived()
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            for name in LLM_SF1_SUITE:
+                ops[name].fn(spark, DERIVED).toPandas()  # warm codegen
+                runs = []
+                for _ in range(LLM_RUNS):
+                    t0 = time.perf_counter()
+                    ops[name].fn(spark, DERIVED).toPandas()
+                    runs.append(time.perf_counter() - t0)
+                llm_sf1_timings[name] = round(min(runs), 4)
+        except Exception as exc:  # never fail the whole bench on the arm
+            llm_sf1_timings = {"error": str(exc)[:200]}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     # Lake-DML suite: the op builds + mutates + reads its own table, so
     # every run is inherently a fresh plan — no shuffle-reuse trap, no
@@ -211,6 +256,10 @@ def main() -> None:
         "cold_first_action_sec": cold_first_action,
         "llm_queries": llm_timings,
         "llm_total_sec": round(sum(llm_timings.values()), 4),
+        "llm_queries_sf1": llm_sf1_timings,
+        "llm_sf1_total_sec": round(
+            sum(v for v in llm_sf1_timings.values() if isinstance(v, float)), 4
+        ),
         "lake_queries": lake_timings,
         "lake_total_sec": round(sum(lake_timings.values()), 4),
     }

@@ -11,16 +11,20 @@ fixture's target domain is ``lang = '{TARGET_LANG}'`` — a real,
 non-degenerate subset (~44% of docs) whose bigrams genuinely differ by
 language.
 
-Scale shape: bigram → bucket is pure-codegen md5 work; BOTH models are
-one aggregate over the same exploded pass (the target side is a
-conditional sum, so raw + target cost one shuffle of ≤ {N_BUCKETS}
-hashed keys with map-side combine); the per-bucket log-ratio table is
-≤ {N_BUCKETS} rows — broadcast back to the instance stream for the
-per-doc mean. Model size is O(B), independent of corpus size: exactly
-why DSIR hashes features. The ln() inputs are ratios of exact integer
-counts (identical rationals in both engines); the 4-dp output rounding
-sits far above libm's sub-ulp disagreement (text_unigram_logprob
-discipline).
+Scale shape (r9 rework — the sf1 bench showed the r8 shape 7× DuckDB):
+the md5 bucket stream is computed ONCE and ``localCheckpoint``-ed raw —
+both the model aggregate and the scoring join consume the materialized
+stream, so the corpus-sized md5/explode pass never re-executes (the r8
+shape ran it twice: once under the model aggregate, once under the
+scoring join). BOTH models are one aggregate over the stream (256
+bucket keys → near-perfect map-side combine; the target side is a
+conditional sum); the per-bucket log-ratio table is ≤ {N_BUCKETS} rows
+— broadcast back to the instance stream for the per-doc mean, the
+oracle's exact grain. Model size is O(B), independent of corpus size:
+exactly why DSIR hashes features. The ln() inputs are ratios of exact
+integer counts (identical rationals in both engines); the 4-dp output
+rounding sits far above libm's sub-ulp disagreement
+(text_unigram_logprob discipline).
 """
 
 from __future__ import annotations
@@ -93,10 +97,20 @@ def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ),
     )
+    # One md5/explode pass, MATERIALIZED raw: both consumers below read
+    # the checkpoint instead of re-running the corpus-sized hash
+    # pipeline (the md5 bucket stream is the dominant cost — profiled at
+    # the 10× scale, one md5 pass alone costs 2× DuckDB's whole query,
+    # i.e. Spark's per-row MessageDigest md5 vs DuckDB's vectorized md5;
+    # a per-(doc,bucket) compaction shuffle before checkpointing was
+    # measured SLOWER than checkpointing the raw narrow stream, because
+    # ~50 distinct buckets per short doc barely compact). (Production
+    # note: as elsewhere, reliable checkpoint() for multi-hour runs.)
     inst = (
         d.select("doc_id", "lang", toks.alias("t"))
         .where(F.size("t") >= 2)
         .select("doc_id", "lang", F.explode(bigrams).alias("bucket"))
+        .localCheckpoint()
     )
     model = inst.groupBy("bucket").agg(
         F.count("*").alias("c_r"),
@@ -128,5 +142,4 @@ def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("selected"),
         )
-        .orderBy("doc_id")
     )

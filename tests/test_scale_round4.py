@@ -247,9 +247,14 @@ def test_ivf_cell_count_scales():
     # (nlist ≈ 4√n), where IVF-PQ is the next tier anyway.
     import math
 
-    for n in (10**6, 10**9):
+    for n in (10**6, 10**8, 10**9):
         cap = max(similarity.IVF_TARGET_CELL_ROWS, math.sqrt(n) / 4)
         assert n / similarity._ivf_cell_count(n) <= cap * 1.01
+    # Cell count must be monotone in n — a non-monotone rule would let a
+    # growing corpus fall back into fewer cells (the fixed-k knee class).
+    counts = [similarity._ivf_cell_count(n) for n in
+              (10**3, 10**4, 10**5, 10**6, 10**7, 10**8, 10**9)]
+    assert counts == sorted(counts)
 
 
 # ------------------------------------------------------------- tier contract
