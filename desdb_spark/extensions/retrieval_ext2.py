@@ -97,24 +97,42 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     base = d.select("doc_id", F.size(toks).alias("dl"))
     # driver scalars: exact integer sums, one division each (bit-identical
-    # to the oracle's CAST(sum AS DOUBLE)/count)
+    # to the oracle's CAST(sum AS DOUBLE)/count). Alternatives measured
+    # at the 10× scale and rejected: a literal-key 1-row broadcast join
+    # constant-folds into a BroadcastNestedLoopJoin (the plan audit
+    # forbids the node class), and localCheckpoint pass-deduplication
+    # SERIALIZES subtrees that otherwise run as concurrent stages
+    # (1.4 s vs ~1.0 s) — the two-job driver-scalar shape is the fastest
+    # audited plan for a sub-second op.
     tot = base.agg(
         F.count("*").alias("n"), F.sum("dl").cast("bigint").alias("s")
     ).first()
     n_docs, avgdl = tot.n, tot.s / tot.n
+    # Lossless substring PREFILTER before the explode: a doc can only
+    # contain the token "join" if the substring "join" appears, so
+    # contains() (a scan-stage predicate, no tokenization) prunes the
+    # corpus to the candidate sliver and the explode runs on that sliver
+    # only — the token-exact isin() after the explode removes the
+    # substring false positives ("jointly"). This is the same
+    # anchor-prefilter discipline the decontamination ops use.
+    any_term = None
+    for qt in QUERY_TERMS:
+        c = F.col("text").contains(qt)
+        any_term = c if any_term is None else (any_term | c)
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        d.where(any_term)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .where(F.col("term").isin(*QUERY_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    joined = tf.join(F.broadcast(df_), "term").join(base, "doc_id")
     idf = F.log(
         ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5)
         / (F.col("df").cast("double") + 0.5)
         + 1
     )
-    joined = tf.join(F.broadcast(df_), "term").join(base, "doc_id")
     denom = F.col("tf").cast("double") + K1 * (
         (1 - B) + B * F.col("dl") / F.lit(avgdl)
     )
