@@ -15,23 +15,25 @@ line-splitter expression changes, the relational shape is identical.
 
 Scale shape (r9 rework — the sf1 bench showed the r8 shape 7.5× DuckDB,
 not floor-bound): NO line text ever crosses an exchange. Lines explode
-once as (doc_id, line_id, md5(line)) — the 128-bit digest is the
-grouping/join key, de-facto content-exact (the oracle groups by the raw
-line text; parity therefore PROVES the digest keying changes nothing on
-real data). The global frequency aggregate map-side-combines on the
-digest; only the DROPPED side (df ≥ {MIN_DROP_DF} — the small,
-boilerplate side) joins back, also digest-keyed; and reassembly is a
-per-doc codegen rebuild — the kept text is re-derived from the original
-token array by filtering out the dropped line_ids, so the only doc-grain
-join payload is (doc_id, drop_ids int array), broadcast-size in
-practice and int-array-size always. Three digest/int shuffles total,
-versus the r8 shape's three full re-explodes of the corpus plus two
-full-text exchanges (line-keyed join + collect_list reassembly).
+once as (doc_id, line_id, xxhash64(token-slice)) — the hash key is
+content-exact modulo 64-bit collision (the oracle groups by the raw
+line text; parity therefore PROVES the hash keying changes nothing on
+real data). ONE hash-partitioned exchange both decides repetition
+(min ≠ max doc over the key's occurrences — codegen window aggregates,
+no object-hash collect over the corpus stream, no join-back) and
+forwards the dropped occurrences; reassembly is a per-doc codegen
+rebuild — the kept text is re-derived from the original token array by
+filtering out the dropped line_ids, so the only doc-grain join payload
+is (doc_id, drop_ids int array), broadcast-size in practice and
+int-array-size always. Two corpus-grain exchanges total (line hashes,
+dropped int pairs), versus the r8 shape's three full re-explodes of the
+corpus plus two full-text exchanges (line-keyed join + collect_list
+reassembly).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
@@ -112,27 +114,23 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("line_id", "h"),
     )
-    # ONE digest-keyed aggregation finds the boilerplate occurrences: the
-    # per-digest occurrence list rides the same shuffle as the frequency
-    # decision, so the exploded stream is computed and shuffled exactly
-    # once (a groupBy-then-join-back shape re-executes the explode for
-    # the probe side — the partial-agg exchange can't be reused for the
-    # join exchange). df ≥ threshold keeps only the boilerplate side; a
-    # per-digest occurrence list is bounded by that line's corpus
-    # frequency (the df-skew the C4 rule itself creates — AQE skew
-    # handling covers the pathological stopline).
+    # ONE hash-partitioned exchange decides repetition AND keeps every
+    # occurrence: at MIN_DROP_DF = 2 (the C4 "occurs in more than one
+    # document" rule this op and its oracle fix), "≥ 2 distinct docs" ⇔
+    # min(doc_id) ≠ max(doc_id) over the line's occurrences — two
+    # primitive window aggregates, whole-stage codegen, no collect_list
+    # object aggregation over the corpus-sized stream and no join-back
+    # (which would re-execute the explode for the probe side; the
+    # span_dedup rework proved this shape at the 10× scale). Only the
+    # small BOILERPLATE side reaches the per-doc collect_set below.
+    assert MIN_DROP_DF == 2, "min!=max shortcut encodes exactly df >= 2"
+    w_h = Window.partitionBy("h")
     dropped = (
-        lines_h.groupBy("h")
-        .agg(F.collect_list(F.struct("doc_id", "line_id")).alias("occ"))
-        .where(
-            F.size(
-                F.array_distinct(F.transform("occ", lambda o: o.doc_id))
-            )
-            >= MIN_DROP_DF
-        )
-        .select(F.explode("occ").alias("o"))
-        .groupBy(F.col("o.doc_id").alias("doc_id"))
-        .agg(F.collect_set(F.col("o.line_id")).alias("drop_ids"))
+        lines_h.withColumn("mn", F.min("doc_id").over(w_h))
+        .withColumn("mx", F.max("doc_id").over(w_h))
+        .where(F.col("mn") != F.col("mx"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("line_id").alias("drop_ids"))
     )
     # Codegen reassembly: re-derive kept lines from the token array,
     # skipping dropped line_ids — no text ever shuffled, and totals come

@@ -210,3 +210,46 @@ def test_no_rdd_access_in_engine():
                     if ".rdd" in code:
                         offenders.append(f"{path}:{lineno}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+#: r9 plan-shape pins for the perf-reworked curation ops: the sf1 bench
+#: drove these to specific shuffle budgets (docs/SCALING.md §11), and a
+#: refactor that silently reintroduces a join-back, a collect_list
+#: object aggregate, or a global sort would show up here as an exchange
+#: regression long before anyone re-runs the 10× bench. Budgets are
+#: ceilings (AQE may plan fewer).
+_R9_EXCHANGE_BUDGET = {
+    # one hash-keyed window exchange + the islands exchange; no joins.
+    "dedup_exact_substring_spans": 2,
+    # one digest aggregation chain + the doc-grain dropped-list shuffle;
+    # the reassembly join must stay broadcast.
+    "docs_dedup_lines_global": 3,
+    # model aggregate over the checkpointed stream + per-doc mean; the
+    # ratio join must stay broadcast.
+    "docs_dsir_importance_weights": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_R9_EXCHANGE_BUDGET))
+def test_r9_reworked_ops_hold_their_shuffle_budget(spark, name):
+    import re
+
+    df = all_operators()[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"\bExchange (hash|range|single)", plan))
+    assert n_ex <= _R9_EXCHANGE_BUDGET[name], (
+        f"{name} plans {n_ex} shuffle exchanges > budget "
+        f"{_R9_EXCHANGE_BUDGET[name]} — the r9 rework regressed "
+        "(docs/SCALING.md §11)"
+    )
+    assert "SortMergeJoin" not in plan, f"{name} regressed to a shuffle join"
+    # docs_dedup_lines_global legitimately collect_set's the DROPPED
+    # (doc_id, line_id) pairs — the min≠max window has already filtered
+    # the stream to the small boilerplate side, so that object aggregate
+    # never sees corpus-sized input. The other two must stay fully
+    # primitive.
+    if name != "docs_dedup_lines_global":
+        assert "ObjectHashAggregate" not in plan, (
+            f"{name} regressed to an object-hash (collect_*) aggregate in "
+            "the corpus-sized path"
+        )
