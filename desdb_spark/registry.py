@@ -262,8 +262,8 @@ _OP_MODULES = (
     "desdb_spark.operators.sorts_sets",
     "desdb_spark.functions.scalars",
     "desdb_spark.operators.aggregates_ext",
-    # --- NEW r9 ops (4, within the VERDICT r8 item 2 growth budget:
-    # 12 deferred + 4 new = 16 <= 50, so the r10 window can clear the
+    # --- NEW r9 ops (5, within the VERDICT r8 item 2 growth budget:
+    # 12 deferred + 5 new = 17 <= 50, so the r10 window can clear the
     # entire backlog). All hash-checked; they queue behind the deferred
     # r8e tier for the r10 rotation with committed selfcheck evidence. ---
     "desdb_spark.extensions.shard_budget",  # 1 op (NEW r9: greedy
@@ -274,6 +274,9 @@ _OP_MODULES = (
     # exponentiated-gradient domain weight step over unigram excess NLL)
     "desdb_spark.extensions.bitext_mine",  # 1 op (NEW r9: Artetxe-
     # Schwenk margin bitext mining on the broadcast GEMM tier)
+    "desdb_spark.extensions.bloom_dedup",  # 1 op (NEW r9: Dolma-style
+    # Bloom-filter incremental line dedup, portable md5-affine bit
+    # positions — a differentially-verified approximate structure)
 )
 
 

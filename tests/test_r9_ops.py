@@ -117,3 +117,54 @@ def test_bitext_margin_matches_numpy(spark):
         margin = round(2 * s_row[top] / (avg_a + avg_b), 4)
         assert abs(r.margin - margin) < 2e-4  # one 4dp ulp of summation slack
         assert r.accepted == (1 if r.margin >= 1.05 else 0)
+
+
+def test_bloom_dedup_no_false_negatives_and_fp_accounting(spark):
+    from desdb_spark.extensions.bloom_dedup import (
+        K_HASHES,
+        M_BITS,
+        dedup_bloom_lines_incremental,
+    )
+
+    rows = dedup_bloom_lines_incremental(spark, SF_DIR).collect()
+    assert rows, "new batch must produce per-doc rows"
+    total_lines = sum(r.n_lines for r in rows)
+    total_hits = sum(r.n_bloom_hits for r in rows)
+    total_true = sum(r.n_true_dups for r in rows)
+    for r in rows:
+        # Bloom filters never miss a true member.
+        assert r.n_bloom_hits >= r.n_true_dups, r
+        assert r.n_lines >= r.n_bloom_hits, r
+    # False-positive mass stays within ~4x the theoretical rate at this
+    # load (generous slack; the differential hash pins the exact counts,
+    # this pins the STATISTICAL claim the op's docstring makes).
+    import math
+
+    d = load_table(spark, SF_DIR, "documents")
+    n_inserted = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+                            / F.lit(8)
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: i,
+                )
+            )
+        )
+        .count()
+    )
+    p_fp = (1 - math.exp(-K_HASHES * n_inserted / M_BITS)) ** K_HASHES
+    fp = total_hits - total_true
+    assert fp <= max(5, 4 * p_fp * total_lines), (
+        fp,
+        p_fp,
+        total_lines,
+        n_inserted,
+    )
