@@ -11,18 +11,45 @@ fixture's target domain is ``lang = '{TARGET_LANG}'`` — a real,
 non-degenerate subset (~44% of docs) whose bigrams genuinely differ by
 language.
 
-Scale shape (r9 rework — the sf1 bench showed the r8 shape 7× DuckDB):
-the md5 bucket stream is computed ONCE and ``localCheckpoint``-ed raw —
-both the model aggregate and the scoring join consume the materialized
-stream, so the corpus-sized md5/explode pass never re-executes (the r8
-shape ran it twice: once under the model aggregate, once under the
-scoring join). BOTH models are one aggregate over the stream (256
-bucket keys → near-perfect map-side combine; the target side is a
-conditional sum); the per-bucket log-ratio table is ≤ {N_BUCKETS} rows
-— broadcast back to the instance stream for the per-doc mean, the
-oracle's exact grain. Model size is O(B), independent of corpus size:
-exactly why DSIR hashes features. The ln() inputs are ratios of exact
-integer counts (identical rationals in both engines); the 4-dp output
+Determinism discipline (r10 — the r9 driver row was hash-RED): the r9
+shape scored docs with ``round(avg(lp), 4)`` over per-instance doubles,
+and a double ``avg()`` sums in partition order — with ~50 buckets per
+doc some mean sits at a .00005 boundary and the 4th decimal flips
+between session configs (selfcheck-green at 8 shuffle partitions,
+driver-red at its own config). r10 applies the BM25 micro-unit
+discipline (retrieval_ext2.py): each bucket's log-ratio rounds to
+integer MICRO-units once in the ≤{N_BUCKETS}-row ratio table, per-doc
+totals are exact BIGINT sums (order-free), and even the published 4-dp
+mean is rounded in EXACT INTEGER arithmetic (half-away-from-zero on the
+micro sum) before one final division by 10⁴ — round(double, 4) itself
+is a cross-engine hazard (Spark's BigDecimal HALF_UP vs DuckDB's float
+rounding disagreed on one sf0.1 doc whose mean sat exactly on a .00005
+boundary). ``selected`` compares the exact integer SUM to zero
+(mean > 0 ⇔ sum > 0), so the keep flag never touches a float at all.
+
+Scale shape: the md5 bucket stream is computed ONCE over an
+``ensure_parallelism``-split corpus and ``localCheckpoint``-ed compact
+(doc, lang, 2-char bucket) — both the model aggregate and the scoring
+join consume the materialization, so the corpus-sized explode/hash
+pipeline never re-executes. BOTH models are one aggregate over the
+stream (256 bucket keys → near-perfect map-side combine; the target
+side is a conditional sum); the per-bucket log-ratio table is
+≤ {N_BUCKETS} rows — broadcast back to the checkpointed stream for the
+per-doc exact-integer sums. Model size is O(B), independent of corpus
+size: exactly why DSIR hashes features.
+
+Perf attribution (r10, measured at the 10× arm): the r9 3.2×-of-DuckDB
+wall was NOT md5 cost — it was the single-row-group fixture planning
+the whole explode pipeline as ONE task (the dedup.py single-split
+trap). With ensure_parallelism the identical shape drops ~5.2 s →
+~2.5 s. Two alternatives were built and measured SLOWER before settling
+here: (a) md5 per distinct (doc, bigram) after a multiplicity groupBy —
+the bigram-string exchange costs more than the md5 it saves (~6.9 s);
+(b) a broadcast distinct-bigram→bucket dictionary (md5 once per
+vocabulary entry, corpus never shuffled) — two explode passes cost more
+than one explode+md5 pass, because per-instance md5 is only ~4% on top
+of the explode itself (~4.9 s). The ln() inputs are ratios of exact
+integer counts (identical rationals in both engines); micro-unit
 rounding sits far above libm's sub-ulp disagreement
 (text_unigram_logprob discipline).
 """
@@ -60,29 +87,44 @@ TARGET_LANG = "en"
             FROM inst GROUP BY bucket
         ), ratio AS (
             SELECT bucket,
-                   ln(CAST((c_t + 1) * (sum(c_r) OVER () + {N_BUCKETS})
-                           AS DOUBLE)
-                      / CAST((c_r + 1) * (sum(c_t) OVER () + {N_BUCKETS})
-                             AS DOUBLE)) AS lp
+                   CAST(round(
+                       ln(CAST((c_t + 1) * (sum(c_r) OVER () + {N_BUCKETS})
+                               AS DOUBLE)
+                          / CAST((c_r + 1) * (sum(c_t) OVER () + {N_BUCKETS})
+                                 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                       AS lp_micros
             FROM model
+        ), per_doc AS (
+            SELECT i.doc_id, i.lang,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(r.lp_micros) AS BIGINT) AS s_micros
+            FROM inst i JOIN ratio r USING (bucket)
+            GROUP BY i.doc_id, i.lang
         )
-        SELECT i.doc_id, i.lang,
-               CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(r.lp), 4) AS dsir_logratio,
-               CAST(CASE WHEN round(avg(r.lp), 4) > 0 THEN 1 ELSE 0 END
+        SELECT doc_id, lang, n_bigrams,
+               CAST(CASE WHEN s_micros >= 0
+                    THEN  (2 * s_micros + 100 * n_bigrams)
+                          // (200 * n_bigrams)
+                    ELSE -((2 * (-s_micros) + 100 * n_bigrams)
+                          // (200 * n_bigrams)) END AS DOUBLE) / 10000.0
+                   AS dsir_logratio,
+               CAST(CASE WHEN s_micros > 0 THEN 1 ELSE 0 END
                     AS BIGINT) AS selected
-        FROM inst i JOIN ratio r USING (bucket)
-        GROUP BY i.doc_id, i.lang
-        ORDER BY i.doc_id
+        FROM per_doc
+        ORDER BY doc_id
     """,
     group="dsir_ext",
 )
 def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR score against the ``{TARGET_LANG}`` target:
     bigram-instance count, mean hashed-bigram log-likelihood ratio
-    (4 dp), and the keep flag (``selected = 1`` iff the rounded score is
-    positive — more target-like than raw-like)."""
-    d = load_table(spark, sf_dir, "documents")
+    (micro-unit-exact mean, 4 dp), and the keep flag (``selected = 1``
+    iff the exact integer micro-unit sum is positive — i.e. the mean
+    log-ratio is more target-like than raw-like; the flag is computed
+    from the BIGINT sum, never from a rounded float)."""
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     t = F.col("t")
     bigrams = F.transform(
@@ -97,14 +139,9 @@ def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ),
     )
-    # One md5/explode pass, MATERIALIZED raw: both consumers below read
-    # the checkpoint instead of re-running the corpus-sized hash
-    # pipeline (the md5 bucket stream is the dominant cost — profiled at
-    # the 10× scale, one md5 pass alone costs 2× DuckDB's whole query,
-    # i.e. Spark's per-row MessageDigest md5 vs DuckDB's vectorized md5;
-    # a per-(doc,bucket) compaction shuffle before checkpointing was
-    # measured SLOWER than checkpointing the raw narrow stream, because
-    # ~50 distinct buckets per short doc barely compact). (Production
+    # One md5/explode pass over the parallelism-guaranteed corpus,
+    # MATERIALIZED compact: both consumers below read the checkpoint
+    # instead of re-running the corpus-sized hash pipeline. (Production
     # note: as elsewhere, reliable checkpoint() for multi-hour runs.)
     inst = (
         d.select("doc_id", "lang", toks.alias("t"))
@@ -119,27 +156,53 @@ def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c_t"),
     )
     # Unpartitioned window over the MODEL table only (<= N_BUCKETS rows
-    # post-aggregate — O(B), never corpus-sized).
+    # post-aggregate — O(B), never corpus-sized). The log-ratio rounds
+    # to integer micro-units HERE, once per bucket, so every downstream
+    # per-doc total is an exact BIGINT sum.
     w_all = Window.partitionBy()
     ratio = model.select(
         "bucket",
-        F.log(
-            ((F.col("c_t") + 1) * (F.sum("c_r").over(w_all) + N_BUCKETS))
-            .cast("double")
-            / ((F.col("c_r") + 1) * (F.sum("c_t").over(w_all) + N_BUCKETS))
-            .cast("double")
-        ).alias("lp"),
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1) * (F.sum("c_r").over(w_all) + N_BUCKETS))
+                .cast("double")
+                / ((F.col("c_r") + 1) * (F.sum("c_t").over(w_all) + N_BUCKETS))
+                .cast("double")
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lp_micros"),
     )
-    score = F.round(F.avg("lp"), 4)
-    return (
+    per_doc = (
         inst.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            score.alias("dsir_logratio"),
-            F.when(score > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("selected"),
+            F.sum("lp_micros").cast("bigint").alias("s_micros"),
         )
+    )
+    # Half-away-from-zero rounding of the mean to 1e-4 units as EXACT
+    # integer arithmetic: r4 = sign(s) * ((2|s| + 100n) div (200n)).
+    # floor() of the double quotient is provably exact here (operands
+    # < 2^53 and the true quotient is never within 1/(200n) >> 1 ulp of
+    # an integer boundary unless it IS that integer), so Spark's
+    # floor(a/b) equals DuckDB's integer `//` bit-for-bit, and the
+    # published double r4/10000.0 is the same IEEE value in both
+    # engines.
+    s, nb = F.col("s_micros"), F.col("n_bigrams")
+    r4_mag = lambda mag: F.floor(  # noqa: E731
+        (2 * mag + 100 * nb).cast("double") / (200 * nb).cast("double")
+    )
+    r4 = F.when(s >= 0, r4_mag(s)).otherwise(-r4_mag(-s))
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        (r4.cast("double") / F.lit(10_000.0)).alias("dsir_logratio"),
+        F.when(s > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("selected"),
     )

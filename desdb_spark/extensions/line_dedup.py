@@ -88,12 +88,25 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest makes the whole reassembled text part of the hashed contract
     without shipping it.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     t = F.col("t")
     n_lines = F.ceil(F.size(t) / F.lit(LINE_W)).cast("int")
     line_at = lambda i: F.concat_ws(" ", F.slice(t, i * LINE_W + 1, LINE_W))  # noqa: E731
-    base = d.select("doc_id", toks.alias("t")).where(F.size("t") > 0)
+    # Tokenize ONCE and materialize (r10 — VERDICT r9 item 4): the token
+    # arrays feed BOTH the line-hash stream and the per-doc reassembly,
+    # and without the checkpoint each consumer re-runs scan+split over
+    # the corpus (the residual 3.0×-of-baseline at the 10× arm was two
+    # corpus-sized tokenize passes, one of them planned as a single
+    # task on the one-row-group fixture — the dedup.py single-split
+    # trap, hence ensure_parallelism above).
+    base = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") > 0)
+        .localCheckpoint()
+    )
     # Hash-grain line stream: the ONLY exploded representation. The key
     # is xxhash64 over the line's TOKEN SLICE — no line string is ever
     # built on this side (tokens contain no spaces post-filter, so

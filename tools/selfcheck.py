@@ -107,7 +107,7 @@ def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), typed, h
 
 
-def run(sf_dir: str, names: list[str] | None) -> int:
+def run(sf_dir: str, names: list[str] | None, driver_config: bool = False) -> int:
     ops = all_operators()
     selected = names or sorted(ops)
     unknown = [n for n in selected if n not in ops]
@@ -115,7 +115,19 @@ def run(sf_dir: str, names: list[str] | None) -> int:
         print(f"unknown operators: {unknown}")
         return 2
 
-    spark = get_spark("selfcheck", shuffle_partitions=8)
+    if driver_config:
+        # Mirror the external driver's session shape instead of the
+        # sweep-speed config (VERDICT r9 item 2): Spark DEFAULT shuffle
+        # partitioning (200) and no pinned parallelism, so float
+        # summation-order sensitivity surfaces HERE instead of burning a
+        # driver window slot. The r9 docs_dsir_importance_weights red
+        # row was exactly this class: 4/4 PASS at shuffle_partitions=8,
+        # hash-red under the driver's own config. Run the full sweep
+        # once in each mode before declaring a round green.
+        print("session: driver-config (Spark default 200 shuffle partitions)")
+        spark = get_spark("selfcheck-driverconf", shuffle_partitions=200)
+    else:
+        spark = get_spark("selfcheck", shuffle_partitions=8)
     load_tables(spark, sf_dir)
 
     import re as _re
@@ -235,6 +247,13 @@ if __name__ == "__main__":
         metavar="GIT_REF",
         help="check only ops whose defining module differs from GIT_REF",
     )
+    ap.add_argument(
+        "--driver-config",
+        action="store_true",
+        help="run under the driver's session shape (Spark default 200 "
+        "shuffle partitions, no pinned parallelism) so float-order "
+        "sensitivity surfaces locally",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     names = list(args.names)
@@ -250,4 +269,4 @@ if __name__ == "__main__":
         if not names:
             print(f"no operator modules changed since {args.changed_since}; nothing to check")
             sys.exit(0)
-    sys.exit(run(args.sf, sorted(set(names)) or None))
+    sys.exit(run(args.sf, sorted(set(names)) or None, args.driver_config))
