@@ -29,6 +29,20 @@ B = 0.75
 TOP_N = 20
 
 
+def _eq_term(term: str):
+    """Unary equality predicate factory for F.filter.
+
+    MUST stay a closure returning a ONE-parameter lambda: PySpark
+    dispatches higher-order-function lambdas on arity, so a
+    two-parameter lambda (even `lambda x, qt=qt: ...`) is bound as the
+    `(element, index)` form and the default arg is overwritten by the
+    BIGINT index column — every string token then ANSI-casts to BIGINT
+    and the query throws CAST_INVALID_INPUT (the r10 bm25 incident;
+    see tests/test_lint.py::test_no_multiarg_hof_lambdas).
+    """
+    return lambda x: x == F.lit(term)
+
+
 @register(
     "text_bm25_search",
     oracle=f"""
@@ -119,7 +133,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(toks).alias("dl"),
             *[
-                F.size(F.filter(toks, lambda x, qt=qt: x == F.lit(qt)))
+                F.size(F.filter(toks, _eq_term(qt)))
                 .cast("bigint")
                 .alias(f"tf_{j}")
                 for j, qt in enumerate(QUERY_TERMS)

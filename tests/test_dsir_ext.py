@@ -45,10 +45,26 @@ def _brute(docs):
         )
         for b in c_r
     }
+    # Integer micro-unit discipline (r10 contract change, see
+    # dsir_ext.py docstring): each bucket's log-ratio rounds to integer
+    # MICRO-units (half away from zero) once; per-doc totals are exact
+    # integer sums; `selected` compares the exact SUM to zero; the
+    # published 4-dp mean is half-away-from-zero integer rounding of
+    # the micro sum. r9's round(mean,4)>0 definition flipped boundary
+    # docs between engine configs — retired.
+    def _half_away(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    lp_micros = {b: _half_away(v * 1_000_000) for b, v in lp.items()}
     out = {}
     for doc_id, (lang, buckets) in doc_buckets.items():
-        score = round(sum(lp[b] for b in buckets) / len(buckets), 4)
-        out[doc_id] = (lang, len(buckets), score, 1 if score > 0 else 0)
+        n = len(buckets)
+        s = sum(lp_micros[b] for b in buckets)
+        mag = abs(s)
+        r4 = (2 * mag + 100 * n) // (200 * n)
+        if s < 0:
+            r4 = -r4
+        out[doc_id] = (lang, n, r4 / 10_000.0, 1 if s > 0 else 0)
     return out
 
 
