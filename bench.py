@@ -107,6 +107,40 @@ def median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
+#: Crash containment (VERDICT r10 item 5): in r10 ONE broken operator
+#: (the bm25 lambda-arity crash) unwound the whole run before a single
+#: number was written — BENCH_r10.json was a stack trace and the round
+#: lost all perf evidence. Every per-op measurement now runs inside
+#: _guard() (an error records an "<op>_error" string entry, never an
+#: exception), and _flush() writes the accumulating result to
+#: BENCH_partial.json after every suite so even a hard crash (OOM,
+#: SIGKILL) leaves the completed suites on disk. Stdout stays ONE JSON
+#: line at the end — the driver contract.
+PARTIAL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json"
+)
+
+
+def _guard(timings: dict, name: str, thunk) -> None:
+    """Run one op's measurement; on failure record the error in-band."""
+    try:
+        thunk()
+    except Exception as exc:  # noqa: BLE001 — one op must never kill the run
+        timings[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:300]
+
+
+def _flush(result: dict) -> None:
+    try:
+        with open(PARTIAL_PATH, "w") as fh:
+            json.dump(result, fh)
+    except OSError:
+        pass  # a read-only disk must not kill the measurement run
+
+
+def _fsum(timings: dict) -> float:
+    return round(sum(v for v in timings.values() if isinstance(v, float)), 4)
+
+
 def measure_floor(spark, attempts: int = 4, settle_sec: float = 2.0) -> float:
     """Median wall time of a no-work action, re-measured until it drops
     under FLOOR_TOLERANCE × historical or attempts run out (best kept)."""
@@ -149,8 +183,12 @@ def main() -> None:
 
     # Build each DataFrame once: plan analysis happens here, not in the
     # timing loop. Also warms JVM code paths, parquet footers, and the knn
-    # broadcast index (memoized per session).
-    dfs = {name: ops[name].fn(spark, sf_dir) for name in HEADLINE}
+    # broadcast index (memoized per session). A broken op records an error
+    # entry and drops out of the suite instead of killing the run.
+    timings: dict[str, float] = {}
+    dfs = {}
+    for name in HEADLINE:
+        _guard(timings, name, lambda n=name: dfs.__setitem__(n, ops[n].fn(spark, sf_dir)))
 
     # Cold first action (r4, VERDICT r2 item 2): the very first execution of
     # the first headline query on a fresh session — JVM/codegen warmup,
@@ -158,28 +196,51 @@ def main() -> None:
     # the warm medians so round-over-round deltas can be attributed to
     # machine noise vs plan changes (warm times ride the floor; cold does
     # not).
-    t0 = time.perf_counter()
-    dfs[HEADLINE[0]].count()
-    cold_first_action = round(time.perf_counter() - t0, 4)
+    cold_first_action = -1.0
+    if HEADLINE[0] in dfs:
+        t0 = time.perf_counter()
+        dfs[HEADLINE[0]].count()
+        cold_first_action = round(time.perf_counter() - t0, 4)
 
-    for df in dfs.values():
-        df.count()
-        df.toPandas()  # warm the Arrow collect path too, not just execution
+    for name, df in list(dfs.items()):
+
+        def _warm(df=df):
+            df.count()
+            df.toPandas()  # warm the Arrow collect path too, not just execution
+
+        _guard(timings, name, _warm)
+        if f"{name}_error" in timings:
+            del dfs[name]
 
     # Local-mode action floor: median wall time of a no-work action.
     floor = measure_floor(spark)
 
-    timings: dict[str, float] = {}
     for name in HEADLINE:
-        runs = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            # Arrow-batched materialization — same full-result semantics as
-            # collect(), minus py4j row-by-row deserialization overhead
-            # (DuckDB's .df() baseline materializes the same way).
-            dfs[name].toPandas()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(median(runs), 4)
+        if name not in dfs:
+            continue
+
+        def _run(name=name):
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                # Arrow-batched materialization — same full-result semantics
+                # as collect(), minus py4j row-by-row deserialization
+                # overhead (DuckDB's .df() baseline materializes the same way).
+                dfs[name].toPandas()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(median(runs), 4)
+
+        _guard(timings, name, _run)
+    result: dict = {
+        "metric": "headline_suite_warm_median_total",
+        "value": _fsum(timings),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "floor_sec": floor,
+        "cold_first_action_sec": cold_first_action,
+    }
+    _flush(result)
 
     # LLM-pipeline suite: run after the headline loop so its heavy
     # shuffles never pollute the headline medians. Unlike the headline
@@ -194,16 +255,22 @@ def main() -> None:
     # minhash candidate pairs, the DSIR md5 stream), and a toPandas-only
     # timer would silently exclude that work (the lake suite already
     # times this way for the same reason).
-    for name in LLM_SUITE:
-        ops[name].fn(spark, sf_dir).toPandas()
     llm_timings: dict[str, float] = {}
     for name in LLM_SUITE:
-        runs = []
-        for _ in range(LLM_RUNS):
-            t0 = time.perf_counter()
-            ops[name].fn(spark, sf_dir).toPandas()
-            runs.append(time.perf_counter() - t0)
-        llm_timings[name] = round(min(runs), 4)
+
+        def _run(name=name):
+            ops[name].fn(spark, sf_dir).toPandas()  # warm, untimed
+            runs = []
+            for _ in range(LLM_RUNS):
+                t0 = time.perf_counter()
+                ops[name].fn(spark, sf_dir).toPandas()
+                runs.append(time.perf_counter() - t0)
+            llm_timings[name] = round(min(runs), 4)
+
+        _guard(llm_timings, name, _run)
+    result["llm_queries"] = llm_timings
+    result["llm_total_sec"] = _fsum(llm_timings)
+    _flush(result)
 
     # sf1 arm: 10× derived corpus, fresh-plan fn()+toPandas() timing.
     llm_sf1_timings: dict[str, float] = {}
@@ -214,17 +281,24 @@ def main() -> None:
             build_derived()
             spark.conf.set("spark.sql.shuffle.partitions", "32")
             for name in LLM_SF1_SUITE:
-                ops[name].fn(spark, DERIVED).toPandas()  # warm codegen
-                runs = []
-                for _ in range(LLM_RUNS):
-                    t0 = time.perf_counter()
-                    ops[name].fn(spark, DERIVED).toPandas()
-                    runs.append(time.perf_counter() - t0)
-                llm_sf1_timings[name] = round(min(runs), 4)
+
+                def _run(name=name):
+                    ops[name].fn(spark, DERIVED).toPandas()  # warm codegen
+                    runs = []
+                    for _ in range(LLM_RUNS):
+                        t0 = time.perf_counter()
+                        ops[name].fn(spark, DERIVED).toPandas()
+                        runs.append(time.perf_counter() - t0)
+                    llm_sf1_timings[name] = round(min(runs), 4)
+
+                _guard(llm_sf1_timings, name, _run)
         except Exception as exc:  # never fail the whole bench on the arm
-            llm_sf1_timings = {"error": str(exc)[:200]}
+            llm_sf1_timings["error"] = str(exc)[:200]
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "4")
+    result["llm_queries_sf1"] = llm_sf1_timings
+    result["llm_sf1_total_sec"] = _fsum(llm_sf1_timings)
+    _flush(result)
 
     # Lake-DML suite: the op builds + mutates + reads its own table, so
     # every run is inherently a fresh plan — no shuffle-reuse trap, no
@@ -232,43 +306,38 @@ def main() -> None:
     # by the suites above).
     lake_timings: dict[str, float] = {}
     for name in LAKE_SUITE:
-        runs = []
-        for _ in range(LAKE_RUNS):
-            # The mutation work happens inside fn() (writes v1, commits
-            # the merge/delete), so the timer wraps build AND read.
-            t0 = time.perf_counter()
-            ops[name].fn(spark, sf_dir).toPandas()
-            runs.append(time.perf_counter() - t0)
-        lake_timings[name] = round(min(runs), 4)
+
+        def _run(name=name):
+            runs = []
+            for _ in range(LAKE_RUNS):
+                # The mutation work happens inside fn() (writes v1, commits
+                # the merge/delete), so the timer wraps build AND read.
+                t0 = time.perf_counter()
+                ops[name].fn(spark, sf_dir).toPandas()
+                runs.append(time.perf_counter() - t0)
+            lake_timings[name] = round(min(runs), 4)
+
+        _guard(lake_timings, name, _run)
+    result["lake_queries"] = lake_timings
+    result["lake_total_sec"] = _fsum(lake_timings)
 
     # Post-run floor: catches load that arrived DURING the timing loop.
     floor_after = measure_floor(spark, attempts=1)
     floor_ratio = round(max(floor, floor_after) / HISTORICAL_FLOOR_SEC, 2)
-    total = round(sum(timings.values()), 4)
-    result = {
-        "metric": "headline_suite_warm_median_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "floor_sec": floor,
-        "floor_after_sec": floor_after,
-        "cold_first_action_sec": cold_first_action,
-        "llm_queries": llm_timings,
-        "llm_total_sec": round(sum(llm_timings.values()), 4),
-        "llm_queries_sf1": llm_sf1_timings,
-        "llm_sf1_total_sec": round(
-            sum(v for v in llm_sf1_timings.values() if isinstance(v, float)), 4
-        ),
-        "lake_queries": lake_timings,
-        "lake_total_sec": round(sum(lake_timings.values()), 4),
-    }
+    result["floor_after_sec"] = floor_after
+    errors = sorted(
+        k for suite in (timings, llm_timings, llm_sf1_timings, lake_timings)
+        for k, v in suite.items() if isinstance(v, str)
+    )
+    if errors:
+        result["op_errors"] = errors
     if floor_ratio > FLOOR_TOLERANCE:
         # Every timing above is inflated by ambient machine load — the
         # run is still recorded, but flagged untrustworthy for
         # round-over-round comparison (compare floor_sec first).
         result["ambient_load_warning"] = True
         result["floor_ratio_vs_historical"] = floor_ratio
+    _flush(result)
     print(json.dumps(result))
 
 
