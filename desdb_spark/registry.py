@@ -78,7 +78,70 @@ _REGISTRY: dict[str, Operator] = {}
 #: refactor can't silently reshuffle it (the r4 regression class).
 #: Union driver coverage after this round's CORRECTNESS file: 189/189.
 _OP_MODULES = (
-    # --- r9 driver window (slots 1-50) — VERDICT r8 item 1 executed:
+    # --- r11 driver window (slots 1-50) — VERDICT r10 item 3 executed:
+    # this rotation RETIRES THE ENTIRE never-driver-checked backlog.
+    # Slot priority (the standing discipline): changed-since-checked >
+    # never-checked > oldest-green.
+    #   * 5 slots: ops whose executed plan changed in r11 — the bm25
+    #     lambda-arity fix (retrieval_ext2), the DSIR map-literal
+    #     scoring rework (dsir_ext), and the single-pass MinHash
+    #     signature + banded-checkpoint kernel rework (dedup.py),
+    #     which changes the plans of dedup_near_minhash, dedup_simhash
+    #     and dedup_minhash_eval. Changed code with a stale driver row
+    #     is the riskiest evidence class (the r10 bm25 incident).
+    #   * 24 slots: every op with NO driver row in ANY CORRECTNESS_r*
+    #     file — the 23 never-checked (VERDICT r10 "What's missing" 1)
+    #     plus quality_logreg_score_deciles riding along in
+    #     classifier_ext (its r10 row is the freshest in the window —
+    #     module granularity costs one slot here). Six of these are
+    #     rows-only by design (bpe x2, ann_serving, ann_pq,
+    #     footer_census, quality_logreg_train): a rows-only driver row
+    #     (spark_rows > 0 at the driver's own config) is still external
+    #     evidence these ops have never had, so this round they are
+    #     worth the hash slots they occupy — documented in
+    #     tests/test_registry.py::test_r11_window_pinned.
+    #   * 21 slots: the oldest-green hash rows (r2-r3 vintage, per
+    #     VERDICT r10 item 3's fill rule) — multimodal_columns,
+    #     filecatalog, csv/json roundtrips, projections, the 10 core
+    #     joins, aggregates_ext, path templating (r5).
+    # Pinned by tests/test_registry.py::test_r11_window_pinned.
+    "desdb_spark.extensions.dedup_near",  # 2 ops — r11 kernel rework (single-pass minhash signature + banded ckpt)
+    "desdb_spark.extensions.dedup_eval",  # 1 op — consumes the reworked minhash_candidate_pairs
+    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r11 bm25 lambda-arity fix
+    "desdb_spark.extensions.dsir_ext",  # 1 op — r11 map-literal scoring rework
+    "desdb_spark.extensions.classifier_ext",  # 2 ops — quality_logreg_train has NO driver row (rows-only; deciles rides along)
+    "desdb_spark.extensions.bpe_train",  # 2 rows-only ops — never driver-checked
+    "desdb_spark.extensions.retrieval_ext3",  # 3 ops — never driver-checked (r8e deferred tier)
+    "desdb_spark.extensions.semdedup_curve",  # 1 op — never driver-checked
+    "desdb_spark.extensions.privacy_ext",  # 1 op — never driver-checked
+    "desdb_spark.extensions.ccnet_buckets",  # 1 op — never driver-checked
+    "desdb_spark.extensions.epoch_schedule",  # 1 op — never driver-checked
+    "desdb_spark.extensions.dupmass_curve",  # 1 op — never driver-checked
+    "desdb_spark.extensions.sharding_ext",  # 2 ops — never driver-checked
+    "desdb_spark.extensions.signal_corr",  # 1 op — never driver-checked
+    "desdb_spark.extensions.hapax_ext",  # 1 op — never driver-checked
+    "desdb_spark.extensions.ann_serving",  # 1 rows-only op — never driver-checked
+    "desdb_spark.extensions.ann_pq",  # 1 rows-only op — never driver-checked
+    "desdb_spark.operators.footer_census",  # 1 rows-only op — never driver-checked
+    "desdb_spark.extensions.shard_budget",  # 1 op (r9-new) — never driver-checked
+    "desdb_spark.extensions.loop_detect",  # 1 op (r9-new) — never driver-checked
+    "desdb_spark.extensions.doremi_ext",  # 1 op (r9-new) — never driver-checked
+    "desdb_spark.extensions.bitext_mine",  # 1 op (r9-new) — never driver-checked
+    "desdb_spark.extensions.bloom_dedup",  # 1 op (r9-new) — never driver-checked
+    "desdb_spark.extensions.multimodal",  # 1 op — oldest-green fill (r2)
+    "desdb_spark.sources.filecatalog",  # 1 op — oldest-green fill (r2, rows-only + catalog pytest)
+    "desdb_spark.sources.roundtrips",  # 2 ops — oldest-green fill (r2)
+    "desdb_spark.operators.projections",  # 3 ops — oldest-green fill (r2)
+    "desdb_spark.operators.joins",  # 10 ops — oldest-green fill (r2)
+    "desdb_spark.operators.aggregates_ext",  # 3 ops — oldest-green fill (r3)
+    "desdb_spark.functions.paths",  # 1 op — oldest-green fill (r5); slot 50
+    # --- end of r11 window. Everything below holds a hash-green driver
+    # row from the round named in SURVEY §2C (the r9 window ops got
+    # theirs in CORRECTNESS_r09/r10), code unchanged since, re-proven at
+    # HEAD by the committed full-registry selfcheck logs. First the r9
+    # window modules, then the long-green tail, in their prior relative
+    # order (per-module round history lives in each module docstring).
+    # --- r9 driver window (slots 1-50 of r9/r10) — VERDICT r8 item 1:
     # 50 of the 62 hash-checked ops with no driver hash-green row, the
     # 8 oracle-upgrade ops first (riskiest class: code/oracle changed
     # AFTER their last driver row), then the 42 r8-new ops with the
@@ -93,7 +156,6 @@ _OP_MODULES = (
     # paused per VERDICT r8 item 2, (12 deferred + r9-new) <= 50 keeps
     # the r10 window able to clear the whole backlog. Pinned by
     # tests/test_registry.py::test_r9_window_pinned.
-    "desdb_spark.extensions.dedup_near",  # 2 ops (MOVED r9 from extensions.dedup: dedup_near_minhash + dedup_simhash — r8c rows→hash oracle upgrades postdating their r6 driver rows)
     "desdb_spark.extensions.ann_lsh",  # 1 op (MOVED r9 from extensions.similarity: ann_lsh_bucketed — r8c oracle upgrade postdating its r6 driver row)
     "desdb_spark.extensions.graph_pagerank",  # 1 op (MOVED r9 from extensions.graph_ext: graph_pagerank_topk — r8c fixed-point oracle upgrade postdating its r7 driver row)
     "desdb_spark.extensions.multimodal_decode",  # 1 op (MOVED r9 from extensions.multimodal: multimodal_decode_features — r8c oracle upgrade postdating its r2 driver row)
@@ -101,7 +163,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.dedup_semantic",  # 1 op (NEW r8: SemDeDup deterministic sign-hyperplane cells)
     "desdb_spark.extensions.dedup_url",  # 1 op (NEW r8: canonical-URL first-pass dedup)
     "desdb_spark.extensions.decontam_short",  # 1 op (NEW r8: char-gram decontamination arm for anchor-less probes)
-    "desdb_spark.extensions.dedup_eval",  # 1 op (NEW r8: MinHash-vs-exact-truth audit; r9 shingle-grain truth tier per ADVICE)
     "desdb_spark.extensions.quality_gopher",  # 1 op (NEW r8: Gopher quality-rule census)
     "desdb_spark.extensions.bootstrap_ext",  # 1 op (NEW r8: one-pass Poisson bootstrap CI)
     "desdb_spark.sources.time_travel",  # 2 ops (NEW r8: manifest snapshots — pruned read + AS OF read)
@@ -121,7 +182,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.span_dedup",  # 1 op (NEW r8d: exact-substring repeated spans)
     "desdb_spark.extensions.ann_binary",  # 1 op (NEW r8d: sign-bit binary Hamming rerank)
     "desdb_spark.extensions.line_dedup",  # 1 op (NEW r8d: C4 global line dedup)
-    "desdb_spark.extensions.dsir_ext",  # 1 op (NEW r8d: DSIR hashed-ngram importance weights)
     "desdb_spark.sources.lake_partition_evo",  # 1 op (NEW r8d: partition-spec evolution read)
     "desdb_spark.extensions.novelty_ext",  # 1 op (NEW r8d: marginal n-gram novelty; r9 DECIMAL div per ADVICE)
     "desdb_spark.extensions.multimodal_phash",  # 1 op (NEW r8d: aHash image dedup batch)
@@ -133,26 +193,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.multimodal_vad",  # 1 op (NEW r8e: energy-gate VAD segments)
     "desdb_spark.operators.asof_nearest",  # 1 op (NEW r8e: nearest-direction as-of)
     "desdb_spark.operators.rolling_regression",  # 1 op (NEW r8e: windowed-OLS trailing slope)
-    "desdb_spark.extensions.classifier_ext",  # slot 50 = quality_logreg_score_deciles (hash, NEW r8); its rows-only companion quality_logreg_train lands at 51, OUTSIDE the window, so no hash slot is wasted
-    # --- end of window. First the rows-only + r10-deferred queue: ---
-    "desdb_spark.extensions.bpe_train",  # 2 rows-only ops (driver evidence is rows-by-design; merge-sequence pytest pin)
-    "desdb_spark.extensions.retrieval_ext3",  # 3 ops (r8e; deferred to r10 — simple exact-integer kernels)
-    "desdb_spark.extensions.semdedup_curve",  # 1 op (r8e; deferred to r10)
-    "desdb_spark.extensions.privacy_ext",  # 1 op (r8e; deferred to r10)
-    "desdb_spark.extensions.ccnet_buckets",  # 1 op (r8e; deferred to r10)
-    "desdb_spark.extensions.epoch_schedule",  # 1 op (r8e; deferred to r10)
-    "desdb_spark.extensions.dupmass_curve",  # 1 op (r8e; deferred to r10; r9 DECIMAL div per ADVICE)
-    "desdb_spark.extensions.sharding_ext",  # 2 ops (r8e; deferred to r10)
-    "desdb_spark.extensions.signal_corr",  # 1 op (r8e; deferred to r10)
-    "desdb_spark.extensions.hapax_ext",  # 1 op (r8e; deferred to r10; r9 DECIMAL div per ADVICE)
-    "desdb_spark.extensions.ann_serving",  # 1 rows-only op (recall-floor pytest pin)
-    "desdb_spark.extensions.ann_pq",  # 1 rows-only op (ADC-ranking pytest pin)
-    "desdb_spark.operators.footer_census",  # 1 rows-only op (isdir/footer pytest pin)
-    # --- everything below holds a hash-green driver row from the round
-    # named in SURVEY §2C, code unchanged since, re-proven at HEAD by
-    # the committed full-registry selfcheck log. Modules that lost a
-    # registration to an r9 move (dedup, similarity, graph_ext,
-    # multimodal) keep their remaining ops in place. ---
     "desdb_spark.extensions.skyline",
     "desdb_spark.extensions.tokenizer_ext",
     "desdb_spark.extensions.attribution",
@@ -170,7 +210,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.markov_ext",
     "desdb_spark.functions.safe_funcs",
     "desdb_spark.operators.hierarchy_ext",
-    "desdb_spark.extensions.retrieval_ext2",
     "desdb_spark.operators.pagination_ext",
     "desdb_spark.streaming.outer_join",
     "desdb_spark.sources.compaction",
@@ -235,7 +274,6 @@ _OP_MODULES = (
     "desdb_spark.sources.formats_ext",
     "desdb_spark.operators.relational_ext6",
     "desdb_spark.operators.scans",
-    "desdb_spark.functions.paths",
     "desdb_spark.streaming.windows",
     "desdb_spark.operators.relational_ext",
     "desdb_spark.functions.udfs",
@@ -252,31 +290,10 @@ _OP_MODULES = (
     "desdb_spark.operators.temporal",
     "desdb_spark.extensions.quality_ext",
     "desdb_spark.operators.joins_ext",
-    "desdb_spark.operators.projections",
-    "desdb_spark.operators.joins",
-    "desdb_spark.extensions.multimodal",
-    "desdb_spark.sources.roundtrips",
-    "desdb_spark.sources.filecatalog",
     "desdb_spark.operators.aggregates",
     "desdb_spark.operators.windows",
     "desdb_spark.operators.sorts_sets",
     "desdb_spark.functions.scalars",
-    "desdb_spark.operators.aggregates_ext",
-    # --- NEW r9 ops (5, within the VERDICT r8 item 2 growth budget:
-    # 12 deferred + 5 new = 17 <= 50, so the r10 window can clear the
-    # entire backlog). All hash-checked; they queue behind the deferred
-    # r8e tier for the r10 rotation with committed selfcheck evidence. ---
-    "desdb_spark.extensions.shard_budget",  # 1 op (NEW r9: greedy
-    # token-budget shard manifest per source; exact integers)
-    "desdb_spark.extensions.loop_detect",  # 1 op (NEW r9: periodic
-    # degenerate-loop score at lags 1..4; exact integer micros)
-    "desdb_spark.extensions.doremi_ext",  # 1 op (NEW r9: DoReMi
-    # exponentiated-gradient domain weight step over unigram excess NLL)
-    "desdb_spark.extensions.bitext_mine",  # 1 op (NEW r9: Artetxe-
-    # Schwenk margin bitext mining on the broadcast GEMM tier)
-    "desdb_spark.extensions.bloom_dedup",  # 1 op (NEW r9: Dolma-style
-    # Bloom-filter incremental line dedup, portable md5-affine bit
-    # positions — a differentially-verified approximate structure)
 )
 
 

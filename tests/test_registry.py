@@ -187,58 +187,67 @@ def test_registry_order_import_pollution_proof():
     assert len(clean) == len(all_operators())
 
 
-#: The r9 driver window, frozen (VERDICT r8 item 1): the external driver
-#: hash-checks exactly the first 50 registered ops, so a refactor that
-#: reshuffles registration order silently changes WHAT GETS VERIFIED —
-#: the r4 regression class. Any intentional rotation must edit this list
-#: in the same commit that edits _OP_MODULES. This rotation takes 50 of
-#: the 62 driver-pending hash ops: the 8 rows→hash oracle-upgrade ops
-#: first (dedup_near_minhash, dedup_simhash, ann_lsh_bucketed,
-#: graph_pagerank_topk, the three multimodal_ext kernels,
-#: multimodal_decode_features — their oracles changed AFTER their last
-#: driver row), then the 42 least-trivial r8-new ops; the 12 simplest
-#: r8e formula ops defer to r10 (see _OP_MODULES comments).
-R9_WINDOW = [
-    "dedup_near_minhash", "dedup_simhash", "ann_lsh_bucketed",
-    "graph_pagerank_topk", "multimodal_decode_features",
-    "multimodal_frame_sample", "multimodal_resample_pixels",
-    "multimodal_resize_batch", "dedup_semantic_embedding",
-    "dedup_url_canonical", "docs_decontam_short_probes",
-    "dedup_minhash_eval", "docs_quality_gopher_rules",
-    "stat_bootstrap_mean_ci", "source_manifest_pruned_read",
-    "source_time_travel_read", "source_merge_upsert",
-    "source_version_diff_cdf", "source_delete_vectors_read",
-    "stream_merge_manifest_table", "source_vacuum_retention",
-    "source_restore_version", "source_wap_publish",
-    "source_cluster_rewrite", "events_pattern_match_regex",
-    "dedup_jaccard_retention_curve", "source_incremental_view_refresh",
-    "source_zorder_pruned_read_2d", "source_txn_snapshot_join",
-    "multimodal_audio_pcm_features", "text_bigram_interp_logprob",
-    "split_cluster_safe", "dedup_containment_ngram",
-    "source_bloom_pruned_read", "dedup_exact_substring_spans",
-    "ann_binary_hamming_rerank", "docs_dedup_lines_global",
-    "docs_dsir_importance_weights", "source_partition_evolution_read",
-    "text_ngram_novelty_curve", "multimodal_image_ahash_dedup",
-    "emb_truncation_recall_curve", "join_asof_tolerance",
-    "corpus_waterfill_domain_caps", "stream_image_ahash_dedup",
-    "docs_strip_repeated_spans", "multimodal_audio_vad_segments",
-    "join_asof_nearest", "window_rolling_regression_slope",
-    "quality_logreg_score_deciles",
+#: The r11 driver window, frozen (VERDICT r10 item 3): the external
+#: driver hash-checks exactly the first 50 registered ops, so a refactor
+#: that reshuffles registration order silently changes WHAT GETS
+#: VERIFIED — the r4 regression class. Any intentional rotation must
+#: edit this list in the same commit that edits _OP_MODULES. This
+#: rotation retires the ENTIRE never-driver-checked backlog: 5 slots for
+#: the r11-changed plans (bm25 fix, DSIR rework, the minhash kernel
+#: rework behind near_minhash/simhash/minhash_eval), 24 for the 23
+#: never-checked ops (+ quality_logreg_score_deciles riding along in
+#: classifier_ext), 21 oldest-green fills (r2-r3 vintage + paths r5).
+R11_WINDOW = [
+    "dedup_near_minhash", "dedup_simhash", "dedup_minhash_eval",
+    "text_bm25_search", "docs_dsir_importance_weights",
+    "quality_logreg_score_deciles", "quality_logreg_train",
+    "text_bpe_apply_stats", "text_bpe_train_merges",
+    "text_vocab_coverage_curve", "text_collocation_lift_topk",
+    "text_phrase_search_positional", "dedup_semantic_retention_curve",
+    "docs_k_anonymity_audit", "docs_ccnet_ppl_buckets",
+    "corpus_epoch_schedule", "corpus_dup_mass_by_ngram_len",
+    "docs_shard_assignment_balance", "emb_cell_cosine_histogram",
+    "quality_signal_correlation", "text_hapax_ratio_by_source",
+    "ann_query_topk", "ann_pq_codebook_stats", "diag_rowgroup_stats",
+    "docs_shard_by_token_budget", "text_loop_periodicity",
+    "corpus_doremi_weight_update", "emb_bitext_mine_margin",
+    "dedup_bloom_lines_incremental", "multimodal_columns",
+    "source_filecatalog_scan", "source_csv_roundtrip",
+    "source_json_roundtrip", "project_expr", "filter_pred_combo",
+    "filter_conditional_nulls", "join_inner_hash", "join_broadcast_dim",
+    "join_sort_merge_large", "join_left_outer", "join_semi", "join_anti",
+    "join_theta_range", "join_asof", "join_multiway_star",
+    "join_lineage_walk", "agg_pivot", "agg_percentiles",
+    "agg_string_concat", "project_path_template",
 ]
 
+#: Rows-only ops INTENTIONALLY inside the r11 window: these have never
+#: had ANY driver row (VERDICT r10 "What's missing" item 1), and a
+#: rows-only driver row (spark_rows > 0 at the driver's own config) is
+#: external evidence a committed selfcheck log is not. This round they
+#: are worth the hash slots they occupy; the r9-era rule (no rows-only
+#: in the window) resumes once the debt is retired.
+_R11_ROWS_ONLY_RETIREMENT = {
+    "quality_logreg_train", "text_bpe_apply_stats",
+    "text_bpe_train_merges", "ann_query_topk", "ann_pq_codebook_stats",
+    "diag_rowgroup_stats", "source_filecatalog_scan",
+}
 
-def test_r9_window_pinned():
+
+def test_r11_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R9_WINDOW, (
-        "driver window drifted from the documented r9 rotation plan; "
-        "if intentional, update R9_WINDOW in the same commit"
+    assert window == R11_WINDOW, (
+        "driver window drifted from the documented r11 rotation plan; "
+        "if intentional, update R11_WINDOW in the same commit"
     )
-    # Every window slot must be hash-checkable — a rows-only op inside
-    # the window wastes a driver hash slot (the r8 classifier_ext
-    # placement trick keeps quality_logreg_train at slot 51).
+    # Rows-only slots are limited to the documented retirement set — any
+    # OTHER rows-only op appearing in the window wastes a hash slot.
     ops = all_operators()
-    rows_only = [n for n in window if ops[n].oracle is None]
-    assert not rows_only, f"rows-only ops occupy window slots: {rows_only}"
+    rows_only = {n for n in window if ops[n].oracle is None}
+    assert rows_only == _R11_ROWS_ONLY_RETIREMENT, (
+        f"unexpected rows-only window occupancy: "
+        f"{sorted(rows_only ^ _R11_ROWS_ONLY_RETIREMENT)}"
+    )
 
 
 

@@ -126,6 +126,18 @@ def run(sf_dir: str, names: list[str] | None, driver_config: bool = False) -> in
         # once in each mode before declaring a round green.
         print("session: driver-config (Spark default 200 shuffle partitions)")
         spark = get_spark("selfcheck-driverconf", shuffle_partitions=200)
+        # get_spark goes through getOrCreate(): a pre-existing session in
+        # this process (programmatic use, pytest) would silently keep ITS
+        # shuffle config while the banner above claims driver-config —
+        # the mode would then not surface summation-order sensitivity at
+        # all (ADVICE r10). Fail loudly instead.
+        actual = spark.conf.get("spark.sql.shuffle.partitions")
+        if actual != "200":
+            raise RuntimeError(
+                "--driver-config requested but the session runs at "
+                f"shuffle_partitions={actual} (a pre-existing SparkSession "
+                "won the getOrCreate race); stop it first"
+            )
     else:
         spark = get_spark("selfcheck", shuffle_partitions=8)
     load_tables(spark, sf_dir)
