@@ -468,19 +468,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines where even prefix construction should drop stopwords.
     """
     d = load_table(spark, sf_dir, "documents")
-    cand = prefix_filtered_pairs(d, t_num=9, t_den=10)
-    sets_df = d.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+    # r11 verification rework (the dup_edges treatment; 49 s → ~17 s at
+    # sf0.1): candidates MATERIALIZED at full parallelism so the
+    # CPU-bound array_intersect probe uses every core; the threshold is
+    # the integer cross-multiplication 19·i ≥ 9·(nₐ+n_b) (⟺ Jaccard
+    # ≥ 9/10, exact in integers — the double-ratio filter form made
+    # codegen evaluate array_intersect twice per candidate). The rounded
+    # double ratio is still computed for OUTPUT rows, but only the ~1/4
+    # of candidates that survive the filter pay it. Token-set sizes are
+    # precomputed in the checkpointed frame; AQE's size stats pick the
+    # broadcast build side (no forced hint — at corpus scale the doc
+    # frame falls back to a shuffle join instead of OOMing the driver).
+    # No checkpoint: the candidate stream is consumed exactly once by the
+    # verify join, and pinning a multi-M-row frame starves a small
+    # session's execution memory (see dup_edges).
+    cand = ensure_parallelism(prefix_filtered_pairs(d, t_num=9, t_den=10))
+    sets_df = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        .select("id", "toks", F.size("toks").alias("n"))
+        .localCheckpoint()
     )
     sa = sets_df.alias("sa")
     sb = sets_df.alias("sb")
     i = F.size(F.array_intersect("sa.toks", "sb.toks"))
-    jac = i.cast("double") / (F.size("sa.toks") + F.size("sb.toks") - i)
+    jac = i.cast("double") / (F.col("sa.n") + F.col("sb.n") - i)
     return (
         cand.join(sa, F.col("id_a") == F.col("sa.id"))
         .join(sb, F.col("id_b") == F.col("sb.id"))
-        .where(jac >= 0.9)
+        .where(19 * i >= 9 * (F.col("sa.n") + F.col("sb.n")))
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 

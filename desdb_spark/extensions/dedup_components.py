@@ -140,6 +140,8 @@ def dup_edges(d: DataFrame) -> DataFrame:
     ``dedup_cluster_components`` and the leakage-safe split
     (extensions/split_safe.py), which must agree on what "duplicate"
     means for the split guarantee to cover the dedup tier's clusters."""
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
     dig = d.select("doc_id", F.md5("text").alias("h"))
     group_min = dig.groupBy("h").agg(F.min("doc_id").alias("mn"))
     exact_edges = (
@@ -150,19 +152,44 @@ def dup_edges(d: DataFrame) -> DataFrame:
     reps = d.join(
         group_min.select(F.col("mn").alias("doc_id")), "doc_id", "left_semi"
     )
-    cand = prefix_filtered_pairs(reps, t_num=4, t_den=5)
-    sets_df = reps.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+    # r11 verification rework (the minhash profiling finding applied
+    # here; measured at sf0.1 where the formulaic corpus yields 6.5M
+    # candidates → 3.0M edges): the verify stage is CPU-bound hash-set
+    # intersection per candidate, so (a) the candidate set is
+    # MATERIALIZED at full parallelism — distinct() first (its map-side
+    # partial aggregation beats shuffling the ~4.4×-duplicated raw pair
+    # stream; measured 14.7 s vs 19.2 s), then ensure_parallelism so
+    # the probe runs on every core, not the shuffle-partition count —
+    # and (b) the Jaccard threshold is the integer cross-multiplication
+    # t_den·i ≥ t_num·(nₐ+n_b) with |toks| precomputed per doc, so
+    # array_intersect evaluates ONCE per pair (the ratio form's i
+    # appears in numerator and denominator and codegen evaluates it
+    # twice; measured 60 s → 34 s, then 34 s → ~3 s from (a)). The
+    # token-set frame is checkpointed compact; AQE's own size stats
+    # pick the broadcast build side — no forced hint, so a 100 TB
+    # candidate-doc set falls back to a shuffle join instead of OOMing
+    # the driver. Verify stage total: 67 s → ~3 s at sf0.1.
+    # NO checkpoint on the candidate stream: it is consumed exactly once
+    # by the verify join (unlike near_minhash's banded self-join), and
+    # pinning a multi-M-row pair frame in a 1 GiB session starves the
+    # verify shuffle of execution memory (checkpointed blocks cannot be
+    # evicted). ensure_parallelism alone gives the probe its 32-way CPU.
+    cand = ensure_parallelism(prefix_filtered_pairs(reps, t_num=4, t_den=5))
+    sets_df = (
+        reps.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        .select("id", "toks", F.size("toks").alias("n"))
+        .localCheckpoint()
     )
     sa = sets_df.alias("sa")
     sb = sets_df.alias("sb")
     i = F.size(F.array_intersect("sa.toks", "sb.toks"))
-    jac = i.cast("double") / (F.size("sa.toks") + F.size("sb.toks") - i)
     near_edges = (
         cand.join(sa, F.col("id_a") == F.col("sa.id"))
         .join(sb, F.col("id_b") == F.col("sb.id"))
-        .where(jac >= 0.8)
+        .where(9 * i >= 4 * (F.col("sa.n") + F.col("sb.n")))
         .select("id_a", "id_b")
     )
     return exact_edges.unionByName(near_edges)

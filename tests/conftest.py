@@ -14,7 +14,18 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", shuffle_partitions=4)
+    # 8g heap: the session-scoped fixture accumulates pinned
+    # localCheckpoint blocks across ~640 tests (checkpointed RDDs cannot
+    # be evicted — they ARE the truncated lineage), and at the default
+    # 1g a later test's 32-way shuffle dies with UNABLE_TO_ACQUIRE_MEMORY
+    # (seen r11 when dup_edges gained its candidate checkpoint). The
+    # production analogue is sizing executor memory for reliable
+    # checkpoint retention, not an engine knob.
+    s = get_spark(
+        "pytest",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
