@@ -651,8 +651,16 @@ def ann_ivf_kmeans(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    # The fixture packs the corpus into one split, serializing the
+    # KMeans fit, both Arrow assign passes, and the CPU-bound cell join
+    # on a single task (r11 profiling: 22.5 s → 5.5 s at sf0.1 from
+    # this line alone; no-op on a well-split corpus).
+    vecs = ensure_parallelism(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
     n = _embeddings_count(spark, sf_dir)
     k = _ivf_cell_count(n)
     fit_input = vecs.select(array_to_vector("emb").alias("features"))
@@ -674,7 +682,12 @@ def ann_ivf_kmeans(
     a = probe.alias("a")
     b = index.alias("b")
     sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    # Top-1 as max(struct) instead of a row_number window: the groupBy
+    # combines map-side (each task keeps one best row per vec_id before
+    # the shuffle), where the window had to shuffle-sort the FULL
+    # n×occupancy×nprobe candidate stream. struct ordering is
+    # lexicographic, so (cos_sim, -nn_id) max == the window's
+    # (cos_sim DESC, nn_id ASC) top row exactly.
     return (
         a.join(
             b,
@@ -685,8 +698,16 @@ def ann_ivf_kmeans(
             F.col("b.vec_id").alias("nn_id"),
             sim.alias("cos_sim"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos_sim"), (-F.col("nn_id")).alias("neg_id"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.neg_id")).alias("nn_id"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
         .orderBy("vec_id")
     )
