@@ -321,8 +321,25 @@ def prefix_filtered_pairs(
     exactness. A length filter (t·|A| ≤ |B| ≤ |A|/t, integer form) prunes
     size-incompatible pairs before the distinct.
     """
-    prefix = prefix_tokens(
-        docs, t_num, t_den, id_col=id_col, text_col=text_col, ngram=ngram
+    # r11: the prefix frame is hash-partitioned on the JOIN KEY at the
+    # core count and checkpointed. The checkpoint makes the
+    # explode+window prefix plan execute once instead of on both join
+    # sides; the explicit HashPartitioning(tok, cores) satisfies the
+    # self-join's distribution requirement, so the join (and its
+    # map-side partial distinct) runs at full width instead of the
+    # session's shuffle-partition count — the join is the CPU-heavy
+    # stage when a low threshold makes prefixes long (t=0.5 candidate
+    # generation: 42 s → 26 s at sf0.1). Prefix tokens are the globally
+    # RAREST tokens by construction, so the tok key is low-skew; the
+    # frame is O(docs × prefix_len) ids — small enough to pin even in a
+    # 1 GiB session.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    prefix = (
+        prefix_tokens(
+            docs, t_num, t_den, id_col=id_col, text_col=text_col, ngram=ngram
+        )
+        .repartition(target, "tok")
+        .localCheckpoint()
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
