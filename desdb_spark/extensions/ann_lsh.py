@@ -102,11 +102,19 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per band per side (tests/test_plans.py asserts the signature
     exchange schema is array-free).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     dim = 64
     bands, bits = 8, 4
     planes = quantized_planes(dim, bands * bits)
     emb = F.col("embedding").cast("array<double>")
+    # Signature frame MATERIALIZED before the self-join (the r11 minhash
+    # finding): a self-join executes its input plan on both sides, so
+    # without the checkpoint the 32-plane dot-product pipeline runs
+    # twice. (id, band, sig) is bands rows of three scalars per vector —
+    # small at any scale. ensure_parallelism above spreads the
+    # dot-product pipeline across cores on an under-split fixture.
     sigs = e.select(
         F.col("vec_id").alias("id"),
         F.posexplode(
@@ -117,7 +125,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "sig"),
-    )
+    ).localCheckpoint()
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (

@@ -45,6 +45,11 @@ def fit_pq_codebooks(spark: SparkSession, sf_dir: str):
 
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
+    # Deliberately NOT repartitioned: the fit input is a bounded seeded
+    # sample, and spreading its ~10 iteration jobs × M subspaces across
+    # 32 tasks of near-empty partitions costs more in scheduling than
+    # the single-task compute (measured +8 s at sf0.1). The one
+    # full-corpus pass (pq_assign in the registered op) IS parallelized.
     vecs = e.select(F.col("embedding").cast("array<double>").alias("emb"))
     if n > _FIT_SAMPLE_ROWS:
         vecs = vecs.sample(fraction=_FIT_SAMPLE_ROWS / n, seed=42)
@@ -115,8 +120,12 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np  # noqa: F401  (kernel dependency, imported early)
 
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    vecs = ensure_parallelism(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
     books = fit_pq_codebooks(spark, sf_dir)
     coded = pq_assign(vecs, books)
     total_err = sum(F.col(f"err_{m}") for m in range(PQ_M))
