@@ -125,7 +125,11 @@ def run(sf_dir: str, names: list[str] | None, driver_config: bool = False) -> in
         # hash-red under the driver's own config. Run the full sweep
         # once in each mode before declaring a round green.
         print("session: driver-config (Spark default 200 shuffle partitions)")
-        spark = get_spark("selfcheck-driverconf", shuffle_partitions=200)
+        spark = get_spark(
+            "selfcheck-driverconf",
+            shuffle_partitions=200,
+            extra_conf={"spark.driver.memory": "4g"},
+        )
         # get_spark goes through getOrCreate(): a pre-existing session in
         # this process (programmatic use, pytest) would silently keep ITS
         # shuffle config while the banner above claims driver-config —
@@ -139,7 +143,17 @@ def run(sf_dir: str, names: list[str] | None, driver_config: bool = False) -> in
                 "won the getOrCreate race); stop it first"
             )
     else:
-        spark = get_spark("selfcheck", shuffle_partitions=8)
+        # 4g heap: local[32] runs up to 32 concurrent tasks in ONE JVM,
+        # and the r11 full-width verify probes (PPJoin family) legally
+        # use all of them — at the default 1g the sf0.1 sweep died with
+        # GCLocker allocation thrash in the fan stage. Spill-aware
+        # session sizing, not an engine knob; the external driver's own
+        # gate runs at sf0.01 where the default heap is ample.
+        spark = get_spark(
+            "selfcheck",
+            shuffle_partitions=8,
+            extra_conf={"spark.driver.memory": "4g"},
+        )
     load_tables(spark, sf_dir)
 
     import re as _re
