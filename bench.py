@@ -60,6 +60,10 @@ LLM_SUITE = [
     "docs_dedup_lines_global",
     "dedup_exact_substring_spans",
     "docs_dsir_importance_weights",
+    # r11: the threshold-tuning sweep joined the suite after its 183 s →
+    # ~30 s rework — its DuckDB baseline (23.8 s) runs the quadratic
+    # all-pairs sweep, so this cell tracks the prefix filter's margin.
+    "dedup_jaccard_retention_curve",
 ]
 
 #: r9 sf1 arm (VERDICT r8 item 4): the five floor-bound LLM cells re-run
@@ -74,6 +78,11 @@ LLM_SF1_SUITE = [
     "docs_dedup_lines_global",
     "dedup_exact_substring_spans",
     "docs_dsir_importance_weights",
+    # r11: joined after the single-pass-signature rework brought its sf1
+    # wall from 173 s to ~6 s. No DuckDB sf1 cell exists for it — the
+    # exact all-pairs oracle is quadratic (23 s at sf0.1 → hours at
+    # sf1), which is the designed asymmetry the LSH tier exists for.
+    "dedup_near_minhash",
 ]
 
 #: Lake-DML suite (r8): the manifest-table mutation tier. Each timed run

@@ -654,16 +654,21 @@ def ann_ivf_kmeans(
     from desdb_spark.extensions.dedup import ensure_parallelism
 
     e = load_table(spark, sf_dir, "embeddings")
-    # The fixture packs the corpus into one split, serializing the
-    # KMeans fit, both Arrow assign passes, and the CPU-bound cell join
-    # on a single task (r11 profiling: 22.5 s → 5.5 s at sf0.1 from
-    # this line alone; no-op on a well-split corpus).
-    vecs = ensure_parallelism(
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    )
+    raw = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    # The fixture packs the corpus into one split, serializing both
+    # Arrow assign passes and the CPU-bound cell join on a single task
+    # (r11 profiling: ~10 s at sf0.1 from this line; no-op on a
+    # well-split corpus). The k-means FIT deliberately reads the
+    # UN-repartitioned frame: k-means|| initialization depends on data
+    # partitioning, so repartitioning moved the seeded centroids and
+    # dropped the planted recall floor from 0.71 to 0.54 (r11 pytest
+    # catch) — and the PQ lesson applies too (scheduling 32 near-empty
+    # partitions across ~10 iteration jobs costs more than the
+    # single-task fit of a bounded sample).
+    vecs = ensure_parallelism(raw)
     n = _embeddings_count(spark, sf_dir)
     k = _ivf_cell_count(n)
-    fit_input = vecs.select(array_to_vector("emb").alias("features"))
+    fit_input = raw.select(array_to_vector("emb").alias("features"))
     if n > IVF_FIT_SAMPLE_ROWS:
         fit_input = fit_input.sample(fraction=IVF_FIT_SAMPLE_ROWS / n, seed=42)
     model = KMeans(k=k, seed=42, maxIter=10).fit(fit_input)
