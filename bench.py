@@ -99,6 +99,12 @@ LAKE_SUITE = [
 
 RUNS = 5  # re-execution is cheap post-warmup; 5 medians out a GC outlier
 LLM_RUNS = 2  # near-minhash runs ~15 s at sf0.1; 2 runs bound bench time
+#: r12 (VERDICT r11 item 2): the sf1 cells are the judged scale arm and
+#: the lines_global cell swung 1.49× → 2.65× across rounds with NO code
+#: change — a ±2× noisy cell is unjudgeable from a min-of-2. The sf1
+#: arm records MEDIAN of 5 per cell plus min/max dispersion so a noise
+#: swing reads as noise, not a plan regression.
+LLM_SF1_RUNS = 5
 LAKE_RUNS = 2  # each run rebuilds + rewrites the table; 2 bound bench time
 
 #: Committed historical action floor on the reference hardware (BENCH_r04:
@@ -204,12 +210,22 @@ def main() -> None:
     # parquet footer reads, scheduler spin-up all billed. Reported next to
     # the warm medians so round-over-round deltas can be attributed to
     # machine noise vs plan changes (warm times ride the floor; cold does
-    # not).
+    # not). r12 (ADVICE r11): the cold count is an EXECUTION, and execution
+    # failures (the r10 bm25 class: CAST_INVALID_INPUT at the first action)
+    # must be contained like every other measurement — _guard it, record
+    # -1.0, and drop the op from dfs so the downstream loops skip it.
     cold_first_action = -1.0
     if HEADLINE[0] in dfs:
-        t0 = time.perf_counter()
-        dfs[HEADLINE[0]].count()
-        cold_first_action = round(time.perf_counter() - t0, 4)
+
+        def _cold():
+            nonlocal cold_first_action
+            t0 = time.perf_counter()
+            dfs[HEADLINE[0]].count()
+            cold_first_action = round(time.perf_counter() - t0, 4)
+
+        _guard(timings, f"{HEADLINE[0]}_cold", _cold)
+        if f"{HEADLINE[0]}_cold_error" in timings:
+            del dfs[HEADLINE[0]]
 
     for name, df in list(dfs.items()):
 
@@ -282,7 +298,12 @@ def main() -> None:
     _flush(result)
 
     # sf1 arm: 10× derived corpus, fresh-plan fn()+toPandas() timing.
+    # Cell value = MEDIAN of LLM_SF1_RUNS (not min-of-2), with min/max
+    # dispersion recorded per cell — this is the judged scale arm and a
+    # single-sample cell cannot distinguish a plan regression from GC /
+    # ambient noise (the r10→r11 lines_global 1.49×→2.65× swing).
     llm_sf1_timings: dict[str, float] = {}
+    llm_sf1_dispersion: dict[str, dict] = {}
     if sf_dir.rstrip("/").endswith("sf0.1"):
         try:
             from tools.scale_spotcheck import DERIVED, build_derived
@@ -294,11 +315,15 @@ def main() -> None:
                 def _run(name=name):
                     ops[name].fn(spark, DERIVED).toPandas()  # warm codegen
                     runs = []
-                    for _ in range(LLM_RUNS):
+                    for _ in range(LLM_SF1_RUNS):
                         t0 = time.perf_counter()
                         ops[name].fn(spark, DERIVED).toPandas()
                         runs.append(time.perf_counter() - t0)
-                    llm_sf1_timings[name] = round(min(runs), 4)
+                    llm_sf1_timings[name] = round(median(runs), 4)
+                    llm_sf1_dispersion[name] = {
+                        "min": round(min(runs), 4),
+                        "max": round(max(runs), 4),
+                    }
 
                 _guard(llm_sf1_timings, name, _run)
         except Exception as exc:  # never fail the whole bench on the arm
@@ -306,6 +331,7 @@ def main() -> None:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "4")
     result["llm_queries_sf1"] = llm_sf1_timings
+    result["llm_sf1_dispersion"] = llm_sf1_dispersion
     result["llm_sf1_total_sec"] = _fsum(llm_sf1_timings)
     _flush(result)
 

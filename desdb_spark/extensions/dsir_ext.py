@@ -198,6 +198,13 @@ def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp_map = F.create_map(
         *[F.lit(v) for row in lp_pairs for v in (row.bucket, row.lp_micros)]
     )
+    # INVARIANT: fit and scoring both read the `per` localCheckpoint
+    # above, so every scored bucket is a key of lp_map by construction.
+    # The coalesce (r12, ADVICE r11) makes a future divergence (scoring
+    # a different frame, an empty corpus → empty map) score the missing
+    # bucket as log-ratio 0 instead of silently nulling the doc's whole
+    # s_micros sum (NULL + x = NULL inside F.aggregate) or raising under
+    # ANSI map-access semantics.
     per_doc = per.select(
         "doc_id",
         "lang",
@@ -205,7 +212,8 @@ def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             "buckets",
             F.lit(0).cast("bigint"),
-            lambda acc, b: acc + F.element_at(lp_map, b),
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(lp_map, b), F.lit(0).cast("bigint")),
         ).alias("s_micros"),
     )
     # Half-away-from-zero rounding of the mean to 1e-4 units as EXACT

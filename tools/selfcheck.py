@@ -154,6 +154,18 @@ def run(sf_dir: str, names: list[str] | None, driver_config: bool = False) -> in
             shuffle_partitions=8,
             extra_conf={"spark.driver.memory": "4g"},
         )
+    # spark.driver.memory is a LAUNCH-TIME conf: getOrCreate() silently
+    # ignores it when a SparkSession already exists in this process, and
+    # unlike shuffle_partitions nothing downstream would visibly differ —
+    # the GCLocker-thrash fix would just silently not be in effect and the
+    # sweep would die mid-fan (ADVICE r11). Mirror the loud guard above.
+    actual_mem = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+    if actual_mem != "4g":
+        raise RuntimeError(
+            f"selfcheck requested spark.driver.memory=4g but the session "
+            f"runs at {actual_mem} (a pre-existing SparkSession won the "
+            "getOrCreate race); stop it first"
+        )
     load_tables(spark, sf_dir)
 
     import re as _re
