@@ -93,6 +93,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 #: Mersenne prime modulus of the portable MinHash family.
 MH_P = 2_147_483_647
+
+#: Prefix-join hot-key threshold (r12): a token appearing in more than
+#: this many docs' prefixes gets salted/replicated in
+#: ``prefix_filtered_pairs`` — its output block (≥ HOT²/4 rows) is
+#: otherwise computed by a single task. 256 keeps cold-path overhead
+#: zero for the long tail of a real vocabulary while catching both
+#: stopword-ish outliers and small-vocabulary corpora.
+HOT_PREFIX_COUNT = 256
 #: Affine coefficients h_i(x) = (A_i·x + B_i) mod P — fixed formulas so
 #: an external engine can regenerate the identical family.
 def _mh_a(i: int) -> int:
@@ -255,11 +263,14 @@ def prefix_tokens(
     text_col: str = "text",
     ngram: int | None = None,
 ) -> DataFrame:
-    """(doc_id, tok, n) — each doc's Jaccard-prefix elements under the
+    """(doc_id, tok, n, rn) — each doc's Jaccard-prefix elements under the
     global (document frequency, element) order: the first
-    |s| − ⌈t·|s|⌉ + 1 elements, with n = |s|. Exposed for the
-    prune/exactness tests; see ``prefix_filtered_pairs`` for the lemma and
-    the integer-⌈t·n⌉ note.
+    |s| − ⌈t·|s|⌉ + 1 elements, with n = |s| and rn = the element's
+    1-based position in the doc's full sorted element list (r12: exposed
+    so ``prefix_filtered_pairs`` can apply the positional filter and the
+    asymmetric indexing prefix). Exposed for the prune/exactness tests;
+    see ``prefix_filtered_pairs`` for the lemma and the integer-⌈t·n⌉
+    note.
 
     ``ngram=None`` prefixes over the unigram TOKEN set; ``ngram=k``
     prefixes over the k-gram SHINGLE set instead (r9, ADVICE r8: the
@@ -285,7 +296,7 @@ def prefix_tokens(
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "doc_id")
         .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "tok", "n")
+        .select("doc_id", "tok", "n", "rn")
     )
 
 
@@ -320,6 +331,27 @@ def prefix_filtered_pairs(
     (0.9·10 = 9.000000000000002) and a too-short prefix would break
     exactness. A length filter (t·|A| ≤ |B| ≤ |A|/t, integer form) prunes
     size-incompatible pairs before the distinct.
+
+    r12 — two further LOSSLESS PPJoin refinements (Xiao et al. WWW'08,
+    both public algorithms), cutting raw join volume before the distinct:
+
+    - **Asymmetric indexing prefix**: orient each pair so side a is the
+      SMALLER set under the (n, doc_id) order. For a qualifying pair,
+      |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ ≥ ⌈2t/(1+t)·n_min⌉ =: α₁ and (given
+      the length filter) ≥ ⌈t·n_max⌉ =: α₂, so by the prefix lemma at
+      α* = max(α₁, α₂) the smaller side only needs its first
+      n − α₁ + 1 elements as join keys (≥ n − α* + 1) while the larger
+      side keeps the standard n − ⌈t·n⌉ + 1. At t=0.5 the index prefix
+      is ~n/3 instead of ~n/2; at t=0.9, ~n/19 instead of ~n/10.
+    - **Positional filter**: a shared token at full-list positions
+      (rn_a, rn_b) bounds the overlap by 1 + min(n_a−rn_a, n_b−rn_b);
+      rows where that bound cannot reach α(pair) = ⌈t/(1+t)(n_a+n_b)⌉
+      are dropped inside the join condition (integer form:
+      (1+min)·(t_num+t_den) ≥ t_num·(n_a+n_b)). Lossless because for
+      any qualifying pair the FIRST shared token in the global order
+      sits within both sides' used prefixes (its position ≤ n − i + 1 ≤
+      n − α + 1) and its bound ≥ the true overlap ≥ α, so at least that
+      one row always survives to the distinct.
     """
     # r11: the prefix frame is hash-partitioned on the JOIN KEY at the
     # core count and checkpointed. The checkpoint makes the
@@ -338,20 +370,88 @@ def prefix_filtered_pairs(
         prefix_tokens(
             docs, t_num, t_den, id_col=id_col, text_col=text_col, ngram=ngram
         )
-        .repartition(target, "tok")
         .localCheckpoint()
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    # Hot-key salting (r12): a prefix token shared by h docs emits an
+    # h_idx × h_probe output block, and an equi-join computes each key's
+    # block on ONE task — a single hot token (a low-df stopword on real
+    # corpora; EVERY token on a small-vocabulary fixture) serializes the
+    # join no matter how many cores exist. Differentiated treatment:
+    # tokens whose prefix count exceeds HOT_PREFIX_COUNT get their probe
+    # rows salted by doc hash and their index rows replicated across all
+    # S salt buckets, splitting the block S ways; cold tokens (the
+    # overwhelming majority of a real vocabulary — the hot set is the
+    # heavy-hitter tail by definition, so the broadcast stays tiny at
+    # any corpus size) pass through unreplicated on salt 0.
+    hot = F.broadcast(
+        prefix.groupBy("tok")
+        .count()
+        .where(F.col("count") > HOT_PREFIX_COUNT)
+        .select("tok", F.lit(True).alias("hot"))
+    )
+    salted = prefix.join(hot, "tok", "left")
+    # Index side (a) = the smaller set of each pair, further restricted
+    # to the asymmetric indexing prefix: α₁ = ⌈2t/(1+t)·n⌉, keep
+    # rn ≤ n − α₁ + 1. The filter lands on the checkpoint scan, so the
+    # join's build side shrinks before the exchange.
+    both = t_num + t_den
+    idx_len = (
+        F.col("n") - F.expr(f"(n * {2 * t_num} + {both} - 1) div {both}") + 1
+    )
+    # Explicit-N repartition on the full join key (tok, salt): the
+    # prefix frames are kilobytes, so AQE would coalesce any optimizer-
+    # planned exchange to ONE partition — and AQE sizes by shuffle INPUT,
+    # blind to the join's multiplicative output (the actual cost). An
+    # explicit numPartitions is exempt from AQE coalescing, so the join
+    # computes its tens-of-millions-row output at full width.
+    a = (
+        salted.where(F.col("rn") <= idx_len)
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(target - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .repartition(target, "tok", "salt")
+        .alias("a")
+    )
+    b = (
+        salted.withColumn(
+            "salt",
+            F.when(
+                F.col("hot").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.lit(target)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .repartition(target, "tok", "salt")
+        .alias("b")
+    )
+    smaller_first = (F.col("a.n") < F.col("b.n")) | (
+        (F.col("a.n") == F.col("b.n")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    # Positional filter: integer ceiling test, evaluated as part of the
+    # join condition so pruned rows never reach the distinct's exchange.
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+    )
+    positional = pos_bound * both >= t_num * (F.col("a.n") + F.col("b.n"))
     return (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") * t_num <= F.col("b.n") * t_den)
-            & (F.col("b.n") * t_num <= F.col("a.n") * t_den),
+            & (F.col("a.salt") == F.col("b.salt"))
+            & smaller_first
+            # length filter: t·n_max ≤ n_min (a is the min side)
+            & (F.col("b.n") * t_num <= F.col("a.n") * t_den)
+            & positional,
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
         .distinct()
     )
 
