@@ -671,7 +671,18 @@ def ann_ivf_kmeans(
     fit_input = raw.select(array_to_vector("emb").alias("features"))
     if n > IVF_FIT_SAMPLE_ROWS:
         fit_input = fit_input.sample(fraction=IVF_FIT_SAMPLE_ROWS / n, seed=42)
-    model = KMeans(k=k, seed=42, maxIter=10).fit(fit_input)
+    # Persist the fit input (r12, VERDICT r11 item 5): k-means runs
+    # ~2 jobs per iteration (k-means|| init + 10 Lloyd rounds) and each
+    # re-ran the parquet scan + Arrow array→Vector conversion — ~6 s of
+    # the 12.7 s sf0.1 wall was pure re-read. Caching does NOT change
+    # the data's partitioning, so the seeded k-means|| centroids (and
+    # the pinned nprobe-recall floor) are unaffected — unlike a
+    # repartition, which moved them (r11 pytest catch, see above).
+    fit_input = fit_input.persist()
+    try:
+        model = KMeans(k=k, seed=42, maxIter=10).fit(fit_input)
+    finally:
+        fit_input.unpersist()
     centers = np.stack(model.clusterCenters())
     # Index side: home cell only (each vector listed once). Probe side:
     # nprobe nearest cells per query — the recall knob.
