@@ -1,0 +1,79 @@
+"""Logical-plan audit helpers (r12, VERDICT r11 item 6).
+
+The r11 profiling round found four systemic plan pathologies; the
+mechanically-detectable one is promoted here into a reusable lint: a
+self-join whose BOTH sides derive from the same expensive un-checkpointed
+frame executes that frame's plan twice (Spark's logical planner never
+caches repeated subtrees; physical exchange reuse only rescues the cases
+where the repeat ends in an identical exchange). The fix is always the
+same — ``localCheckpoint()`` the shared frame — and the offenders r11
+fixed by hand (minhash candidate self-join 12.6→2.1 s, ann_lsh 12→5.6 s)
+are exactly this shape.
+
+Detection: walk the OPTIMIZED logical plan; for every binary join node,
+canonicalize each side's subtrees (``canonicalized`` normalizes
+expression IDs, so the two aliased copies of one frame compare equal)
+and intersect. A shared subtree counts only if it is *expensive* —
+contains an Aggregate / Window / Generate / Join / Deduplicate — because
+re-scanning a leaf (parquet, a localCheckpoint's LogicalRDD) on both
+sides is the cheap, intended outcome of checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Node classes whose recomputation is expensive enough that sharing one
+#: across both sides of a join is a plan bug (each costs a shuffle, a
+#: sort, or a row-multiplying expression re-evaluation per execution).
+_EXPENSIVE = frozenset(
+    {"Aggregate", "Window", "Generate", "Join", "Deduplicate", "Sort"}
+)
+
+
+def _children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _walk(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_children(n))
+
+
+def _name(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _expensive_canon_subtrees(node) -> dict[str, str]:
+    """Canonical-string → simpleName for every expensive subtree under
+    ``node`` (the subtree root itself must be an expensive class; any
+    cheaper wrapper above it — Project, Filter — would share it too, but
+    flagging the innermost expensive root is enough to localize)."""
+    out: dict[str, str] = {}
+    for n in _walk(node):
+        if _name(n) in _EXPENSIVE:
+            out[n.canonicalized().toString()] = _name(n)
+    return out
+
+
+def repeated_join_subtrees(df: DataFrame) -> list[str]:
+    """Names of expensive plan nodes that appear (canonically equal) on
+    BOTH sides of some join in ``df``'s optimized logical plan — each one
+    is executed twice at runtime. Empty list = clean."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    offenders: list[str] = []
+    for node in _walk(plan):
+        if _name(node) != "Join":
+            continue
+        kids = _children(node)
+        if len(kids) != 2:
+            continue
+        left = _expensive_canon_subtrees(kids[0])
+        right = _expensive_canon_subtrees(kids[1])
+        for canon in left.keys() & right.keys():
+            offenders.append(left[canon])
+    return offenders
