@@ -77,122 +77,107 @@ _REGISTRY: dict[str, Operator] = {}
 #: list is pinned by tests/test_registry.py::test_r6_window_pinned so a
 #: refactor can't silently reshuffle it (the r4 regression class).
 #: Union driver coverage after this round's CORRECTNESS file: 189/189.
+#: Round 12 window rationale (VERDICT r11 item 1 + ADVICE r11 item 2),
+#: slot priority unchanged: changed-since-checked > never-checked (none
+#: remain after r11) > oldest-green.
+#:   * 12 slots: every op whose EXECUTED PLAN changed in r12 (the PPJoin
+#:     candidate-kernel rework in dedup.py and its four consumer modules,
+#:     the DSIR null-safe scoring, the persisted IVF fit input) plus the
+#:     two ops ADVICE r11 flagged as changed-in-r11 with driver rows
+#:     predating the change (ann_lsh_bucketed, dedup_containment_ngram).
+#:     Changed code with a stale driver row is the riskiest evidence
+#:     class; riders (dedup_exact_docs, the 3 knn ops) cost 4 of these
+#:     slots to module granularity.
+#:   * 38 slots: the oldest-green rows — join_bucketed_colocated (r4),
+#:     the r3-vintage relational core (aggregates/windows/sorts_sets/
+#:     scalars, 24 ops) and the r5-vintage streaming/UDF/scan tier
+#:     (13 ops). After CORRECTNESS_r12 no op's newest driver row
+#:     predates r4.
+#: Pinned by tests/test_registry.py::test_r12_window_pinned.
 _OP_MODULES = (
-    # --- r11 driver window (slots 1-50) — VERDICT r10 item 3 executed:
-    # this rotation RETIRES THE ENTIRE never-driver-checked backlog.
-    # Slot priority (the standing discipline): changed-since-checked >
-    # never-checked > oldest-green.
-    #   * 5 slots: ops whose executed plan changed in r11 — the bm25
-    #     lambda-arity fix (retrieval_ext2), the DSIR map-literal
-    #     scoring rework (dsir_ext), and the single-pass MinHash
-    #     signature + banded-checkpoint kernel rework (dedup.py),
-    #     which changes the plans of dedup_near_minhash, dedup_simhash
-    #     and dedup_minhash_eval. Changed code with a stale driver row
-    #     is the riskiest evidence class (the r10 bm25 incident).
-    #   * 24 slots: every op with NO driver row in ANY CORRECTNESS_r*
-    #     file — the 23 never-checked (VERDICT r10 "What's missing" 1)
-    #     plus quality_logreg_score_deciles riding along in
-    #     classifier_ext (its r10 row is the freshest in the window —
-    #     module granularity costs one slot here). Six of these are
-    #     rows-only by design (bpe x2, ann_serving, ann_pq,
-    #     footer_census, quality_logreg_train): a rows-only driver row
-    #     (spark_rows > 0 at the driver's own config) is still external
-    #     evidence these ops have never had, so this round they are
-    #     worth the hash slots they occupy — documented in
-    #     tests/test_registry.py::test_r11_window_pinned.
-    #   * 21 slots: the oldest-green hash rows (r2-r3 vintage, per
-    #     VERDICT r10 item 3's fill rule) — multimodal_columns,
-    #     filecatalog, csv/json roundtrips, projections, the 10 core
-    #     joins, aggregates_ext, path templating (r5).
-    # Pinned by tests/test_registry.py::test_r11_window_pinned.
-    "desdb_spark.extensions.dedup_near",  # 2 ops — r11 kernel rework (single-pass minhash signature + banded ckpt)
-    "desdb_spark.extensions.dedup_eval",  # 1 op — consumes the reworked minhash_candidate_pairs
-    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r11 bm25 lambda-arity fix
-    "desdb_spark.extensions.dsir_ext",  # 1 op — r11 map-literal scoring rework
-    "desdb_spark.extensions.classifier_ext",  # 2 ops — quality_logreg_train has NO driver row (rows-only; deciles rides along)
-    "desdb_spark.extensions.bpe_train",  # 2 rows-only ops — never driver-checked
-    "desdb_spark.extensions.retrieval_ext3",  # 3 ops — never driver-checked (r8e deferred tier)
-    "desdb_spark.extensions.semdedup_curve",  # 1 op — never driver-checked
-    "desdb_spark.extensions.privacy_ext",  # 1 op — never driver-checked
-    "desdb_spark.extensions.ccnet_buckets",  # 1 op — never driver-checked
-    "desdb_spark.extensions.epoch_schedule",  # 1 op — never driver-checked
-    "desdb_spark.extensions.dupmass_curve",  # 1 op — never driver-checked
-    "desdb_spark.extensions.sharding_ext",  # 2 ops — never driver-checked
-    "desdb_spark.extensions.signal_corr",  # 1 op — never driver-checked
-    "desdb_spark.extensions.hapax_ext",  # 1 op — never driver-checked
-    "desdb_spark.extensions.ann_serving",  # 1 rows-only op — never driver-checked
-    "desdb_spark.extensions.ann_pq",  # 1 rows-only op — never driver-checked
-    "desdb_spark.operators.footer_census",  # 1 rows-only op — never driver-checked
-    "desdb_spark.extensions.shard_budget",  # 1 op (r9-new) — never driver-checked
-    "desdb_spark.extensions.loop_detect",  # 1 op (r9-new) — never driver-checked
-    "desdb_spark.extensions.doremi_ext",  # 1 op (r9-new) — never driver-checked
-    "desdb_spark.extensions.bitext_mine",  # 1 op (r9-new) — never driver-checked
-    "desdb_spark.extensions.bloom_dedup",  # 1 op (r9-new) — never driver-checked
-    "desdb_spark.extensions.multimodal",  # 1 op — oldest-green fill (r2)
-    "desdb_spark.sources.filecatalog",  # 1 op — oldest-green fill (r2, rows-only + catalog pytest)
-    "desdb_spark.sources.roundtrips",  # 2 ops — oldest-green fill (r2)
-    "desdb_spark.operators.projections",  # 3 ops — oldest-green fill (r2)
-    "desdb_spark.operators.joins",  # 10 ops — oldest-green fill (r2)
-    "desdb_spark.operators.aggregates_ext",  # 3 ops — oldest-green fill (r3)
-    "desdb_spark.functions.paths",  # 1 op — oldest-green fill (r5); slot 50
-    # --- end of r11 window. Everything below holds a hash-green driver
-    # row from the round named in SURVEY §2C (the r9 window ops got
-    # theirs in CORRECTNESS_r09/r10), code unchanged since, re-proven at
-    # HEAD by the committed full-registry selfcheck logs. First the r9
-    # window modules, then the long-green tail, in their prior relative
-    # order (per-module round history lives in each module docstring).
-    # --- r9 driver window (slots 1-50 of r9/r10) — VERDICT r8 item 1:
-    # 50 of the 62 hash-checked ops with no driver hash-green row, the
-    # 8 oracle-upgrade ops first (riskiest class: code/oracle changed
-    # AFTER their last driver row), then the 42 r8-new ops with the
-    # least trivial kernels. Four single-purpose module moves landed
-    # this round (implementations unchanged, same mechanism as r8):
-    # dedup_near_minhash+dedup_simhash -> extensions/dedup_near.py,
-    # ann_lsh_bucketed -> extensions/ann_lsh.py, graph_pagerank_topk ->
-    # extensions/graph_pagerank.py, multimodal_decode_features ->
-    # extensions/multimodal_decode.py. The 12 deferred ops (r8e simple
-    # exact-integer kernels, listed right after the window) queue for
-    # r10 with committed selfcheck evidence; with registry growth
-    # paused per VERDICT r8 item 2, (12 deferred + r9-new) <= 50 keeps
-    # the r10 window able to clear the whole backlog. Pinned by
-    # tests/test_registry.py::test_r9_window_pinned.
-    "desdb_spark.extensions.ann_lsh",  # 1 op (MOVED r9 from extensions.similarity: ann_lsh_bucketed — r8c oracle upgrade postdating its r6 driver row)
-    "desdb_spark.extensions.graph_pagerank",  # 1 op (MOVED r9 from extensions.graph_ext: graph_pagerank_topk — r8c fixed-point oracle upgrade postdating its r7 driver row)
-    "desdb_spark.extensions.multimodal_decode",  # 1 op (MOVED r9 from extensions.multimodal: multimodal_decode_features — r8c oracle upgrade postdating its r2 driver row)
-    "desdb_spark.extensions.multimodal_ext",  # 3 ops (frame_sample / resample_pixels / resize_batch — r8c oracle upgrades postdating their r6 driver rows)
-    "desdb_spark.extensions.dedup_semantic",  # 1 op (NEW r8: SemDeDup deterministic sign-hyperplane cells)
-    "desdb_spark.extensions.dedup_url",  # 1 op (NEW r8: canonical-URL first-pass dedup)
-    "desdb_spark.extensions.decontam_short",  # 1 op (NEW r8: char-gram decontamination arm for anchor-less probes)
-    "desdb_spark.extensions.quality_gopher",  # 1 op (NEW r8: Gopher quality-rule census)
-    "desdb_spark.extensions.bootstrap_ext",  # 1 op (NEW r8: one-pass Poisson bootstrap CI)
-    "desdb_spark.sources.time_travel",  # 2 ops (NEW r8: manifest snapshots — pruned read + AS OF read)
-    "desdb_spark.sources.lake_dml",  # 3 ops (NEW r8: lakehouse MERGE / version-diff CDF / delete vectors)
-    "desdb_spark.streaming.merge_sink",  # 1 op (NEW r8: foreachBatch MERGE into manifest table)
-    "desdb_spark.sources.lake_maintenance",  # 4 ops (NEW r8: VACUUM / RESTORE / WAP publish / cluster rewrite)
-    "desdb_spark.extensions.sequence_ext",  # 1 op (NEW r8: event regex pattern match)
-    "desdb_spark.extensions.dedup_curve",  # 1 op (NEW r8: Jaccard threshold retention curve)
-    "desdb_spark.sources.lake_ivm",  # 1 op (NEW r8: incremental view refresh)
-    "desdb_spark.sources.lake_zorder",  # 1 op (NEW r8: Z-ordered 2-D pruned read)
-    "desdb_spark.sources.lake_txn",  # 1 op (NEW r8: cross-table snapshot-consistent join)
-    "desdb_spark.extensions.multimodal_audio",  # 1 op (NEW r8: PCM audio features)
-    "desdb_spark.extensions.lm_score",  # 1 op (NEW r8c: interpolated bigram LM scoring)
-    "desdb_spark.extensions.split_safe",  # 1 op (NEW r8c: leakage-safe cluster split)
-    "desdb_spark.extensions.dedup_containment",  # 1 op (NEW r8c: asymmetric n-gram containment)
-    "desdb_spark.sources.lake_bloom",  # 1 op (NEW r8c: per-file bloom pruned read)
-    "desdb_spark.extensions.span_dedup",  # 1 op (NEW r8d: exact-substring repeated spans)
-    "desdb_spark.extensions.ann_binary",  # 1 op (NEW r8d: sign-bit binary Hamming rerank)
-    "desdb_spark.extensions.line_dedup",  # 1 op (NEW r8d: C4 global line dedup)
-    "desdb_spark.sources.lake_partition_evo",  # 1 op (NEW r8d: partition-spec evolution read)
-    "desdb_spark.extensions.novelty_ext",  # 1 op (NEW r8d: marginal n-gram novelty; r9 DECIMAL div per ADVICE)
-    "desdb_spark.extensions.multimodal_phash",  # 1 op (NEW r8d: aHash image dedup batch)
-    "desdb_spark.extensions.matryoshka_ext",  # 1 op (NEW r8d: truncated-dim retrieval recall curve)
-    "desdb_spark.operators.asof_tolerance",  # 1 op (NEW r8d: as-of with staleness bound)
-    "desdb_spark.extensions.waterfill_ext",  # 1 op (NEW r8d: waterfilling domain caps; r9 integer-div per ADVICE)
-    "desdb_spark.streaming.media_dedup",  # 1 op (NEW r8d: streaming aHash dedup)
-    "desdb_spark.extensions.span_rewrite",  # 1 op (NEW r8d: repeated-span removal rewrite)
-    "desdb_spark.extensions.multimodal_vad",  # 1 op (NEW r8e: energy-gate VAD segments)
-    "desdb_spark.operators.asof_nearest",  # 1 op (NEW r8e: nearest-direction as-of)
-    "desdb_spark.operators.rolling_regression",  # 1 op (NEW r8e: windowed-OLS trailing slope)
+    "desdb_spark.extensions.dedup",  # 2 ops — r12 PPJoin kernel rework (asymmetric prefix + positional filter + hot-key salting); dedup_exact_docs rides along (module granularity)
+    "desdb_spark.extensions.dedup_curve",  # 1 op — consumes the reworked prefix_filtered_pairs (26.8s -> 13s)
+    "desdb_spark.extensions.dedup_components",  # 1 op — same consumer
+    "desdb_spark.extensions.dedup_eval",  # 1 op — same consumer
+    "desdb_spark.extensions.dsir_ext",  # 1 op — r12 null-safe map scoring (plan changed)
+    "desdb_spark.extensions.similarity",  # 4 ops — r12 persisted IVF fit input; 3 knn ops ride along
+    "desdb_spark.extensions.ann_lsh",  # 1 op — r11 plan change (signature ckpt) postdates its newest driver row (ADVICE r11)
+    "desdb_spark.extensions.dedup_containment",  # 1 op — r11 PPJoin playbook change postdates its r10 row (ADVICE r11)
+    "desdb_spark.sources.lake",  # 1 op — oldest-green fill (r4)
+    "desdb_spark.operators.aggregates",  # 9 ops — oldest-green fill (r3)
+    "desdb_spark.operators.windows",  # 5 ops — oldest-green fill (r3)
+    "desdb_spark.operators.sorts_sets",  # 5 ops — oldest-green fill (r3)
+    "desdb_spark.functions.scalars",  # 5 ops — oldest-green fill (r3)
+    "desdb_spark.streaming.windows",  # 5 ops — oldest-green fill (r5)
+    "desdb_spark.functions.udfs",  # 4 ops — oldest-green fill (r5)
+    "desdb_spark.operators.scans",  # 4 ops — oldest-green fill (r5); slot 50
+    # --- end of r12 window. Everything below holds a driver row from
+    # the round named in SURVEY §2C (the r11 window modules lead — their
+    # rows are CORRECTNESS_r11-fresh), code unchanged since, re-proven at
+    # HEAD by the committed full-registry selfcheck logs; prior relative
+    # order preserved.
+    "desdb_spark.extensions.dedup_near",
+    "desdb_spark.extensions.retrieval_ext2",
+    "desdb_spark.extensions.classifier_ext",
+    "desdb_spark.extensions.bpe_train",
+    "desdb_spark.extensions.retrieval_ext3",
+    "desdb_spark.extensions.semdedup_curve",
+    "desdb_spark.extensions.privacy_ext",
+    "desdb_spark.extensions.ccnet_buckets",
+    "desdb_spark.extensions.epoch_schedule",
+    "desdb_spark.extensions.dupmass_curve",
+    "desdb_spark.extensions.sharding_ext",
+    "desdb_spark.extensions.signal_corr",
+    "desdb_spark.extensions.hapax_ext",
+    "desdb_spark.extensions.ann_serving",
+    "desdb_spark.extensions.ann_pq",
+    "desdb_spark.operators.footer_census",
+    "desdb_spark.extensions.shard_budget",
+    "desdb_spark.extensions.loop_detect",
+    "desdb_spark.extensions.doremi_ext",
+    "desdb_spark.extensions.bitext_mine",
+    "desdb_spark.extensions.bloom_dedup",
+    "desdb_spark.extensions.multimodal",
+    "desdb_spark.sources.filecatalog",
+    "desdb_spark.sources.roundtrips",
+    "desdb_spark.operators.projections",
+    "desdb_spark.operators.joins",
+    "desdb_spark.operators.aggregates_ext",
+    "desdb_spark.functions.paths",
+    "desdb_spark.extensions.graph_pagerank",
+    "desdb_spark.extensions.multimodal_decode",
+    "desdb_spark.extensions.multimodal_ext",
+    "desdb_spark.extensions.dedup_semantic",
+    "desdb_spark.extensions.dedup_url",
+    "desdb_spark.extensions.decontam_short",
+    "desdb_spark.extensions.quality_gopher",
+    "desdb_spark.extensions.bootstrap_ext",
+    "desdb_spark.sources.time_travel",
+    "desdb_spark.sources.lake_dml",
+    "desdb_spark.streaming.merge_sink",
+    "desdb_spark.sources.lake_maintenance",
+    "desdb_spark.extensions.sequence_ext",
+    "desdb_spark.sources.lake_ivm",
+    "desdb_spark.sources.lake_zorder",
+    "desdb_spark.sources.lake_txn",
+    "desdb_spark.extensions.multimodal_audio",
+    "desdb_spark.extensions.lm_score",
+    "desdb_spark.extensions.split_safe",
+    "desdb_spark.sources.lake_bloom",
+    "desdb_spark.extensions.span_dedup",
+    "desdb_spark.extensions.ann_binary",
+    "desdb_spark.extensions.line_dedup",
+    "desdb_spark.sources.lake_partition_evo",
+    "desdb_spark.extensions.novelty_ext",
+    "desdb_spark.extensions.multimodal_phash",
+    "desdb_spark.extensions.matryoshka_ext",
+    "desdb_spark.operators.asof_tolerance",
+    "desdb_spark.extensions.waterfill_ext",
+    "desdb_spark.streaming.media_dedup",
+    "desdb_spark.extensions.span_rewrite",
+    "desdb_spark.extensions.multimodal_vad",
+    "desdb_spark.operators.asof_nearest",
+    "desdb_spark.operators.rolling_regression",
     "desdb_spark.extensions.skyline",
     "desdb_spark.extensions.tokenizer_ext",
     "desdb_spark.extensions.attribution",
@@ -225,7 +210,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.decontam_ext",
     "desdb_spark.extensions.engagement_ext",
     "desdb_spark.sources.sinks",
-    "desdb_spark.extensions.dedup_components",
     "desdb_spark.operators.relational_ext9",
     "desdb_spark.extensions.retrieval_ext",
     "desdb_spark.sources.formats_ext3",
@@ -268,21 +252,15 @@ _OP_MODULES = (
     "desdb_spark.extensions.quality_gates",
     "desdb_spark.streaming.joins",
     "desdb_spark.extensions.dedup_ext",
-    "desdb_spark.extensions.similarity",
-    "desdb_spark.extensions.dedup",
     "desdb_spark.extensions.stats_monitor",
     "desdb_spark.sources.formats_ext",
     "desdb_spark.operators.relational_ext6",
-    "desdb_spark.operators.scans",
-    "desdb_spark.streaming.windows",
     "desdb_spark.operators.relational_ext",
-    "desdb_spark.functions.udfs",
     "desdb_spark.operators.relational_ext7",
     "desdb_spark.extensions.text_ext",
     "desdb_spark.operators.relational_ext2",
     "desdb_spark.operators.relational_ext3",
     "desdb_spark.extensions.pipeline_analytics",
-    "desdb_spark.sources.lake",
     "desdb_spark.operators.relational_ext4",
     "desdb_spark.extensions.corpus_timeseries",
     "desdb_spark.operators.relational_ext5",
@@ -290,10 +268,6 @@ _OP_MODULES = (
     "desdb_spark.operators.temporal",
     "desdb_spark.extensions.quality_ext",
     "desdb_spark.operators.joins_ext",
-    "desdb_spark.operators.aggregates",
-    "desdb_spark.operators.windows",
-    "desdb_spark.operators.sorts_sets",
-    "desdb_spark.functions.scalars",
 )
 
 

@@ -187,66 +187,64 @@ def test_registry_order_import_pollution_proof():
     assert len(clean) == len(all_operators())
 
 
-#: The r11 driver window, frozen (VERDICT r10 item 3): the external
-#: driver hash-checks exactly the first 50 registered ops, so a refactor
-#: that reshuffles registration order silently changes WHAT GETS
-#: VERIFIED — the r4 regression class. Any intentional rotation must
-#: edit this list in the same commit that edits _OP_MODULES. This
-#: rotation retires the ENTIRE never-driver-checked backlog: 5 slots for
-#: the r11-changed plans (bm25 fix, DSIR rework, the minhash kernel
-#: rework behind near_minhash/simhash/minhash_eval), 24 for the 23
-#: never-checked ops (+ quality_logreg_score_deciles riding along in
-#: classifier_ext), 21 oldest-green fills (r2-r3 vintage + paths r5).
-R11_WINDOW = [
-    "dedup_near_minhash", "dedup_simhash", "dedup_minhash_eval",
-    "text_bm25_search", "docs_dsir_importance_weights",
-    "quality_logreg_score_deciles", "quality_logreg_train",
-    "text_bpe_apply_stats", "text_bpe_train_merges",
-    "text_vocab_coverage_curve", "text_collocation_lift_topk",
-    "text_phrase_search_positional", "dedup_semantic_retention_curve",
-    "docs_k_anonymity_audit", "docs_ccnet_ppl_buckets",
-    "corpus_epoch_schedule", "corpus_dup_mass_by_ngram_len",
-    "docs_shard_assignment_balance", "emb_cell_cosine_histogram",
-    "quality_signal_correlation", "text_hapax_ratio_by_source",
-    "ann_query_topk", "ann_pq_codebook_stats", "diag_rowgroup_stats",
-    "docs_shard_by_token_budget", "text_loop_periodicity",
-    "corpus_doremi_weight_update", "emb_bitext_mine_margin",
-    "dedup_bloom_lines_incremental", "multimodal_columns",
-    "source_filecatalog_scan", "source_csv_roundtrip",
-    "source_json_roundtrip", "project_expr", "filter_pred_combo",
-    "filter_conditional_nulls", "join_inner_hash", "join_broadcast_dim",
-    "join_sort_merge_large", "join_left_outer", "join_semi", "join_anti",
-    "join_theta_range", "join_asof", "join_multiway_star",
-    "join_lineage_walk", "agg_pivot", "agg_percentiles",
-    "agg_string_concat", "project_path_template",
+#: The r12 driver window, frozen (VERDICT r11 item 1 + ADVICE r11
+#: item 2): the external driver hash-checks exactly the first 50
+#: registered ops, so a refactor that reshuffles registration order
+#: silently changes WHAT GETS VERIFIED — the r4 regression class. Any
+#: intentional rotation must edit this list in the same commit that
+#: edits _OP_MODULES. Slot priority (standing): changed-since-checked >
+#: never-checked (none remain after r11) > oldest-green. 12 slots for
+#: the r12-changed plans (the PPJoin kernel rework and its consumers,
+#: DSIR null-safe scoring, IVF persisted fit) plus the two r11-changed
+#: ops whose rows predated the change; 38 oldest-green fills
+#: (join_bucketed_colocated r4, the r3 relational core, the r5
+#: streaming/UDF/scan tier).
+R12_WINDOW = [
+    "dedup_exact_docs", "dedup_ngram_jaccard",
+    "dedup_jaccard_retention_curve", "dedup_cluster_components",
+    "dedup_minhash_eval", "docs_dsir_importance_weights",
+    "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
+    "dedup_embedding_cosine", "ann_ivf_kmeans", "ann_lsh_bucketed",
+    "dedup_containment_ngram", "join_bucketed_colocated",
+    "agg_hash_groupby_q1", "agg_multi_stats", "agg_distinct_runs",
+    "agg_count_distinct", "agg_having", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_approx_count_distinct", "window_ranking",
+    "window_analytic_lag_lead", "window_frame_rows", "window_frame_range",
+    "window_distribution", "sort_multi_key", "topk_limit",
+    "set_union_all", "set_intersect", "set_except", "scalar_string_funcs",
+    "scalar_date_funcs", "scalar_math_funcs", "scalar_json_events",
+    "scalar_array_funcs", "stream_tumbling_window",
+    "stream_sliding_window", "stream_session_window",
+    "stream_dedup_stateful", "stream_late_data_watermark",
+    "udf_scalar_pandas", "udaf_grouped_zscore", "udtf_explode_unnest",
+    "udtf_python_sentences", "scan_parquet_full",
+    "scan_projection_pushdown", "scan_predicate_pushdown",
+    "schema_describe",
 ]
 
-#: Rows-only ops INTENTIONALLY inside the r11 window: these have never
-#: had ANY driver row (VERDICT r10 "What's missing" item 1), and a
-#: rows-only driver row (spark_rows > 0 at the driver's own config) is
-#: external evidence a committed selfcheck log is not. This round they
-#: are worth the hash slots they occupy; the r9-era rule (no rows-only
-#: in the window) resumes once the debt is retired.
-_R11_ROWS_ONLY_RETIREMENT = {
-    "quality_logreg_train", "text_bpe_apply_stats",
-    "text_bpe_train_merges", "ann_query_topk", "ann_pq_codebook_stats",
-    "diag_rowgroup_stats", "source_filecatalog_scan",
+#: Rows-only ops inside the r12 window — all module riders of hash ops
+#: that must be in the window (ann_ivf_kmeans is itself an r12-changed
+#: plan; the other three ride their r3/r5 fill modules). Their property
+#: evidence is pinned per op in tools/gen_survey_status.ROWS_ONLY_EVIDENCE.
+_R12_ROWS_ONLY = {
+    "agg_approx_count_distinct", "ann_ivf_kmeans", "schema_describe",
+    "stream_late_data_watermark",
 }
 
 
-def test_r11_window_pinned():
+def test_r12_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R11_WINDOW, (
-        "driver window drifted from the documented r11 rotation plan; "
-        "if intentional, update R11_WINDOW in the same commit"
+    assert window == R12_WINDOW, (
+        "driver window drifted from the documented r12 rotation plan; "
+        "if intentional, update R12_WINDOW in the same commit"
     )
-    # Rows-only slots are limited to the documented retirement set — any
+    # Rows-only slots are limited to the documented rider set — any
     # OTHER rows-only op appearing in the window wastes a hash slot.
     ops = all_operators()
     rows_only = {n for n in window if ops[n].oracle is None}
-    assert rows_only == _R11_ROWS_ONLY_RETIREMENT, (
+    assert rows_only == _R12_ROWS_ONLY, (
         f"unexpected rows-only window occupancy: "
-        f"{sorted(rows_only ^ _R11_ROWS_ONLY_RETIREMENT)}"
+        f"{sorted(rows_only ^ _R12_ROWS_ONLY)}"
     )
 
 
