@@ -93,6 +93,15 @@ _REGISTRY: dict[str, Operator] = {}
 #:     scalars, 24 ops) and the r5-vintage streaming/UDF/scan tier
 #:     (13 ops). After CORRECTNESS_r12 no op's newest driver row
 #:     predates r4.
+#: Documented exception (the ADVICE r11 transparency rule): three
+#: ROWS-ONLY ops also changed in r12 and sit OUTSIDE the window —
+#: ann_pq_codebook_stats (threaded persisted fit, maxIter 5),
+#: ann_query_topk (consumes the same codebooks), ann_recall_report
+#: (consumes ann_ivf_kmeans). A rows-only driver row (spark_rows > 0)
+#: is weak evidence by construction; their strong evidence is the
+#: property pytests named in SURVEY §2C (distortion/recall floors, all
+#: green at HEAD) plus the committed SELFCHECK_r12 logs. Hash-checked
+#: fills outrank rows-only re-rows for the 50 slots.
 #: Pinned by tests/test_registry.py::test_r12_window_pinned.
 _OP_MODULES = (
     "desdb_spark.extensions.dedup",  # 2 ops — r12 PPJoin kernel rework (asymmetric prefix + positional filter + hot-key salting); dedup_exact_docs rides along (module granularity)
