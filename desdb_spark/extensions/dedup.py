@@ -101,6 +101,14 @@ MH_P = 2_147_483_647
 #: zero for the long tail of a real vocabulary while catching both
 #: stopword-ish outliers and small-vocabulary corpora.
 HOT_PREFIX_COUNT = 256
+
+#: Cap on the salt fan-out: index rows of hot tokens replicate once per
+#: salt bucket, so an uncapped bucket count = defaultParallelism would
+#: mean ~8000× replication on a 1000-executor cluster — the replication
+#: cost would outgrow the block-split gain. 64 buckets divide any hot
+#: block finely enough that per-task output stays bounded while the
+#: replicated index volume stays ≤ 64 × (hot prefix rows).
+SALT_BUCKETS_MAX = 64
 #: Affine coefficients h_i(x) = (A_i·x + B_i) mod P — fixed formulas so
 #: an external engine can regenerate the identical family.
 def _mh_a(i: int) -> int:
@@ -366,6 +374,7 @@ def prefix_filtered_pairs(
     # frame is O(docs × prefix_len) ids — small enough to pin even in a
     # 1 GiB session.
     target = docs.sparkSession.sparkContext.defaultParallelism
+    salts = min(target, SALT_BUCKETS_MAX)
     prefix = (
         prefix_tokens(
             docs, t_num, t_den, id_col=id_col, text_col=text_col, ngram=ngram
@@ -411,7 +420,7 @@ def prefix_filtered_pairs(
             F.explode(
                 F.when(
                     F.col("hot").isNotNull(),
-                    F.sequence(F.lit(0), F.lit(target - 1)),
+                    F.sequence(F.lit(0), F.lit(salts - 1)),
                 ).otherwise(F.array(F.lit(0)))
             ),
         )
@@ -423,7 +432,7 @@ def prefix_filtered_pairs(
             "salt",
             F.when(
                 F.col("hot").isNotNull(),
-                F.pmod(F.xxhash64("doc_id"), F.lit(target)).cast("int"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(salts)).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .repartition(target, "tok", "salt")

@@ -61,6 +61,41 @@ def test_prefix_filter_is_lossless(spark):
     assert set(truth) <= cand
 
 
+@pytest.mark.parametrize("t_num,t_den", [(1, 2), (2, 3), (4, 5), (9, 10)])
+def test_prefix_filter_lossless_across_thresholds(spark, t_num, t_den):
+    """r12 regression pin for the asymmetric indexing prefix and the
+    positional filter: both are threshold-dependent lemma code
+    (⌈2t/(1+t)·n⌉ index bound, ⌈t/(1+t)(n_a+n_b)⌉ positional bound), so
+    losslessness must hold across the grid the registered ops actually
+    use (retention curve 1/2, components 4/5, ngram_jaccard 9/10). The
+    synthetic corpus has 20 universal stopwords — every one of them is
+    forced hot by a lowered salting threshold, exercising the salted
+    replicate/probe path end to end (monkeypatching a module constant
+    read at plan-build time)."""
+    import desdb_spark.extensions.dedup as dd
+
+    docs = _synthetic_docs(spark)
+    truth = _brute_force_jaccard_pairs(docs.collect(), t=t_num / t_den)
+    old = dd.HOT_PREFIX_COUNT
+    dd.HOT_PREFIX_COUNT = 2  # force the hot path for the universal tokens
+    try:
+        got = {
+            (r.id_a, r.id_b)
+            for r in dd.prefix_filtered_pairs(
+                docs, t_num=t_num, t_den=t_den
+            ).collect()
+        }
+    finally:
+        dd.HOT_PREFIX_COUNT = old
+    missing = set(truth) - got
+    assert not missing, (
+        f"prefix filter at t={t_num}/{t_den} lost qualifying pairs: "
+        f"{sorted(missing)[:5]}"
+    )
+    # Orientation contract: consumers assume id_a < id_b.
+    assert all(a < b for a, b in got)
+
+
 def test_prefix_filter_prunes_stopword_multiplicity(spark):
     """A universal token must appear in almost no prefixes: its join-key
     multiplicity (the d² shuffle driver) collapses, while rare tokens
