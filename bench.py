@@ -281,6 +281,7 @@ def main() -> None:
     # timer would silently exclude that work (the lake suite already
     # times this way for the same reason).
     llm_timings: dict[str, float] = {}
+    llm_dispersion: dict[str, dict] = {}
     for name in LLM_SUITE:
 
         def _run(name=name):
@@ -291,9 +292,14 @@ def main() -> None:
                 ops[name].fn(spark, sf_dir).toPandas()
                 runs.append(time.perf_counter() - t0)
             llm_timings[name] = round(min(runs), 4)
+            llm_dispersion[name] = {
+                "min": round(min(runs), 4),
+                "max": round(max(runs), 4),
+            }
 
         _guard(llm_timings, name, _run)
     result["llm_queries"] = llm_timings
+    result["llm_dispersion"] = llm_dispersion
     result["llm_total_sec"] = _fsum(llm_timings)
     _flush(result)
 
