@@ -85,31 +85,59 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     from desdb_spark.extensions.dedup import ensure_parallelism
 
     d = load_table(spark, sf_dir, "documents")
-    total = d.count()  # bounded driver scalar: one count, reused as a literal
-    # r11 verification rework (the dup_edges treatment — and this op is
-    # where it matters most: the t=0.5 candidate bound makes prefixes
-    # ~half of each doc's tokens, so the candidate set dwarfs the
-    # t=0.8/0.9 ops'). Candidates probe at full parallelism; token-set
-    # sizes are precomputed in the checkpointed frame (AQE broadcast by
-    # size stats, no forced hint); and the grid test is rewritten so
-    # array_intersect evaluates ONCE per candidate:
-    # 100·i ≥ pct·(s−i) ⟺ (100+pct)·i ≥ pct·s with s = nₐ+n_b, exact
-    # in integers — the old (i, u=s−i) projection referenced i twice and
-    # codegen computed the intersection twice. Measured at sf0.1
-    # (with prefix_filtered_pairs' tok-partitioned join): 183 s → ~30 s
-    # warm; the residual IS the t=0.5 bound — 11M candidates to generate
-    # and verify, ~4× the t=0.8 ops' volume.
-    cand = ensure_parallelism(prefix_filtered_pairs(d, t_num=1, t_den=2))
-    sets_df = (
-        d.select(
-            F.col("doc_id").alias("id"),
-            F.array_distinct(F.split("text", " ")).alias("toks"),
+    # r12 identical-set collapse (exact-dedup-first, the standard
+    # pre-pass of the set-similarity-join literature): docs with the
+    # SAME distinct-token set have pairwise Jaccard 1 and identical
+    # (i, s) against every other doc, so the whole sweep runs at
+    # EQUIVALENCE-CLASS grain and expands back by class sizes in the
+    # final aggregate — exact, and the pair space shrinks quadratically
+    # in the dup rate (fixture: 5000 docs → 3935 classes, 12.5M → 7.7M
+    # class pairs; 17.4 s → ~11 s fresh-plan at sf0.1). Class identity
+    # is xxhash64 over the SORTED token set — same 64-bit-collision
+    # reasoning as line_dedup's keys (birthday-bounded noise at any
+    # real scale, and the differential hash against the raw-text oracle
+    # proves the keying changes nothing on the fixture). The class id
+    # is the class's MIN doc id, which makes removal accounting exact:
+    # a doc is removed at threshold t iff some SMALLER doc qualifies
+    # against it — every non-min member of a class is removed by its
+    # own min (within-class J=1 ≥ every grid t), and a class min m_X
+    # survives iff no qualifying neighbor class has a smaller min. So
+    #   n_docs_kept(t)   = #{classes X : min over qualifying neighbors
+    #                       Y of id_Y > id_X}          (survivor minima)
+    #   n_docs_removed(t) = total_docs − n_docs_kept(t)
+    #   n_pairs(t)       = Σ_{X~Y qualifying, X<Y} c_X·c_Y
+    #                      + Σ_X C(c_X, 2)            (within, every t)
+    classes = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
         )
-        .select("id", "toks", F.size("toks").alias("n"))
+        .groupBy(F.xxhash64(F.sort_array("toks")).alias("h"))
+        .agg(
+            F.min("doc_id").alias("id"),
+            F.count("*").cast("bigint").alias("c"),
+            F.min_by("toks", "doc_id").alias("toks"),
+        )
+        .select("id", "c", "toks", F.size("toks").alias("n"))
         .localCheckpoint()
     )
-    sa = sets_df.alias("sa")
-    sb = sets_df.alias("sb")
+    # Three bounded driver scalars in one action.
+    tot = classes.agg(
+        F.sum("c").alias("docs"),
+        F.count("*").alias("ncls"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("within"),
+    ).first()
+    total, n_classes, within = int(tot.docs), int(tot.ncls), int(tot.within)
+    # Candidate generation over class representatives (one doc per
+    # class; concat_ws re-stringifies the token set — tokens carry no
+    # spaces, so prefix_tokens' re-split reproduces the set exactly).
+    reps = classes.select("id", F.concat_ws(" ", "toks").alias("text"))
+    cand = ensure_parallelism(
+        prefix_filtered_pairs(reps, t_num=1, t_den=2, id_col="id")
+    )
+    sa = classes.alias("sa")
+    sb = classes.alias("sb")
+    # Single-eval integer grid test (r11): (100+pct)·i ≥ pct·(nₐ+n_b).
     i = F.size(F.array_intersect("sa.toks", "sb.toks"))
     pairs = (
         cand.join(sa, F.col("id_a") == F.col("sa.id"))
@@ -117,6 +145,8 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "id_a",
             "id_b",
+            F.col("sa.c").alias("c_a"),
+            F.col("sb.c").alias("c_b"),
             i.alias("i"),
             (F.col("sa.n") + F.col("sb.n")).alias("s"),
         )
@@ -124,21 +154,51 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     fanned = pairs.select(
         "id_a",
         "id_b",
+        "c_a",
+        "c_b",
+        F.explode(F.array(*[F.lit(p) for p in GRID_PCT])).alias("pct"),
         "i",
         "s",
-        F.explode(F.array(*[F.lit(p) for p in GRID_PCT])).alias("pct"),
     ).where((100 + F.col("pct")) * F.col("i") >= F.col("pct") * F.col("s"))
-    return (
-        fanned.groupBy("pct")
-        .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.countDistinct("id_b").cast("bigint").alias("n_docs_removed"),
+    # Qualifying pairs are sparse post-threshold; checkpoint so the two
+    # consumers below don't re-run candidate generation + verify.
+    fanned = fanned.localCheckpoint()
+    cross = fanned.groupBy("pct").agg(
+        F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("cross_pairs")
+    )
+    # A class min is REMOVED at t iff some qualifying neighbor class has
+    # a smaller id; neighbor ids ARE the neighbor minima.
+    losers = (
+        fanned.select("pct", F.col("id_b").alias("x"), F.col("id_a").alias("nb"))
+        .unionByName(
+            fanned.select(
+                "pct", F.col("id_a").alias("x"), F.col("id_b").alias("nb")
+            )
         )
+        .groupBy("pct", "x")
+        .agg(F.min("nb").alias("nbmin"))
+        .where(F.col("nbmin") < F.col("x"))
+        .groupBy("pct")
+        .agg(F.count("*").cast("bigint").alias("lost_minima"))
+    )
+    # Every grid row must appear even if a pct has zero qualifying
+    # CROSS pairs (within-class J=1 pairs exist at every threshold).
+    grid = spark.createDataFrame([(p,) for p in GRID_PCT], "pct int")
+    return (
+        grid.join(cross, "pct", "left")
+        .join(losers, "pct", "left")
         .select(
             F.col("pct").cast("bigint").alias("pct"),
-            "n_pairs",
-            "n_docs_removed",
-            (F.lit(total) - F.col("n_docs_removed"))
+            (F.lit(within) + F.coalesce(F.col("cross_pairs"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_pairs"),
+            (
+                F.lit(total - n_classes)
+                + F.coalesce(F.col("lost_minima"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_docs_removed"),
+            (F.lit(n_classes) - F.coalesce(F.col("lost_minima"), F.lit(0)))
             .cast("bigint")
             .alias("n_docs_kept"),
         )
