@@ -169,26 +169,41 @@ def pagerank(
     Scale shape per iteration: one shuffle join on src (edges can be
     pre-partitioned by src once and reused) + one aggregation on dst +
     one scalar reduce. No driver-side state beyond the scalar.
+
+    r12 plan rework (same arithmetic, NumPy parity test unchanged):
+    (a) ``edges`` is checkpointed ONCE up front — previously ``nodes``,
+    ``norm`` and the per-iteration dangling-mass probe each re-derived
+    it, so a 10-round run recomputed the caller's edge join ~12×;
+    (b) the static "is dangling" flag is folded into the rank frame
+    itself, so the per-round scalar reduce is a filter+sum over the
+    already-materialized vector instead of a fresh shuffle join against
+    a recomputed out-degree frame; (c) checkpoints are lazy and the
+    dmass reduce doubles as the materializing action — ONE job per
+    iteration where the r11 shape ran two.
     """
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     norm = edges.join(outdeg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("share")
     ).localCheckpoint(eager=False)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
-    )
     has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+    nodes = (
+        nodes.join(has_out, "node", "left")
+        .select("node", F.col("has_out").isNull().alias("dang"))
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    ranks = nodes.select(
+        "node", "dang", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         dmass = (
-            ranks.join(has_out, "node", "left")
-            .where(F.col("has_out").isNull())
+            ranks.where(F.col("dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
             .first()[0]
         )
@@ -201,15 +216,16 @@ def pagerank(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
+                "dang",
                 (
                     F.lit((1.0 - alpha) / n)
                     + F.lit(alpha)
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dmass / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 #: Fixed-point rank unit: 1.0 of probability mass = 10^12 picos.
@@ -234,29 +250,37 @@ def pagerank_fixedpoint(
     Same distributed shape as :func:`pagerank` (one shuffle join on src
     + one aggregation on dst + one 8-byte scalar reduce per round,
     lineage truncated per round via ``localCheckpoint``); only the
-    arithmetic domain changed.
+    arithmetic domain changed. Carries the same r12 plan rework as the
+    float kernel: edges checkpointed once, the static dangling flag
+    rides the rank frame, and the per-round dmass reduce is the single
+    materializing action (one job per iteration, down from two plus a
+    re-derived out-degree join).
     """
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    edg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+    nodes = (
+        nodes.join(has_out, "node", "left")
+        .select("node", F.col("has_out").isNull().alias("dang"))
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    edg = edges.join(outdeg, "src").localCheckpoint(eager=False)
     base = (PR_ALPHA_DEN - PR_ALPHA_NUM) * PR_SCALE // (PR_ALPHA_DEN * n)
     ranks = nodes.select(
-        "node", F.lit(PR_SCALE // n).cast("bigint").alias("rank")
-    ).localCheckpoint(eager=True)
-    has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+        "node", "dang", F.lit(PR_SCALE // n).cast("bigint").alias("rank")
+    ).localCheckpoint(eager=False)
     contrib_expr = F.expr(
         f"({PR_ALPHA_NUM} * rank) div ({PR_ALPHA_DEN} * od)"
     )
     for _ in range(iterations):
         dmass = (
-            ranks.join(has_out, "node", "left")
-            .where(F.col("has_out").isNull())
+            ranks.where(F.col("dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
             .first()[0]
         )
@@ -270,13 +294,14 @@ def pagerank_fixedpoint(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
+                "dang",
                 (F.lit(base) + F.coalesce(F.col("f"), F.lit(0)) + F.lit(dterm))
                 .cast("bigint")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def _pagerank_oracle(iterations: int = PR_ITERATIONS) -> str:

@@ -112,7 +112,7 @@ _OP_MODULES = (
     "desdb_spark.extensions.similarity",  # 4 ops — r12 persisted IVF fit input; 3 knn ops ride along
     "desdb_spark.extensions.ann_lsh",  # 1 op — r11 plan change (signature ckpt) postdates its newest driver row (ADVICE r11)
     "desdb_spark.extensions.dedup_containment",  # 1 op — r11 PPJoin playbook change postdates its r10 row (ADVICE r11)
-    "desdb_spark.sources.lake",  # 1 op — oldest-green fill (r4)
+    "desdb_spark.extensions.graph_pagerank",  # 1 op — r12-late plan rework (edges checkpointed once, dangling flag folded into the rank frame, one job/round); displaced the lake fill per the standing changed > oldest priority
     "desdb_spark.operators.aggregates",  # 9 ops — oldest-green fill (r3)
     "desdb_spark.operators.windows",  # 5 ops — oldest-green fill (r3)
     "desdb_spark.operators.sorts_sets",  # 5 ops — oldest-green fill (r3)
@@ -153,7 +153,7 @@ _OP_MODULES = (
     "desdb_spark.operators.joins",
     "desdb_spark.operators.aggregates_ext",
     "desdb_spark.functions.paths",
-    "desdb_spark.extensions.graph_pagerank",
+    "desdb_spark.sources.lake",  # displaced r12-late by graph_pagerank (changed > oldest); its join_bucketed_colocated row stays r4-vintage — first fill candidate for r13
     "desdb_spark.extensions.multimodal_decode",
     "desdb_spark.extensions.multimodal_ext",
     "desdb_spark.extensions.dedup_semantic",

@@ -196,16 +196,19 @@ def test_registry_order_import_pollution_proof():
 #: never-checked (none remain after r11) > oldest-green. 12 slots for
 #: the r12-changed plans (the PPJoin kernel rework and its consumers,
 #: DSIR null-safe scoring, IVF persisted fit) plus the two r11-changed
-#: ops whose rows predated the change; 38 oldest-green fills
-#: (join_bucketed_colocated r4, the r3 relational core, the r5
-#: streaming/UDF/scan tier).
+#: ops whose rows predated the change; 37 oldest-green fills (the r3
+#: relational core, the r5 streaming/UDF/scan tier). r12-late swap:
+#: graph_pagerank_topk's plan rework (edges checkpointed once, dangling
+#: flag in the rank frame, one job/round) displaced the
+#: join_bucketed_colocated r4 fill — changed > oldest, the ADVICE r11
+#: item 2 rule; the lake op is the first fill candidate for r13.
 R12_WINDOW = [
     "dedup_exact_docs", "dedup_ngram_jaccard",
     "dedup_jaccard_retention_curve", "dedup_cluster_components",
     "dedup_minhash_eval", "docs_dsir_importance_weights",
     "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
     "dedup_embedding_cosine", "ann_ivf_kmeans", "ann_lsh_bucketed",
-    "dedup_containment_ngram", "join_bucketed_colocated",
+    "dedup_containment_ngram", "graph_pagerank_topk",
     "agg_hash_groupby_q1", "agg_multi_stats", "agg_distinct_runs",
     "agg_count_distinct", "agg_having", "agg_rollup", "agg_cube",
     "agg_grouping_sets", "agg_approx_count_distinct", "window_ranking",
