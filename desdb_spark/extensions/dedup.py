@@ -684,10 +684,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     - each round is two star operations — min-groupBy + equi-join each,
       all shuffling on the vertex id — and provably converges in
       O(log d) alternating rounds instead of O(d) propagation rounds;
-    - every round's output is eagerly checkpointed, keeping plans flat;
-    - convergence is detected by an edge-set signature (count + id sums +
-      order-insensitive hash-sum) read in ONE tiny driver action per
-      round, not a join-against-previous count.
+    - every round's output is checkpointed LAZILY and the convergence
+      signature (count + id sums + order-insensitive hash-sum) is the
+      materializing action — ONE job per round, not an eager-checkpoint
+      pass followed by a signature pass (r12, the pagerank-kernel
+      pattern);
+    - vertices are derived from the materialized edge frame, so the
+      caller's edge plan executes exactly once.
 
     Production note: ``localCheckpoint`` trades executor-loss resilience
     for speed; a multi-hour 100 TB run should use reliable
@@ -699,11 +702,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # Lazy: consumed once by the final roots anti-join, whose action
+    # materializes it off the already-checkpointed edge frame.
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _signature(df: DataFrame):
@@ -720,7 +725,9 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sig = None
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # Lazy checkpoint: the signature read is the materializing
+        # action, so each round costs one job (r12).
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(e)
         if new_sig == sig:
             converged = True

@@ -134,12 +134,47 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dup_edges(d: DataFrame) -> DataFrame:
-    """The lossless duplicate-pair edge set over a documents frame:
-    digest stars for exact copies + PPJoin-filtered, exactly-verified
-    token-Jaccard ≥ 0.8 pairs between digest representatives. Shared by
-    ``dedup_cluster_components`` and the leakage-safe split
+    """A CONNECTIVITY-EXACT duplicate-pair edge set over a documents
+    frame: digest stars for exact copies, identical-token-set stars
+    between digest representatives, and one PPJoin-filtered,
+    exactly-verified token-Jaccard ≥ 0.8 edge per qualifying CLASS pair.
+    Shared by ``dedup_cluster_components`` and the leakage-safe split
     (extensions/split_safe.py), which must agree on what "duplicate"
-    means for the split guarantee to cover the dedup tier's clusters."""
+    means for the split guarantee to cover the dedup tier's clusters.
+
+    r12 edge contraction (the retention curve's identical-set collapse
+    applied to connectivity): Jaccard depends only on the distinct-token
+    SET, so edge presence in the full t = 0.8 dup graph is uniform
+    across all member pairs of two identical-set classes. For connected
+    components that means the full graph and the contracted one —
+    a star inside each class (within-class J = 1 ≥ t) plus ONE
+    representative edge per qualifying class pair — have identical
+    partitions; every consumer feeds this edge set straight into
+    ``connected_components``, so the op outputs are unchanged (the
+    unchanged DuckDB closure oracle over the FULL pair set stays
+    hash-green — proof by differential). Fixture effect at sf0.1:
+    4 992 reps → 3 935 classes, candidate stream ×0.62, emitted edges
+    3.0 M → ~0.7 M, and the star rounds start from the contracted set.
+    Class identity is xxhash64 over the sorted token set — same
+    64-bit-collision reasoning as dedup_curve/line_dedup (birthday-
+    bounded at any real scale, differentially proven on the fixture).
+
+    r11 verification rework (the minhash profiling finding applied
+    here): the verify stage is CPU-bound hash-set intersection per
+    candidate, so (a) the candidate set is MATERIALIZED at full
+    parallelism — distinct() first (map-side partial aggregation beats
+    shuffling the ~4.4×-duplicated raw pair stream), then
+    ensure_parallelism so the probe runs on every core, not the
+    shuffle-partition count — and (b) the Jaccard threshold is the
+    integer cross-multiplication t_den·i ≥ t_num·(nₐ+n_b) with |toks|
+    precomputed per class, so array_intersect evaluates ONCE per pair.
+    The class frame is checkpointed compact; AQE's own size stats pick
+    the broadcast build side — no forced hint, so a 100 TB class set
+    falls back to a shuffle join instead of OOMing the driver.
+    NO checkpoint on the candidate stream: it is consumed exactly once
+    by the verify join, and pinning a multi-M-row pair frame in a 1 GiB
+    session starves the verify shuffle of execution memory.
+    """
     from desdb_spark.extensions.dedup import ensure_parallelism
 
     dig = d.select("doc_id", F.md5("text").alias("h"))
@@ -152,39 +187,45 @@ def dup_edges(d: DataFrame) -> DataFrame:
     reps = d.join(
         group_min.select(F.col("mn").alias("doc_id")), "doc_id", "left_semi"
     )
-    # r11 verification rework (the minhash profiling finding applied
-    # here; measured at sf0.1 where the formulaic corpus yields 6.5M
-    # candidates → 3.0M edges): the verify stage is CPU-bound hash-set
-    # intersection per candidate, so (a) the candidate set is
-    # MATERIALIZED at full parallelism — distinct() first (its map-side
-    # partial aggregation beats shuffling the ~4.4×-duplicated raw pair
-    # stream; measured 14.7 s vs 19.2 s), then ensure_parallelism so
-    # the probe runs on every core, not the shuffle-partition count —
-    # and (b) the Jaccard threshold is the integer cross-multiplication
-    # t_den·i ≥ t_num·(nₐ+n_b) with |toks| precomputed per doc, so
-    # array_intersect evaluates ONCE per pair (the ratio form's i
-    # appears in numerator and denominator and codegen evaluates it
-    # twice; measured 60 s → 34 s, then 34 s → ~3 s from (a)). The
-    # token-set frame is checkpointed compact; AQE's own size stats
-    # pick the broadcast build side — no forced hint, so a 100 TB
-    # candidate-doc set falls back to a shuffle join instead of OOMing
-    # the driver. Verify stage total: 67 s → ~3 s at sf0.1.
-    # NO checkpoint on the candidate stream: it is consumed exactly once
-    # by the verify join (unlike near_minhash's banded self-join), and
-    # pinning a multi-M-row pair frame in a 1 GiB session starves the
-    # verify shuffle of execution memory (checkpointed blocks cannot be
-    # evicted). ensure_parallelism alone gives the probe its 32-way CPU.
-    cand = ensure_parallelism(prefix_filtered_pairs(reps, t_num=4, t_den=5))
-    sets_df = (
-        reps.select(
+    # One row per digest representative with its token set and class key.
+    tokset = (
+        ensure_parallelism(reps)
+        .select(
             F.col("doc_id").alias("id"),
             F.array_distinct(F.split("text", " ")).alias("toks"),
         )
+        .select(
+            "id", "toks", F.xxhash64(F.sort_array("toks")).alias("ch")
+        )
+        .localCheckpoint()
+    )
+    cls_min = tokset.groupBy("ch").agg(F.min("id").alias("cid"))
+    class_star = (
+        tokset.join(cls_min, "ch")
+        .where(F.col("id") != F.col("cid"))
+        .select(F.col("cid").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    # One row per class (its min-id member), checkpointed compact: the
+    # PPJoin candidate source AND both verify sides.
+    crep = (
+        tokset.join(cls_min, "ch")
+        .where(F.col("id") == F.col("cid"))
         .select("id", "toks", F.size("toks").alias("n"))
         .localCheckpoint()
     )
-    sa = sets_df.alias("sa")
-    sb = sets_df.alias("sb")
+    # concat_ws re-stringifies the set — tokens carry no spaces, so
+    # prefix_tokens' re-split reproduces it exactly (dedup_curve's
+    # precedent).
+    cand = ensure_parallelism(
+        prefix_filtered_pairs(
+            crep.select("id", F.concat_ws(" ", "toks").alias("text")),
+            t_num=4,
+            t_den=5,
+            id_col="id",
+        )
+    )
+    sa = crep.alias("sa")
+    sb = crep.alias("sb")
     i = F.size(F.array_intersect("sa.toks", "sb.toks"))
     near_edges = (
         cand.join(sa, F.col("id_a") == F.col("sa.id"))
@@ -192,4 +233,4 @@ def dup_edges(d: DataFrame) -> DataFrame:
         .where(9 * i >= 4 * (F.col("sa.n") + F.col("sb.n")))
         .select("id_a", "id_b")
     )
-    return exact_edges.unionByName(near_edges)
+    return exact_edges.unionByName(class_star).unionByName(near_edges)
