@@ -45,20 +45,41 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks, with its NumPy 1e-9 parity test in tests/test_graph_ext.py —
     the fixed-point op additionally carries its own integer NumPy mirror
     there.
+
+    r12b edge-build rework (the iterations were ~5 s; the BUILD was
+    ~12 s of the old 15 s wall): (a) node ids are BIGINT throughout the
+    pipeline — src = 2·custkey, dst = 2·suppkey+1, an injective
+    even/odd encoding of the bipartite vertex set — so the distinct,
+    every per-round join/groupBy, and the checkpointed edge payload hash
+    and shuffle 8-byte longs instead of 'c…'/'s…' strings; the display
+    label is reconstructed AFTER the last iteration on the 16k-row rank
+    vector (before the ORDER BY, so the oracle's string tie-break is
+    reproduced exactly). (b) ``ensure_parallelism`` on lineitem — the
+    fixture packs 600k rows into one row group, which planned the
+    join+distinct as a near-single-task stage (the dedup.py trap); at
+    real scale the guard is a no-op.
     """
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     ranks = pagerank_fixedpoint(edges, iterations=PR_ITERATIONS)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint")),
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint")))
     return (
-        ranks.select("node", F.col("rank").alias("rank_picos"))
+        ranks.select(label.alias("node"), F.col("rank").alias("rank_picos"))
         .orderBy(F.desc("rank_picos"), "node")
         .limit(20)
     )
