@@ -102,6 +102,15 @@ _REGISTRY: dict[str, Operator] = {}
 #: property pytests named in SURVEY §2C (distortion/recall floors, all
 #: green at HEAD) plus the committed SELFCHECK_r12 logs. Hash-checked
 #: fills outrank rows-only re-rows for the 50 slots.
+#: One HASH op joins the exception list late in r12:
+#: sink_python_datasource (sources/pyds_sink.py — both DataSource
+#: halves moved to the Arrow batch path, 7.5 s → ~1.5 s warm). Slotting
+#: it in would evict schema_describe past slot 50 (module granularity)
+#: and leave that op's newest driver row r5-vintage, violating the
+#: rotation's "no row predates r6" goal; its full differential evidence
+#: at HEAD is the committed SELFCHECK_r12 sf0.01/sf0.1 logs (same
+#: rows+schema+hash check the driver runs) plus the manifest-integrity
+#: pytest. First window candidate for r13 alongside the lake fill.
 #: Pinned by tests/test_registry.py::test_r12_window_pinned.
 _OP_MODULES = (
     "desdb_spark.extensions.dedup",  # 2 ops — r12 PPJoin kernel rework (asymmetric prefix + positional filter + hot-key salting); dedup_exact_docs rides along (module granularity)
