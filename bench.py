@@ -280,8 +280,15 @@ def main() -> None:
     # minhash candidate pairs, the DSIR md5 stream), and a toPandas-only
     # timer would silently exclude that work (the lake suite already
     # times this way for the same reason).
+    # r12b: this suite runs at the session's FULL width, like the sf1
+    # arm — the session default of 4 shuffle partitions is sized for the
+    # headline queries' ~600k-row scans, but these multi-M-row shuffle
+    # pipelines were paying a 3× serialization tax under it (measured:
+    # near_minhash 7.3 s at 4 partitions vs 2.4 s at 32, retention curve
+    # 18.7 → ~13). Restored to 4 after the suite for the lake DML cells.
     llm_timings: dict[str, float] = {}
     llm_dispersion: dict[str, dict] = {}
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     for name in LLM_SUITE:
 
         def _run(name=name):
@@ -298,6 +305,7 @@ def main() -> None:
             }
 
         _guard(llm_timings, name, _run)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     result["llm_queries"] = llm_timings
     result["llm_dispersion"] = llm_dispersion
     result["llm_total_sec"] = _fsum(llm_timings)
