@@ -151,7 +151,9 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is explode/groupBy/join — an inverted-index shape that
     scales; returns (doc_id, lang, predicted_lang, score).
     """
-    d = load_table(spark, sf_dir, "documents")
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         "lang",
@@ -162,8 +164,23 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # r12b single-pass rework (playbook: a frame consumed twice executes
+    # its plan twice): the raw gram stream used to be exploded once for
+    # the profile counts and AGAIN for the per-doc distinct gram set —
+    # two full corpus explode+substring passes. Now ONE pass collapses
+    # to per-doc gram counts (map-side combine does the per-doc distinct
+    # before the exchange — a doc's grams are colocated by explode) and
+    # is checkpointed; the profile re-aggregates those counts by lang
+    # (sum of per-doc counts ≡ raw occurrence counts) and the scoring
+    # side reads the same frame's keys (per-doc-distinct by
+    # construction).
+    per_doc = (
+        grams.groupBy("doc_id", "lang", "g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
     # Top-200 trigrams per language form its profile.
-    lang_counts = grams.groupBy("lang", "g").agg(F.count("*").alias("cnt"))
+    lang_counts = per_doc.groupBy("lang", "g").agg(F.sum("c").alias("cnt"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("g"))
@@ -172,9 +189,9 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 200)
         .select(F.col("lang").alias("p_lang"), "g")
     )
-    doc_grams = grams.select("doc_id", "lang", "g").distinct()
     scores = (
-        doc_grams.join(F.broadcast(profile), "g")
+        per_doc.select("doc_id", "lang", "g")
+        .join(F.broadcast(profile), "g")
         .groupBy("doc_id", "lang", "p_lang")
         .agg(F.count("*").alias("score"))
     )
