@@ -318,3 +318,38 @@ def test_r9_reworked_ops_hold_their_shuffle_budget(spark, name):
             f"{name} regressed to an object-hash (collect_*) aggregate in "
             "the corpus-sized path"
         )
+
+
+#: r12b plan-shape pins for this round's single-pass reworks. The langid
+#: pair used to explode the corpus trigram stream TWICE (profile counts
+#: + per-doc distinct set); after the per-doc-counts checkpoint the
+#: returned plan must read everything from the checkpoint — zero parquet
+#: scans — and stay inside a fixed exchange budget (profile re-agg,
+#: scoring agg, per-doc argmax window, final sort; ceilings, AQE may
+#: plan fewer). A scan or SMJ reappearing means the checkpoint was
+#: dropped and the double corpus pass is back (7.9 s → 4.0 s pair at
+#: sf0.1 — BASELINE.md r12b attribution).
+_R12B_LANGID_PINS = {
+    "text_langid_ngram": 5,
+    "text_langid_confusion": 5,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_R12B_LANGID_PINS))
+def test_r12b_langid_single_pass_pinned(spark, name):
+    import re
+
+    df = all_operators()[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, (
+        f"{name}'s returned plan re-scans the corpus — the per-doc gram "
+        "counts checkpoint was dropped and the trigram explode runs "
+        "per-consumer again"
+    )
+    n_ex = len(re.findall(r"\bExchange (hash|range|single)", plan))
+    assert n_ex <= _R12B_LANGID_PINS[name], (
+        f"{name} plans {n_ex} exchanges > budget {_R12B_LANGID_PINS[name]}"
+    )
+    assert "SortMergeJoin" not in plan, (
+        f"{name} regressed to a shuffle join — the profile must broadcast"
+    )
