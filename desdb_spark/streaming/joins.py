@@ -83,4 +83,7 @@ def stream_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = joined.select(
         F.col("l.v_user_id").alias("user_id"), "view_ts", "purchase_ts"
     )
-    return run_available_now(spark, pairs, "ssj_enrich", "append", stage_dir=stage)
+    return run_available_now(
+        spark, pairs, "ssj_enrich", "append", stage_dir=stage,
+        state_partitions=8,
+    )

@@ -79,7 +79,8 @@ def stream_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("doc_id").alias("members_unordered"),
     )
     sink = run_available_now(
-        spark, agg, "media_ahash_dedup", "complete", stage_dir=stage
+        spark, agg, "media_ahash_dedup", "complete", stage_dir=stage,
+        state_partitions=8,
     )
     return (
         sink.where(F.col("n_members") >= 2)

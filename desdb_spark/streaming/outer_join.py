@@ -116,7 +116,10 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = views.join(purchases, cond, "leftOuter").select(
         F.col("v_user_id").alias("user_id"), "view_ts", "purchase_ts"
     )
-    sink = run_available_now(spark, joined, "ssj_louter", "append", stage_dir=stage)
+    sink = run_available_now(
+        spark, joined, "ssj_louter", "append", stage_dir=stage,
+        state_partitions=8,
+    )
     return sink.where(
         F.col("view_ts") < F.lit(min_max) - F.expr(f"INTERVAL {CUTOFF}")
     )
@@ -215,7 +218,10 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "view_ts",
         "purchase_ts",
     )
-    sink = run_available_now(spark, joined, "ssj_fouter", "append", stage_dir=stage)
+    sink = run_available_now(
+        spark, joined, "ssj_fouter", "append", stage_dir=stage,
+        state_partitions=8,
+    )
     cut = F.lit(min_max) - F.expr(f"INTERVAL {CUTOFF}")
     return sink.where(
         (F.col("view_ts").isNull() | (F.col("view_ts") < cut))

@@ -43,6 +43,7 @@ def run_available_now(
     stage_dir: str | None = None,
     timeout_sec: int = 300,
     progress_sink: list | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to a memory sink with trigger=availableNow
     and return the sink table once the query has fully terminated.
@@ -50,26 +51,47 @@ def run_available_now(
     ``progress_sink``: pass a list to receive the query's final
     ``lastProgress`` dict (state-store metrics, row counts) — the query
     object is stopped before return, so progress must be captured here.
+
+    ``state_partitions``: pin the query's number of state partitions
+    (Structured Streaming fixes it from ``spark.sql.shuffle.partitions``
+    at FIRST-batch planning and it can never change for the checkpoint's
+    lifetime — r12b). The partition count never affects results, only
+    state layout; it is the deliberate sizing knob for stateful ops.
+    Every state partition costs real fixed overhead PER BATCH (store
+    open + delta/snapshot write + watermark-flush scan — measured 3.7 s
+    for a ZERO-input flush batch at 32 partitions on the stream-stream
+    join, ~0.9 s at 8), so demo/fixture queries size it to the data;
+    a production job sizes it to peak state volume ÷ target store size
+    instead, because repartitioning state later means a new checkpoint.
+    The session conf is restored after the query terminates.
     """
     name = f"{name_prefix}_{next(_SINK_SEQ)}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        if not query.awaitTermination(timeout_sec):
-            raise TimeoutError(
-                f"streaming query {name!r} did not terminate within {timeout_sec}s"
-            )
-        if progress_sink is not None:
-            progress_sink.append(query.lastProgress)
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"streaming query {name!r} did not terminate within "
+                    f"{timeout_sec}s"
+                )
+            if progress_sink is not None:
+                progress_sink.append(query.lastProgress)
+        finally:
+            query.stop()
+            if stage_dir is not None:
+                shutil.rmtree(stage_dir, ignore_errors=True)
     finally:
-        query.stop()
-        if stage_dir is not None:
-            shutil.rmtree(stage_dir, ignore_errors=True)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     return spark.table(name)
 
 

@@ -162,6 +162,7 @@ def stream_stateful_profile(
             "update",
             stage_dir=stage,
             progress_sink=progress_sink,
+            state_partitions=8,
         )
     finally:
         if state_store == "rocksdb":

@@ -71,7 +71,9 @@ def stream_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("win_start"), "user_id", "n_events",
                 "sum_value")
     )
-    sunk = run_available_now(spark, agg, "wtopk", "complete", stage_dir=stage)
+    sunk = run_available_now(
+        spark, agg, "wtopk", "complete", stage_dir=stage, state_partitions=8
+    )
     rk = F.row_number().over(
         W.partitionBy("win_start").orderBy(F.desc("n_events"), "user_id")
     )

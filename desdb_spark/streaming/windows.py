@@ -165,7 +165,10 @@ def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.col("window.start").alias("window_start"), "event_type", "cnt")
     )
-    return run_available_now(spark, agg, "late_data_demo", "complete", stage_dir=stage)
+    return run_available_now(
+        spark, agg, "late_data_demo", "complete", stage_dir=stage,
+        state_partitions=8,
+    )
 
 
 def stream_stream_interval_join(
