@@ -465,7 +465,12 @@ def prefix_filtered_pairs(
     )
 
 
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    sets_df: DataFrame | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
     r9 payload cut (VERDICT r8 item 5): shingle arrays are built only for
@@ -474,16 +479,25 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
     payloads, never the full corpus's. ``pairs`` is referenced twice (the
     id semi-join and the verify join) — callers whose candidate plan is
     expensive should ``localCheckpoint()`` it first, as the registered
-    minhash ops do."""
-    ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    sets_df = docs.join(ids, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(shingles(F.col("text"), n)).alias("sh"),
-    )
+    minhash ops do.
+
+    ``sets_df`` (r12b): a prebuilt ``(id, sh)`` shingle-set frame. The
+    default path builds it per call and leans on ReuseExchange to
+    deduplicate the two join sides — fine when the frame broadcasts,
+    but a caller verifying SEVERAL candidate sets against the same
+    corpus (dedup_minhash_eval: truth + LSH) re-derives the shingle
+    expression per call; passing one checkpointed superset frame makes
+    the corpus shingle pass execute exactly once per query."""
+    if sets_df is None:
+        ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sets_df = docs.join(ids, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(shingles(F.col("text"), n)).alias("sh"),
+        )
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     return (

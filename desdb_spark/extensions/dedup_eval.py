@@ -163,14 +163,38 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_cand = prefix_filtered_pairs(
         d, t_num=THRESHOLD_NUM, t_den=THRESHOLD_DEN, ngram=3
     ).localCheckpoint()
+    lsh_cand = minhash_candidate_pairs(d).localCheckpoint()
+    # r12b: ONE checkpointed shingle-set frame serves BOTH verify joins.
+    # Each ngram_jaccard call otherwise derives its own candidate-bound
+    # shingle frame and uses it on both join sides — up to four corpus
+    # shingle passes per query (ReuseExchange dedups a side pair only
+    # while the frame broadcasts). The superset semi-join is over the
+    # union of both candidate id sets, so per-pair results are
+    # unchanged.
+    all_ids = (
+        exact_cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(exact_cand.select(F.col("id_b").alias("doc_id")))
+        .unionByName(lsh_cand.select(F.col("id_a").alias("doc_id")))
+        .unionByName(lsh_cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    from desdb_spark.extensions.dedup import shingles
+
+    sets_df = (
+        d.join(all_ids, "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+        )
+        .localCheckpoint()
+    )
     truth = (
-        ngram_jaccard(d, exact_cand)
+        ngram_jaccard(d, exact_cand, sets_df=sets_df)
         .where(F.col("jaccard") >= t)
         .select("id_a", "id_b")
     )
-    lsh_cand = minhash_candidate_pairs(d).localCheckpoint()
     verified = (
-        ngram_jaccard(d, lsh_cand.select("id_a", "id_b"))
+        ngram_jaccard(d, lsh_cand.select("id_a", "id_b"), sets_df=sets_df)
         .where(F.col("jaccard") >= t)
         .select("id_a", "id_b")
     )
