@@ -78,17 +78,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a text column (built-in expressions only)."""
+    """Word n-gram shingles of a text column (built-in expressions only).
+
+    r12c kernel rewrite: the original ``transform(toks, lambda _, i: …
+    slice(toks, i+1, n) …)`` re-evaluates the ``split`` subtree INSIDE
+    the lambda for every element — higher-order-function lambdas are
+    interpreted (no whole-stage codegen) and Catalyst does not hoist a
+    non-lambda-variable subexpression out of the lambda body, so each
+    doc paid O(|toks|) re-splits = O(L²) character work. The zip_with
+    chain evaluates each array argument ONCE per row (they are ordinary
+    function arguments, not lambda-body subtrees): acc starts as the
+    token array and each step k zips it with ``toks[k+1:]``, appending
+    the next word to every shingle prefix; zip_with pads the shorter
+    side with nulls and ``concat`` (unlike concat_ws) propagates them,
+    so the tail positions with fewer than n words null out and the
+    final filter drops them — bit-identical output to the transform
+    form for every n (equality pinned in tests/test_extensions.py).
+    Measured at sf0.1: full-corpus shingle pass 3.3 s → 0.5 s; this is
+    THE kernel under the whole dedup tier (prefix_tokens, ngram_jaccard,
+    minhash signatures, containment, the retention curve).
+    """
     toks = F.split(text, " ")
-    return F.filter(
-        F.transform(
-            toks,
-            lambda _, i: F.when(
-                i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))
-            ),
-        ),
-        lambda s: s.isNotNull(),
-    )
+    acc = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, nxt, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.filter(acc, lambda s: s.isNotNull())
 
 
 #: Mersenne prime modulus of the portable MinHash family.

@@ -417,3 +417,46 @@ def test_winsorized_stats_clamp_fraction(spark):
         assert r["p05"] <= r["wins_mean"] <= r["p95"], r
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shingles_zipwith_matches_transform_reference(spark):
+    """The r12c zip_with shingle kernel must be bit-identical to the
+    original transform-lambda form (the 5-6× slower reference below —
+    its lambda re-evaluates the split subtree per element) for every n
+    and for the edge shapes: empty text, fewer tokens than n, exactly n
+    tokens, trailing separator (split keeps the empty token), and NULL
+    text (both forms propagate NULL through filter)."""
+
+    def reference(text, n):
+        toks = F.split(text, " ")
+        return F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i + n <= F.size(toks),
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+
+    edge = spark.createDataFrame(
+        [("",), ("a",), ("a b",), ("a b c",), ("a b c ",), ("á ß 漢 d",),
+         (None,)],
+        "text string",
+    )
+    from desdb_spark.session import load_table
+
+    corpus = load_table(spark, SF_DIR, "documents").select("text").limit(500)
+    for frame in (edge, corpus):
+        for n in (1, 2, 3, 5):
+            bad = frame.select(
+                dedup.shingles(F.col("text"), n).alias("got"),
+                reference(F.col("text"), n).alias("want"),
+            ).where(
+                ~(
+                    (F.col("got").isNull() & F.col("want").isNull())
+                    | (F.col("got") == F.col("want"))
+                )
+            )
+            assert bad.count() == 0, f"n={n}: {bad.take(3)}"
