@@ -515,16 +515,26 @@ def ngram_jaccard(
         )
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
+    # r12c: |A∪B| = |A|+|B|−|A∩B| for the distinct arrays sets_df holds,
+    # so the union array never needs building — ONE array_intersect per
+    # pair instead of intersect+union (verify stage 0.9 s → 0.45 s at
+    # 12.8k pairs, 2×; values bit-identical, the division sees the same
+    # integers). The intersect lands in its own projection so
+    # CollapseProject cannot inline the non-cheap expression into both
+    # uses downstream.
     return (
         pairs.join(a, pairs.id_a == F.col("sa.id"))
         .join(b, pairs.id_b == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sa.sh", "sb.sh"))
-                / F.size(F.array_union("sa.sh", "sb.sh"))
-            ).alias("jaccard"),
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("i"),
+            (F.size("sa.sh") + F.size("sb.sh")).alias("s"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i") / (F.col("s") - F.col("i"))).alias("jaccard"),
         )
     )
 
