@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from desdb_spark.extensions.similarity import (
     PLANE_SCALE,
-    cosine,
+    dot,
+    l2_norm,
     lsh_signature,
     quantized_planes,
 )
@@ -138,7 +139,18 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
         .distinct()
     )
-    vecs = e.select(F.col("vec_id").alias("id"), emb.alias("emb"))
+    # r12c: the L2 norm is a per-VECTOR quantity — computing it inside
+    # cosine() per candidate pair walked each 64-dim array three times
+    # (dot + both norms) in an interpreted HOF lambda, and the ~40%-of-
+    # all-pairs candidate volume made that the op's wall. Precompute the
+    # norm once per vector (n rows, not n·candidates) and divide the
+    # per-pair dot by the product — the same doubles in the same
+    # operation order as cosine(), so cos_sim is bit-identical.
+    vecs = e.select(
+        F.col("vec_id").alias("id"),
+        emb.alias("emb"),
+        l2_norm(emb).alias("nrm"),
+    )
     ea = vecs.alias("ea")
     eb = vecs.alias("eb")
     return (
@@ -147,7 +159,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea.emb"), F.col("eb.emb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("ea.emb"), F.col("eb.emb"))
+                / (F.col("ea.nrm") * F.col("eb.nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.45)
         .orderBy("vec_a", "vec_b")

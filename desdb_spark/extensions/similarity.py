@@ -700,9 +700,17 @@ def ann_ivf_kmeans(
     probe = _ivf_assign(probe_in, centers, nprobe=nprobe).select(
         "vec_id", "emb", "cell"
     )
-    a = probe.alias("a")
-    b = index.alias("b")
-    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    # r12c: precompute each side's L2 norm per ROW before the cell join
+    # (n + n·nprobe norm walks) instead of per CANDIDATE inside
+    # cosine() (n·occupancy·nprobe × 3 array walks). Same doubles, same
+    # operation order as cosine() — cos_sim is bit-identical.
+    a = probe.withColumn("nrm", l2_norm(F.col("emb"))).alias("a")
+    b = index.withColumn("nrm", l2_norm(F.col("emb"))).alias("b")
+    sim = F.round(
+        dot(F.col("a.emb"), F.col("b.emb"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     # Top-1 as max(struct) instead of a row_number window: the groupBy
     # combines map-side (each task keeps one best row per vec_id before
     # the shuffle), where the window had to shuffle-sort the FULL
