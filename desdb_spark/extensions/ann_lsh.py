@@ -19,6 +19,7 @@ from desdb_spark.extensions.similarity import (
     dot,
     l2_norm,
     lsh_signature,
+    quantize_embedding,
     quantized_planes,
 )
 from desdb_spark.registry import register
@@ -116,17 +117,32 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice. (id, band, sig) is bands rows of three scalars per vector —
     # small at any scale. ensure_parallelism above spreads the
     # dot-product pipeline across cores on an under-split fixture.
-    sigs = e.select(
-        F.col("vec_id").alias("id"),
-        F.posexplode(
-            F.array(
-                *[
-                    lsh_signature(emb, planes[b * bits : (b + 1) * bits])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "sig"),
-    ).localCheckpoint()
+    # r12c: quantization bound to a projected column once — the 32 plane
+    # dots read a BoundReference instead of re-running the 64-element
+    # round/cast transform per plane (the HOF-argument re-evaluation
+    # trap, SCALING.md §14).
+    sigs = (
+        e.select(
+            F.col("vec_id").alias("id"),
+            quantize_embedding(emb).alias("eq"),
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_signature(
+                            F.col("eq"),
+                            planes[b * bits : (b + 1) * bits],
+                            quantized=True,
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "sig"),
+        )
+        .localCheckpoint()
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (

@@ -428,10 +428,26 @@ def quantized_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[int
     ]
 
 
-def lsh_signature(emb: Column, planes: list[list[int]]) -> Column:
+def quantize_embedding(emb: Column) -> Column:
+    """Embedding components as integer micros (see PLANE_SCALE).
+
+    r12c: exposed so callers can bind the quantized array to a projected
+    column ONCE — ``lsh_signature`` references its ``eq`` argument once
+    per plane, and a computed expression there is re-evaluated per
+    reference (the HOF-argument cousin of the lambda-body trap,
+    SCALING.md §14); a bound column reference is free."""
+    return F.transform(emb, lambda x: F.round(x * F.lit(PLANE_SCALE)).cast("long"))
+
+
+def lsh_signature(
+    emb: Column, planes: list[list[int]], *, quantized: bool = False
+) -> Column:
     """Sign-bit signature of the embedding against each quantized
-    hyperplane — integer micro dot products (see PLANE_SCALE)."""
-    eq = F.transform(emb, lambda x: F.round(x * F.lit(PLANE_SCALE)).cast("long"))
+    hyperplane — integer micro dot products (see PLANE_SCALE).
+    ``quantized=True`` means ``emb`` already holds the integer-micro
+    array (callers with >1 plane should pre-bind it, see
+    ``quantize_embedding``)."""
+    eq = emb if quantized else quantize_embedding(emb)
     bits = [
         F.when(
             F.aggregate(
@@ -452,15 +468,31 @@ def lsh_signature(emb: Column, planes: list[list[int]]) -> Column:
 
 
 def _banded_sigs(e: DataFrame, bands: int, bits: int, dim: int = 64) -> DataFrame:
-    """(id, emb, band, sig) — one row per (vector, band), sig = sign bits."""
+    """(id, emb, band, sig) — one row per (vector, band), sig = sign bits.
+
+    r12c: the integer-micro quantization is bound to a projected column
+    first, so the bands·bits plane dots read a BoundReference instead of
+    re-running the 64-element round/cast transform once per plane."""
     planes = quantized_planes(dim, bands * bits)
     emb = F.col("embedding").cast("array<double>")
-    return e.select(
+    eq = e.select(
         F.col("vec_id").alias("id"),
         emb.alias("emb"),
+        quantize_embedding(emb).alias("eq"),
+    )
+    return eq.select(
+        "id",
+        "emb",
         F.posexplode(
             F.array(
-                *[lsh_signature(emb, planes[b * bits : (b + 1) * bits]) for b in range(bands)]
+                *[
+                    lsh_signature(
+                        F.col("eq"),
+                        planes[b * bits : (b + 1) * bits],
+                        quantized=True,
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band", "sig"),
     )
