@@ -48,6 +48,14 @@ OPS = [
     "dedup_cluster_components",
     "dedup_ngram_jaccard",
     "dedup_near_minhash",
+    # r12c: the dedup-audit op joined after its kernel rework (zip_with
+    # shingles + single-intersect verify + checkpointed shared shingle
+    # frame) — both its tiers (PPJoin truth, banded MinHash) must stay
+    # sub-quadratic. ann_lsh_bucketed deliberately stays OUT: its fixed
+    # 8x4 fixture geometry is the recall contract, not the scale path
+    # (the N-adaptive _fallback_geometry tier behind
+    # knn_cosine_topk_forced_lsh is).
+    "dedup_minhash_eval",
     "ann_ivf_kmeans",
     "graph_pagerank_topk",
 ]
