@@ -14,7 +14,35 @@ from pyspark.sql import functions as F
 
 from desdb_spark.extensions.dedup import connected_components, prefix_filtered_pairs
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, table_fingerprint
+
+#: Session memo for the dup-graph component assignment, keyed like the
+#: load_table cache: (appId, sf_dir, documents fingerprint). Two
+#: registered ops (dedup_cluster_components, split_cluster_safe) and any
+#: pipeline composing them need the SAME deterministic assignment — the
+#: edge build + star rounds are the most expensive shared subplan in the
+#: repo (~11 s at sf0.1), and recomputing it per consumer is the
+#: "aggregation tree consumed twice" pathology at op granularity
+#: (SCALING.md §13). The memoized frame is a localCheckpoint of ~n_docs
+#: (id, comp) longs — kilobytes per million docs; a rewritten fixture
+#: changes the fingerprint and misses the cache (same invalidation story
+#: as load_table).
+_COMP_CACHE: dict = {}
+
+
+def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ``connected_components(dup_edges(documents))``."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+    )
+    df = _COMP_CACHE.get(key)
+    if df is None:
+        d = load_table(spark, sf_dir, "documents")
+        df = connected_components(dup_edges(d)).localCheckpoint()
+        _COMP_CACHE[key] = df
+    return df
 
 
 #: The recursive-CTE chain computing the transitive closure of the
@@ -126,8 +154,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification is candidate-bound; components run alternating
     large-star/small-star rounds on the once-materialized edge set.
     """
-    d = load_table(spark, sf_dir, "documents")
-    comp = connected_components(dup_edges(d))
+    comp = cluster_assignments(spark, sf_dir)
     return comp.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")

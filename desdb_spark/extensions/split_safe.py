@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from desdb_spark.extensions.dedup_components import CLOSURE_CTES, dup_edges
+from desdb_spark.extensions.dedup_components import (
+    CLOSURE_CTES,
+    cluster_assignments,
+    dup_edges,
+)
 from desdb_spark.extensions.dedup import connected_components
 from desdb_spark.registry import register
 from desdb_spark.session import load_table
@@ -100,7 +104,11 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc-grain assignment DOES leak on this corpus).
     """
     d = load_table(spark, sf_dir, "documents")
-    comp = connected_components(dup_edges(d)).select(
+    # r12c: the component assignment is the session-memoized shared
+    # subplan (dedup_components.cluster_assignments) — this op and
+    # dedup_cluster_components must agree on it anyway for the split
+    # guarantee to cover the dedup tier's clusters.
+    comp = cluster_assignments(spark, sf_dir).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cid")
     )
     allc = (
