@@ -30,6 +30,13 @@ from desdb_spark.session import load_table, table_fingerprint
 _COMP_CACHE: dict = {}
 
 
+def clear_caches() -> None:
+    """Drop the component memo (object-store users whose table rewrites
+    aren't visible to the local-stat fingerprint — the same escape hatch
+    as similarity.clear_caches / session.clear_table_cache)."""
+    _COMP_CACHE.clear()
+
+
 def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized ``connected_components(dup_edges(documents))``."""
     key = (
