@@ -119,12 +119,20 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total tie-break.
     """
     d = load_table(spark, sf_dir, "documents")
+    # r12c: zip_with over the two shifted slices — the previous
+    # transform-lambda indexed `split(text)[i+1]` per element, and a
+    # non-lambda subtree inside a HOF lambda body is re-evaluated per
+    # element (O(L²) re-splits per doc; SCALING.md §14). zip_with's
+    # array arguments evaluate once per row; both slices are exactly
+    # len-1 elements so no null padding occurs and the output bigram
+    # list is unchanged.
     bigrams = d.select(
         F.explode(
             F.expr(
-                "transform(slice(split(text, ' '), 1, "
-                "greatest(size(split(text, ' ')) - 1, 0)), "
-                "(x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"
+                "zip_with("
+                "slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)), "
+                "slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)), "
+                "(x, y) -> concat(x, ' ', y))"
             )
         ).alias("bigram")
     )

@@ -77,3 +77,41 @@ def repeated_join_subtrees(df: DataFrame) -> list[str]:
         for canon in left.keys() & right.keys():
             offenders.append(left[canon])
     return offenders
+
+
+#: Array-SOURCE expressions that are quadratic when re-evaluated inside a
+#: higher-order-function lambda body (SCALING.md §14): HOF lambdas are
+#: interpreted and Catalyst does not hoist non-lambda-variable subtrees,
+#: so e.g. ``transform(split(text), (x, i) -> ... split(text)[i+1] ...)``
+#: re-splits the document once PER ELEMENT. HOF *arguments* evaluate once
+#: per row and are fine; only the lambda BODY is scanned.
+_HOF_RECOMPUTED_SOURCES = ("split(", "sequence(", "sentences(", "json_tuple(")
+
+
+def hof_lambda_recomputed_sources(df: DataFrame) -> list[str]:
+    """Array-source function calls found INSIDE lambdafunction bodies of
+    ``df``'s analyzed plan — each is re-evaluated per array element at
+    runtime. Empty list = clean. (``sequence(`` as the HOF's own input
+    array is NOT flagged — only occurrences inside the lambda body.)"""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    marker = "lambdafunction("
+    offenders: list[str] = []
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        k = j + len(marker)
+        depth, m = 1, k
+        while m < len(plan) and depth:
+            if plan[m] == "(":
+                depth += 1
+            elif plan[m] == ")":
+                depth -= 1
+            m += 1
+        body = plan[k : m - 1]
+        for s in _HOF_RECOMPUTED_SOURCES:
+            if s in body and s not in offenders:
+                offenders.append(s)
+        i = m
+    return offenders

@@ -111,6 +111,18 @@ def test_no_accidental_cross_products(spark, name):
             "of a join — each executes twice at runtime; localCheckpoint "
             "the shared frame or audit it into AUDITED_REPEATED_SUBTREES"
         )
+    # r12c (SCALING.md §14): an array-source call inside a HOF lambda
+    # BODY is re-evaluated per element (interpreted, no hoisting) —
+    # O(L²) per row. Bind the array to a projected column or restructure
+    # it into a HOF argument (the zip_with shingle kernel).
+    from desdb_spark.plans.audit import hof_lambda_recomputed_sources
+
+    recomputed = hof_lambda_recomputed_sources(df)
+    assert not recomputed, (
+        f"{name} re-evaluates array source(s) {recomputed} inside a "
+        "lambdafunction body — per-element recomputation; bind the array "
+        "to a column first (see shingles() in extensions/dedup.py)"
+    )
 
 
 def test_repeated_subtree_lint_reds_on_planted_offender(spark):
@@ -129,6 +141,37 @@ def test_repeated_subtree_lint_reds_on_planted_offender(spark):
     fixed = agg.localCheckpoint()
     ok = fixed.alias("a").join(fixed.alias("b"), F.col("a.k") == F.col("b.k") + 1)
     assert repeated_join_subtrees(ok) == []
+
+
+def test_hof_lambda_lint_reds_on_planted_offender(spark):
+    """The HOF-lambda lint must fire on the known-bad shape (the original
+    shingle kernel: split re-referenced inside the transform lambda) and
+    pass the bound-column form — same blindness guard as the subtree
+    lint above."""
+    from pyspark.sql import functions as F
+
+    from desdb_spark.plans.audit import hof_lambda_recomputed_sources
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    toks = F.split("text", " ")
+    bad = df.select(
+        F.transform(toks, lambda _, i: F.slice(toks, i + 1, 2)).alias("x")
+    )
+    assert hof_lambda_recomputed_sources(bad) == ["split("]
+    good = df.select(toks.alias("t")).select(
+        F.transform(
+            F.col("t"), lambda _, i: F.slice(F.col("t"), i + 1, 2)
+        ).alias("x")
+    )
+    assert hof_lambda_recomputed_sources(good) == []
+    # sequence( as the HOF's own INPUT (an argument, evaluated once per
+    # row) must not be flagged — only lambda-body occurrences are.
+    arg_ok = df.select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)), lambda i: i * 2
+        ).alias("x")
+    )
+    assert hof_lambda_recomputed_sources(arg_ok) == []
 
 
 def _assert_clean(plan: str, what: str) -> None:
