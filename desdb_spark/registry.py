@@ -111,17 +111,20 @@ _REGISTRY: dict[str, Operator] = {}
 #: at HEAD is the committed SELFCHECK_r12 sf0.01/sf0.1 logs (same
 #: rows+schema+hash check the driver runs) plus the manifest-integrity
 #: pytest. First window candidate for r13 alongside the lake fill.
-#: Two more HASH ops join the exception list in r12c (the second
+#: Three more HASH ops join the exception list in r12c (the second
 #: continuation): dedup_near_minhash and corpus_contamination_ngram —
 #: their executed plans changed via the shared shingle-kernel rewrite
 #: (zip_with chain, dedup.py) and the ngram_jaccard union-size identity,
 #: both pinned bit-identical (tests/test_extensions.py shingle-equality
-#: test; one-array_intersect plan assert). Six of the eight registered
-#: kernel consumers sit INSIDE the window (slots 1-5, 12) and get r12
-#: driver hash rows on the new plans; these two ride the committed
-#: HEAD selfcheck logs. Swapping them in would evict two mandated
-#: r3/r5-rotation fills (module granularity again) — the same
-#: trade-off documented above, resolved the same way. r13 window
+#: test; one-array_intersect plan assert) — and text_bigram_topk, whose
+#: transform lambda was the last offender the new fleet-wide HOF-lambda
+#: lint found (tests/test_plan_audit.py::
+#: test_hof_lambda_lint_reds_on_planted_offender guards the class).
+#: Six of the eight registered kernel consumers sit INSIDE the window
+#: (slots 1-5, 12) and get r12 driver hash rows on the new plans; these
+#: three ride the committed HEAD selfcheck logs. Swapping them in would
+#: evict mandated r3/r5-rotation fills (module granularity again) — the
+#: same trade-off documented above, resolved the same way. r13 window
 #: candidates with pyds_sink and the lake fill.
 #: Pinned by tests/test_registry.py::test_r12_window_pinned.
 _OP_MODULES = (
