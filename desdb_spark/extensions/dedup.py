@@ -502,7 +502,13 @@ def ngram_jaccard(
     but a caller verifying SEVERAL candidate sets against the same
     corpus (dedup_minhash_eval: truth + LSH) re-derives the shingle
     expression per call; passing one checkpointed superset frame makes
-    the corpus shingle pass execute exactly once per query."""
+    the corpus shingle pass execute exactly once per query.
+
+    PRECONDITION (r12c): ``sh`` must be DUPLICATE-FREE (``array_distinct``
+    it, as every current caller does). The union size is derived as
+    |A|+|B|−|A∩B|, and ``F.size`` counts duplicates where the old
+    ``array_union`` deduplicated — a duplicate-carrying frame would
+    silently inflate the denominator and drop qualifying pairs."""
     if sets_df is None:
         ids = (
             pairs.select(F.col("id_a").alias("doc_id"))

@@ -41,7 +41,7 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized ``connected_components(dup_edges(documents))``."""
     key = (
         spark.sparkContext.applicationId,
-        sf_dir,
+        sf_dir.rstrip("/"),
         table_fingerprint(sf_dir, "documents"),
     )
     df = _COMP_CACHE.get(key)

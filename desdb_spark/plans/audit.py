@@ -88,11 +88,27 @@ def repeated_join_subtrees(df: DataFrame) -> list[str]:
 _HOF_RECOMPUTED_SOURCES = ("split(", "sequence(", "sentences(", "json_tuple(")
 
 
+#: Body-extraction cap: plan strings print literals verbatim, so an
+#: unbalanced '(' inside a string literal can defeat the depth scan and
+#: run the "body" to end-of-plan, turning the lint into a fleet-wide
+#: false positive. A lambda body longer than this is implausible; the
+#: cap bounds the blast radius to a bounded window after the marker.
+_HOF_BODY_CAP = 4000
+
+
 def hof_lambda_recomputed_sources(df: DataFrame) -> list[str]:
     """Array-source function calls found INSIDE lambdafunction bodies of
     ``df``'s analyzed plan — each is re-evaluated per array element at
     runtime. Empty list = clean. (``sequence(`` as the HOF's own input
-    array is NOT flagged — only occurrences inside the lambda body.)"""
+    array is NOT flagged — only occurrences inside the lambda body.)
+
+    Known limitation: the body is found by paren-depth scanning of the
+    plan STRING, and literals print unescaped — a string literal
+    containing an unbalanced paren can close the body early (missed
+    offender) or overrun it (bounded by ``_HOF_BODY_CAP``, flagged
+    loudly at test time rather than silently). No registered op carries
+    such a literal; a new one that does should audit itself explicitly.
+    """
     plan = df._jdf.queryExecution().analyzed().toString()
     marker = "lambdafunction("
     offenders: list[str] = []
@@ -103,7 +119,8 @@ def hof_lambda_recomputed_sources(df: DataFrame) -> list[str]:
             break
         k = j + len(marker)
         depth, m = 1, k
-        while m < len(plan) and depth:
+        limit = min(len(plan), k + _HOF_BODY_CAP)
+        while m < limit and depth:
             if plan[m] == "(":
                 depth += 1
             elif plan[m] == ")":

@@ -450,13 +450,12 @@ def test_shingles_zipwith_matches_transform_reference(spark):
     corpus = load_table(spark, SF_DIR, "documents").select("text").limit(500)
     for frame in (edge, corpus):
         for n in (1, 2, 3, 5):
+            # Null-safe equality (<=>): a plain ==/isNull combination
+            # evaluates to NULL when exactly one side is NULL and WHERE
+            # silently drops the row — the test would miss a
+            # null-vs-array divergence.
             bad = frame.select(
                 dedup.shingles(F.col("text"), n).alias("got"),
                 reference(F.col("text"), n).alias("want"),
-            ).where(
-                ~(
-                    (F.col("got").isNull() & F.col("want").isNull())
-                    | (F.col("got") == F.col("want"))
-                )
-            )
+            ).where(~F.col("got").eqNullSafe(F.col("want")))
             assert bad.count() == 0, f"n={n}: {bad.take(3)}"
