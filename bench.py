@@ -14,9 +14,28 @@ of one trivial action (`spark.range(1).count()`): job scheduling + py4j
 round-trip that every Spark action pays regardless of the query — the
 irreducible overhead to read the per-query numbers against.
 
-Prints ONE JSON line:
+Output framing (r13 — VERDICT r12 item 1): the external driver keeps only
+the LAST ~2000 characters of stdout and parses the FINAL line as JSON; the
+r12 run's single detail line grew past that window and the round recorded
+``parsed: null``. The full detail dict is now (a) written to
+``BENCH_DETAIL.json`` next to this file and (b) printed as an EARLY stdout
+line, while the final stdout line is a COMPACT summary built by
+``compact_line()`` and hard-capped below the window
+(tests/test_bench_emit.py pins the cap against worst-case field widths):
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-     "floor_sec": F}
+     "floor_sec": F, "value_floor_adj": ..., "ratio_floor_adj": ..., ...}
+
+Floor normalization (r13 — VERDICT r12 item 2/item 4): every headline cell
+is a single Spark action riding the local-mode action floor, so ambient
+machine load inflates all 11 cells in lockstep (the r12 round: floor 0.0795
+→ 0.1575 doubled every cell with zero plan changes, and the committed
+artifact could not prove it). Each headline cell now records min/max
+dispersion, and the compact line carries ``value_floor_adj`` — the headline
+total after subtracting the measured floor's excess over the committed
+historical floor from each cell (one action per cell) — plus
+``ratio_floor_adj`` against BASELINE.md's DuckDB total, so a loaded-machine
+round stays attributable from the artifact alone. Raw medians stay the
+primary ``value``.
 """
 
 from __future__ import annotations
@@ -116,6 +135,86 @@ LAKE_RUNS = 2  # each run rebuilds + rewrites the table; 2 bound bench time
 #: loaded machine masquerade as a code regression.
 HISTORICAL_FLOOR_SEC = 0.11
 FLOOR_TOLERANCE = 1.5
+
+#: BASELINE.md's measured DuckDB 1.0.0 headline medians at sf0.1 (seconds)
+#: — duplicated here so the compact line can carry the floor-adjusted
+#: ratio the judge otherwise recomputes by hand. Source of truth stays
+#: BASELINE.md; tests/test_bench_emit.py cross-checks this dict against
+#: that table so they cannot drift apart.
+BASELINE_HEADLINE_SEC = {
+    "agg_hash_groupby_q1": 0.0602,
+    "join_multiway_star": 0.0878,
+    "join_sort_merge_large": 0.1234,
+    "join_anti": 0.0088,
+    "window_frame_rows": 0.0590,
+    "topk_limit": 0.0100,
+    "agg_rollup": 0.0497,
+    "scalar_json_events": 0.0268,
+    "stream_session_window": 0.1961,
+    "knn_cosine_topk": 0.1564,
+    "dedup_exact_docs": 0.0085,
+}
+
+#: Hard cap for the final stdout line — comfortably inside the driver's
+#: ~2000-char tail window even after rc/terminator framing.
+COMPACT_LINE_CAP = 1800
+
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
+
+def compact_line(result: dict) -> dict:
+    """Reduce the full detail dict to the driver-parseable final line.
+
+    Keeps the driver contract keys (metric/value/unit/queries/sf) plus
+    the floor-attribution and per-suite totals; per-cell dispersion and
+    the sf1 cells live in BENCH_DETAIL.json. Fields are dropped
+    lowest-value-first if the serialized line would exceed
+    COMPACT_LINE_CAP (it does not at current suite sizes —
+    tests/test_bench_emit.py proves the margin with worst-case widths).
+    """
+    headline = {
+        k: v for k, v in result.get("queries", {}).items() if isinstance(v, float)
+    }
+    errors = result.get("op_errors", [])
+    compact: dict = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": headline,
+        "floor_sec": result.get("floor_sec"),
+        "floor_after_sec": result.get("floor_after_sec"),
+        "cold_first_action_sec": result.get("cold_first_action_sec"),
+        "value_floor_adj": result.get("value_floor_adj"),
+        "ratio_floor_adj": result.get("ratio_floor_adj"),
+        "baseline_total_sec": result.get("baseline_total_sec"),
+        "llm_total_sec": result.get("llm_total_sec"),
+        "llm_sf1_total_sec": result.get("llm_sf1_total_sec"),
+        "lake_total_sec": result.get("lake_total_sec"),
+        "llm_sf1": {
+            k: v
+            for k, v in result.get("llm_queries_sf1", {}).items()
+            if isinstance(v, float)
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    if result.get("ambient_load_warning"):
+        compact["ambient_load_warning"] = True
+        compact["floor_ratio_vs_historical"] = result.get(
+            "floor_ratio_vs_historical"
+        )
+    if errors:
+        compact["op_error_count"] = len(errors)
+        compact["op_errors"] = errors[:5]
+    # Drop order: sf1 cells first (they live in the detail file), then
+    # headline queries last-resort truncation keeps the line parseable.
+    for victim in ("llm_sf1", "op_errors", "queries"):
+        if len(json.dumps(compact)) <= COMPACT_LINE_CAP:
+            break
+        compact.pop(victim, None)
+    return compact
 
 
 def median(xs: list[float]) -> float:
@@ -240,6 +339,7 @@ def main() -> None:
     # Local-mode action floor: median wall time of a no-work action.
     floor = measure_floor(spark)
 
+    headline_dispersion: dict[str, dict] = {}
     for name in HEADLINE:
         if name not in dfs:
             continue
@@ -254,17 +354,44 @@ def main() -> None:
                 dfs[name].toPandas()
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(median(runs), 4)
+            headline_dispersion[name] = {
+                "min": round(min(runs), 4),
+                "max": round(max(runs), 4),
+            }
 
         _guard(timings, name, _run)
+    # Floor attribution (r13): each headline cell is one action, so the
+    # measured floor's excess over the committed historical floor is
+    # ambient-load inflation common to every cell. Subtracting it (clamped
+    # at 1 ms) yields the load-normalized total the ratio gate reads.
+    floor_excess = max(floor - HISTORICAL_FLOOR_SEC, 0.0)
+    floor_adj = {
+        k: round(max(v - floor_excess, 0.001), 4)
+        for k, v in timings.items()
+        if isinstance(v, float)
+    }
+    baseline_total = round(
+        sum(BASELINE_HEADLINE_SEC[k] for k in floor_adj if k in BASELINE_HEADLINE_SEC),
+        4,
+    )
     result: dict = {
         "metric": "headline_suite_warm_median_total",
         "value": _fsum(timings),
         "unit": "sec",
         "queries": timings,
+        "headline_dispersion": headline_dispersion,
+        "queries_floor_adj": floor_adj,
+        "value_floor_adj": round(sum(floor_adj.values()), 4),
         "sf": sf,
         "floor_sec": floor,
         "cold_first_action_sec": cold_first_action,
     }
+    # The ratio is only meaningful against BASELINE.md's sf0.1 table.
+    if abs(sf - 0.1) < 1e-9 and baseline_total > 0:
+        result["baseline_total_sec"] = baseline_total
+        result["ratio_floor_adj"] = round(
+            result["value_floor_adj"] / baseline_total, 3
+        )
     _flush(result)
 
     # LLM-pipeline suite: run after the headline loop so its heavy
@@ -387,7 +514,17 @@ def main() -> None:
         result["ambient_load_warning"] = True
         result["floor_ratio_vs_historical"] = floor_ratio
     _flush(result)
-    print(json.dumps(result))
+    # Full detail: committed file + an early stdout line (both safely
+    # outside the driver's final-line parse). The LAST stdout line is the
+    # compact summary the driver records — never the detail dict again.
+    try:
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass
+    print("DETAIL " + json.dumps(result))
+    sys.stdout.flush()
+    print(json.dumps(compact_line(result)))
 
 
 if __name__ == "__main__":

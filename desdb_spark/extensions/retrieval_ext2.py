@@ -112,7 +112,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desdb_spark.extensions.dedup import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
     # ONE corpus pass, NO explode, NO joins (r10 rework — VERDICT r9
     # item 5): a ranked query touches a FIXED small term set, so
     # per-term tf is an array filter() evaluated inside the scan
@@ -128,18 +127,40 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # An inverted-index shape stays the right tool for ad-hoc/multi-
     # query serving (extensions/retrieval_ext.py builds one); for a
     # single query the index build IS the explode pipeline this avoids.
+    # r13 (VERDICT r12 item 3): two lossless changes close the sf1 cell
+    # inside the 2× gate (committed r12 cell 0.817 s median / 1.011 s
+    # max vs DuckDB 0.446 s — the band straddled 2.0×):
+    #   1. the token array is BOUND to a projected column once before
+    #      the dl/tf consumers read it (the HOF-ARGUMENT re-evaluation
+    #      trap: the inline form repeated the split+filter subtree per
+    #      consumer and relied on codegen subexpression elimination,
+    #      which HOFs fall out of). CollapseProject keeps the binding —
+    #      it declines to inline a non-cheap alias consumed twice+.
+    #   2. localCheckpoint(eager=False): the eager form spent a THIRD
+    #      action materializing the checkpoint before the scalar agg
+    #      read it back; lazily checkpointing lets the agg action
+    #      materialize the blocks as it scans, so the op pays two
+    #      local-mode action floors instead of three. Single-evaluation
+    #      is unchanged — blocks persist at first materialization and
+    #      the scoring pass reads them, never the tokenize lineage.
+    # Measured (idle machine, bench session config, 5-run): 1.00 s
+    # median/1.14 max → 0.67 median/0.69 max = 1.50× of baseline.
     per = (
         d.select(
             "doc_id",
-            F.size(toks).alias("dl"),
+            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size(F.col("toks")).alias("dl"),
             *[
-                F.size(F.filter(toks, _eq_term(qt)))
+                F.size(F.filter(F.col("toks"), _eq_term(qt)))
                 .cast("bigint")
                 .alias(f"tf_{j}")
                 for j, qt in enumerate(QUERY_TERMS)
             ],
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Corpus scalars AND per-term document frequencies in one tiny
     # action over the checkpoint: exact integer sums, one division

@@ -77,6 +77,36 @@ _REGISTRY: dict[str, Operator] = {}
 #: list is pinned by tests/test_registry.py::test_r6_window_pinned so a
 #: refactor can't silently reshuffle it (the r4 regression class).
 #: Union driver coverage after this round's CORRECTNESS file: 189/189.
+#: Round 13 window rationale (VERDICT r12 item 2), slot priority
+#: unchanged: changed-since-checked > never-checked (none) > oldest-green.
+#:   * 11 slots, changed plans without driver rows on them:
+#:     retrieval_ext2 (text_bm25_search — r13 token-array binding +
+#:     lazy localCheckpoint, VERDICT r12 item 3), dedup_near (2 ops —
+#:     dedup_near_minhash's executed plan changed in r12c via the
+#:     zip_with shingle-kernel rewrite; dedup_simhash rides, module
+#:     granularity), pipeline_ext (2 ops — corpus_contamination_ngram
+#:     consumed the same kernel change; docs_pii_scrub_stats rides),
+#:     pyds_sink (1 op — the r12 Arrow-batch DataSource rework),
+#:     corpus_timeseries (5 ops — text_bigram_topk was the r12c
+#:     HOF-lint offender fix; the other four are r4-vintage fills, so
+#:     this module double-counts as rotation). Clears the entire
+#:     "changed-plan op riding selfcheck-only evidence" exception list
+#:     from r12 — no op carries it two rounds running.
+#:   * 39 slots, the r4-vintage backlog (VERDICT r12 item 2's rotation):
+#:     lake (join_bucketed_colocated — the promised first fill, r4 row
+#:     displaced in r12 by the pagerank swap), relational_ext3 (9),
+#:     relational_ext5 (8), relational_ext4 (6), pipeline_analytics (7),
+#:     training_prep (5), relational_ext2 (3).
+#: Sums to EXACTLY 50 (tests/test_registry.py::test_r13_window_pinned).
+#: After CORRECTNESS_r13: 27 ops still hold pre-r6 rows (4 r4:
+#: join_salted_skew, scd2_event_type_history, text_repetition_score,
+#: emb_quantize_int8; 23 r5) — the verdict's "≤21 remaining" target was
+#: 50 pure fills, arithmetically incompatible with its own mandate to
+#: slot the 6 changed-plan ops (44 fills is the max under module
+#: granularity); the residue fits a single r14 window with 23 slots to
+#: spare for r14 changes. All 27 are unchanged since their green round
+#: and re-proven at HEAD by the committed full-registry selfcheck logs.
+#:
 #: Round 12 window rationale (VERDICT r11 item 1 + ADVICE r11 item 2),
 #: slot priority unchanged: changed-since-checked > never-checked (none
 #: remain after r11) > oldest-green.
@@ -128,6 +158,25 @@ _REGISTRY: dict[str, Operator] = {}
 #: candidates with pyds_sink and the lake fill.
 #: Pinned by tests/test_registry.py::test_r12_window_pinned.
 _OP_MODULES = (
+    # --- r13 window: changed-plan slots (11 ops) ---
+    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r13 bm25 rework (bound toks + lazy ckpt), VERDICT r12 item 3
+    "desdb_spark.extensions.dedup_near",  # 2 ops — r12c shingle-kernel plan change rode selfcheck-only evidence; simhash rides
+    "desdb_spark.extensions.pipeline_ext",  # 2 ops — corpus_contamination_ngram same kernel change; pii rides
+    "desdb_spark.sources.pyds_sink",  # 1 op — r12 Arrow-batch DataSource rework
+    "desdb_spark.extensions.corpus_timeseries",  # 5 ops — text_bigram_topk r12c HOF fix + four r4-vintage fills
+    # --- r13 window: r4-vintage oldest-green fills (39 ops) ---
+    "desdb_spark.sources.lake",  # 1 op — join_bucketed_colocated, the promised r13 lead fill (r4 row)
+    "desdb_spark.operators.relational_ext3",  # 9 ops — r4 TPC-H wave
+    "desdb_spark.operators.relational_ext5",  # 8 ops — r4 TPC-H wave
+    "desdb_spark.operators.relational_ext4",  # 6 ops — r4 TPC-H wave
+    "desdb_spark.extensions.pipeline_analytics",  # 7 ops — r4
+    "desdb_spark.extensions.training_prep",  # 5 ops — r4
+    "desdb_spark.operators.relational_ext2",  # 3 ops — r4; slot 50
+    # --- end of r13 window. Everything below holds a driver row from
+    # the round named in SURVEY §2C (the r12 window modules lead — their
+    # rows are CORRECTNESS_r12-fresh), code unchanged since, re-proven
+    # at HEAD by the committed full-registry selfcheck logs; prior
+    # relative order preserved.
     "desdb_spark.extensions.dedup",  # 2 ops — r12 PPJoin kernel rework (asymmetric prefix + positional filter + hot-key salting); dedup_exact_docs rides along (module granularity)
     "desdb_spark.extensions.dedup_curve",  # 1 op — consumes the reworked prefix_filtered_pairs (26.8s -> 13s)
     "desdb_spark.extensions.dedup_components",  # 1 op — same consumer
@@ -143,14 +192,9 @@ _OP_MODULES = (
     "desdb_spark.functions.scalars",  # 5 ops — oldest-green fill (r3)
     "desdb_spark.streaming.windows",  # 5 ops — oldest-green fill (r5)
     "desdb_spark.functions.udfs",  # 4 ops — oldest-green fill (r5)
-    "desdb_spark.operators.scans",  # 4 ops — oldest-green fill (r5); slot 50
-    # --- end of r12 window. Everything below holds a driver row from
-    # the round named in SURVEY §2C (the r11 window modules lead — their
-    # rows are CORRECTNESS_r11-fresh), code unchanged since, re-proven at
-    # HEAD by the committed full-registry selfcheck logs; prior relative
-    # order preserved.
-    "desdb_spark.extensions.dedup_near",
-    "desdb_spark.extensions.retrieval_ext2",
+    "desdb_spark.operators.scans",  # 4 ops — oldest-green fill (r5); was slot 50 in r12
+    # (historical r12-window boundary — the comment block above lists
+    # those modules; the r11-and-earlier tail continues below.)
     "desdb_spark.extensions.classifier_ext",
     "desdb_spark.extensions.bpe_train",
     "desdb_spark.extensions.retrieval_ext3",
@@ -177,7 +221,6 @@ _OP_MODULES = (
     "desdb_spark.operators.joins",
     "desdb_spark.operators.aggregates_ext",
     "desdb_spark.functions.paths",
-    "desdb_spark.sources.lake",  # displaced r12-late by graph_pagerank (changed > oldest); its join_bucketed_colocated row stays r4-vintage — first fill candidate for r13
     "desdb_spark.extensions.multimodal_decode",
     "desdb_spark.extensions.multimodal_ext",
     "desdb_spark.extensions.dedup_semantic",
@@ -237,7 +280,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.boilerplate_ext",
     "desdb_spark.extensions.seasonal_ext",
     "desdb_spark.operators.asof_ext",
-    "desdb_spark.sources.pyds_sink",
     "desdb_spark.extensions.sampling_ext2",
     "desdb_spark.extensions.bot_ext",
     "desdb_spark.extensions.decontam_ext",
@@ -277,7 +319,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.ann_eval",
     "desdb_spark.sources.lake_ext",
     "desdb_spark.operators.relational_ext10",
-    "desdb_spark.extensions.pipeline_ext",
     "desdb_spark.operators.diagnostics",
     "desdb_spark.sources.ingest_ext",
     "desdb_spark.plans.lineage",
@@ -291,13 +332,6 @@ _OP_MODULES = (
     "desdb_spark.operators.relational_ext",
     "desdb_spark.operators.relational_ext7",
     "desdb_spark.extensions.text_ext",
-    "desdb_spark.operators.relational_ext2",
-    "desdb_spark.operators.relational_ext3",
-    "desdb_spark.extensions.pipeline_analytics",
-    "desdb_spark.operators.relational_ext4",
-    "desdb_spark.extensions.corpus_timeseries",
-    "desdb_spark.operators.relational_ext5",
-    "desdb_spark.extensions.training_prep",
     "desdb_spark.operators.temporal",
     "desdb_spark.extensions.quality_ext",
     "desdb_spark.operators.joins_ext",

@@ -1,0 +1,100 @@
+"""Pin bench.py's driver-parseable output framing (VERDICT r12 item 1).
+
+The external driver keeps the LAST ~2000 characters of bench stdout and
+parses the FINAL line as JSON; BENCH_r12.json recorded ``parsed: null``
+because the single detail line outgrew that window. These tests pin the
+compact-final-line contract against worst-case field widths so suite
+growth can never silently overrun the window again, and pin the
+baseline-ratio constants against BASELINE.md so they cannot drift.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _worst_case_result(with_errors: bool) -> dict:
+    # Every float rendered at its widest plausible repr (xxx.xxxx) and
+    # every suite at its full current size.
+    queries = {name: 123.4567 for name in bench.HEADLINE}
+    result = {
+        "metric": "headline_suite_warm_median_total",
+        "value": 1357.9024,
+        "unit": "sec",
+        "queries": {**queries, **({"join_anti_error": "X" * 300} if with_errors else {})},
+        "headline_dispersion": {
+            k: {"min": 111.1111, "max": 999.9999} for k in queries
+        },
+        "queries_floor_adj": {k: 123.4567 for k in queries},
+        "value_floor_adj": 1357.9024,
+        "sf": 0.1,
+        "floor_sec": 0.1575,
+        "cold_first_action_sec": 1.1519,
+        "floor_after_sec": 0.0652,
+        "baseline_total_sec": 0.7867,
+        "ratio_floor_adj": 1.726,
+        "llm_queries": {name: 123.4567 for name in bench.LLM_SUITE},
+        "llm_dispersion": {
+            k: {"min": 111.1111, "max": 999.9999} for k in bench.LLM_SUITE
+        },
+        "llm_total_sec": 864.1975,
+        "llm_queries_sf1": {name: 123.4567 for name in bench.LLM_SF1_SUITE},
+        "llm_sf1_dispersion": {
+            k: {"min": 111.1111, "max": 999.9999} for k in bench.LLM_SF1_SUITE
+        },
+        "llm_sf1_total_sec": 740.7404,
+        "lake_queries": {name: 123.4567 for name in bench.LAKE_SUITE},
+        "lake_total_sec": 370.3702,
+        "ambient_load_warning": True,
+        "floor_ratio_vs_historical": 1.43,
+    }
+    if with_errors:
+        result["op_errors"] = [f"{'y' * 60}_{i}_error" for i in range(8)]
+    return result
+
+
+def test_compact_line_fits_driver_window():
+    for with_errors in (False, True):
+        compact = bench.compact_line(_worst_case_result(with_errors))
+        line = json.dumps(compact)
+        assert len(line) <= bench.COMPACT_LINE_CAP, (with_errors, len(line))
+        # The driver contract keys survive compaction.
+        for key in ("metric", "value", "unit", "sf", "floor_sec"):
+            assert key in compact, key
+        # Floor attribution (VERDICT r12 item 4) survives compaction.
+        for key in ("value_floor_adj", "ratio_floor_adj", "floor_after_sec"):
+            assert key in compact, key
+        assert json.loads(line) == compact
+
+
+def test_compact_line_keeps_headline_queries_when_clean():
+    compact = bench.compact_line(_worst_case_result(with_errors=False))
+    # All 11 headline cells present as floats; error strings never leak in.
+    assert set(compact["queries"]) == set(bench.HEADLINE)
+    assert all(isinstance(v, float) for v in compact["queries"].values())
+
+
+def test_compact_drop_order_sheds_sf1_before_headline():
+    result = _worst_case_result(with_errors=True)
+    # Inflate the error payload until something must be dropped.
+    result["op_errors"] = ["z" * 290 for _ in range(8)]
+    compact = bench.compact_line(result)
+    assert len(json.dumps(compact)) <= bench.COMPACT_LINE_CAP
+    # Headline queries are the last thing to go.
+    assert "queries" in compact
+
+
+def test_baseline_constants_match_baseline_md():
+    """BASELINE_HEADLINE_SEC mirrors BASELINE.md's measured table."""
+    text = open(os.path.join(REPO, "BASELINE.md")).read()
+    section = text.split("## Measured baseline", 1)[1].split("## ", 1)[0]
+    parsed = {}
+    for m in re.finditer(r"\| `(\w+)`[^|]* \| ([\d .]+) \|", section):
+        parsed[m.group(1)] = round(float(m.group(2).replace(" ", "")) / 1000, 4)
+    assert parsed == bench.BASELINE_HEADLINE_SEC

@@ -187,70 +187,69 @@ def test_registry_order_import_pollution_proof():
     assert len(clean) == len(all_operators())
 
 
-#: The r12 driver window, frozen (VERDICT r11 item 1 + ADVICE r11
-#: item 2): the external driver hash-checks exactly the first 50
-#: registered ops, so a refactor that reshuffles registration order
-#: silently changes WHAT GETS VERIFIED — the r4 regression class. Any
-#: intentional rotation must edit this list in the same commit that
-#: edits _OP_MODULES. Slot priority (standing): changed-since-checked >
-#: never-checked (none remain after r11) > oldest-green. 12 slots for
-#: the r12-changed plans (the PPJoin kernel rework and its consumers,
-#: DSIR null-safe scoring, IVF persisted fit) plus the two r11-changed
-#: ops whose rows predated the change; 37 oldest-green fills (the r3
-#: relational core, the r5 streaming/UDF/scan tier). r12-late swap:
-#: graph_pagerank_topk's plan rework (edges checkpointed once, dangling
-#: flag in the rank frame, one job/round) displaced the
-#: join_bucketed_colocated r4 fill — changed > oldest, the ADVICE r11
-#: item 2 rule; the lake op is the first fill candidate for r13.
-R12_WINDOW = [
-    "dedup_exact_docs", "dedup_ngram_jaccard",
-    "dedup_jaccard_retention_curve", "dedup_cluster_components",
-    "dedup_minhash_eval", "docs_dsir_importance_weights",
-    "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
-    "dedup_embedding_cosine", "ann_ivf_kmeans", "ann_lsh_bucketed",
-    "dedup_containment_ngram", "graph_pagerank_topk",
-    "agg_hash_groupby_q1", "agg_multi_stats", "agg_distinct_runs",
-    "agg_count_distinct", "agg_having", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_approx_count_distinct", "window_ranking",
-    "window_analytic_lag_lead", "window_frame_rows", "window_frame_range",
-    "window_distribution", "sort_multi_key", "topk_limit",
-    "set_union_all", "set_intersect", "set_except", "scalar_string_funcs",
-    "scalar_date_funcs", "scalar_math_funcs", "scalar_json_events",
-    "scalar_array_funcs", "stream_tumbling_window",
-    "stream_sliding_window", "stream_session_window",
-    "stream_dedup_stateful", "stream_late_data_watermark",
-    "udf_scalar_pandas", "udaf_grouped_zscore", "udtf_explode_unnest",
-    "udtf_python_sentences", "scan_parquet_full",
-    "scan_projection_pushdown", "scan_predicate_pushdown",
-    "schema_describe",
+#: The r13 driver window, frozen (VERDICT r12 item 2): the external
+#: driver hash-checks exactly the first 50 registered ops, so a
+#: refactor that reshuffles registration order silently changes WHAT
+#: GETS VERIFIED — the r4 regression class. Any intentional rotation
+#: must edit this list in the same commit that edits _OP_MODULES.
+#: Slot priority (standing): changed-since-checked > never-checked
+#: (none remain) > oldest-green. 11 slots for changed plans without
+#: driver rows on them (the r13 bm25 rework; the r12c shingle-kernel
+#: consumers dedup_near_minhash / corpus_contamination_ngram /
+#: text_bigram_topk and their module riders; the r12 Arrow DataSource
+#: sink) and 39 r4-vintage oldest-green fills led by the promised
+#: join_bucketed_colocated (see the registry rationale block for the
+#: remaining-backlog arithmetic: 27 pre-r6 rows remain, all unchanged
+#: since their green round and re-proven by the HEAD selfcheck logs).
+R13_WINDOW = [
+    "text_bm25_search",
+    "dedup_near_minhash", "dedup_simhash",
+    "corpus_contamination_ngram", "docs_pii_scrub_stats",
+    "sink_python_datasource",
+    "text_tfidf_topk", "text_bigram_topk", "events_transition_matrix",
+    "events_daily_ewma", "emb_dim_stats",
+    "join_bucketed_colocated",
+    "subq_exists_q4", "scan_agg_q6", "join_two_dim_pair_q7",
+    "agg_conditional_share_q14", "subq_scalar_per_group_q17",
+    "subq_having_in_q18", "filter_disjunctive_q19",
+    "subq_scalar_antijoin_q22", "window_time_range_rolling",
+    "subq_corr_min_q2", "agg_market_share_q8",
+    "agg_profit_nation_year_q9", "subq_global_threshold_q11",
+    "agg_priority_class_q12", "agg_supplier_cnt_q16",
+    "subq_nested_semijoin_q20", "subq_self_exists_q21",
+    "tpch_q13_custdist", "tpch_q15_top_supplier", "agg_histogram_bins",
+    "agg_mode_per_group", "window_monthly_growth",
+    "analytics_rfm_segments",
+    "events_funnel_conversion", "events_retention_cohort",
+    "text_word_topk_per_lang", "emb_label_centroid_cosine",
+    "sink_partitioned_parquet", "events_minute_gapfill",
+    "profile_table_summary",
+    "sample_stratified_docs", "split_train_valid_test",
+    "docs_pack_sequences", "corpus_mix_weights",
+    "docs_token_budget_select",
+    "join_full_outer", "agg_corr_covar", "scalar_conditional_funcs",
 ]
 
-#: Rows-only ops inside the r12 window — all module riders of hash ops
-#: that must be in the window (ann_ivf_kmeans is itself an r12-changed
-#: plan; the other three ride their r3/r5 fill modules). Their property
-#: evidence is pinned per op in tools/gen_survey_status.ROWS_ONLY_EVIDENCE.
-_R12_ROWS_ONLY = {
-    "agg_approx_count_distinct", "ann_ivf_kmeans", "schema_describe",
-    "stream_late_data_watermark",
-}
+#: Rows-only ops inside the r13 window — module riders of ops that must
+#: be in the window. Their property evidence is pinned per op in
+#: tools/gen_survey_status.ROWS_ONLY_EVIDENCE.
+_R13_ROWS_ONLY = set()
 
 
-def test_r12_window_pinned():
+def test_r13_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R12_WINDOW, (
-        "driver window drifted from the documented r12 rotation plan; "
-        "if intentional, update R12_WINDOW in the same commit"
+    assert window == R13_WINDOW, (
+        "driver window drifted from the documented r13 rotation plan; "
+        "if intentional, update R13_WINDOW in the same commit"
     )
     # Rows-only slots are limited to the documented rider set — any
     # OTHER rows-only op appearing in the window wastes a hash slot.
     ops = all_operators()
     rows_only = {n for n in window if ops[n].oracle is None}
-    assert rows_only == _R12_ROWS_ONLY, (
+    assert rows_only == _R13_ROWS_ONLY, (
         f"unexpected rows-only window occupancy: "
-        f"{sorted(rows_only ^ _R12_ROWS_ONLY)}"
+        f"{sorted(rows_only ^ _R13_ROWS_ONLY)}"
     )
-
-
 
 
 def test_weyl_oracles_cast_phi_to_double():
