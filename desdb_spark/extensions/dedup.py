@@ -508,7 +508,13 @@ def ngram_jaccard(
     it, as every current caller does). The union size is derived as
     |A|+|B|−|A∩B|, and ``F.size`` counts duplicates where the old
     ``array_union`` deduplicated — a duplicate-carrying frame would
-    silently inflate the denominator and drop qualifying pairs."""
+    silently inflate the denominator and drop qualifying pairs.
+    ``distinct_set_violations`` is the matching guard (ADVICE r12):
+    production plans stay untouched (array_distinct-ing an
+    already-distinct array would churn every consumer's executed plan
+    for a no-op), and tests/test_extensions.py runs the guard against
+    each caller's ``sets_df`` construction so a future duplicate-
+    carrying caller reds there instead of silently dropping pairs."""
     if sets_df is None:
         ids = (
             pairs.select(F.col("id_a").alias("doc_id"))
@@ -542,6 +548,19 @@ def ngram_jaccard(
             "id_b",
             (F.col("i") / (F.col("s") - F.col("i"))).alias("jaccard"),
         )
+    )
+
+
+def distinct_set_violations(sets_df: DataFrame, col: str = "sh") -> int:
+    """Count rows whose ``col`` array carries duplicates — the
+    ``ngram_jaccard`` precondition check (ADVICE r12). One cheap
+    aggregate; 0 = the frame is a valid set frame. Kept OUT of the
+    production path so compliant callers' plans don't pay (or churn
+    for) an idempotent re-distinct; tests run it per caller."""
+    return (
+        sets_df.where(F.size(col) != F.size(F.array_distinct(col)))
+        .limit(1)
+        .count()
     )
 
 

@@ -46,6 +46,15 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = _COMP_CACHE.get(key)
     if df is None:
+        # Evict prior fingerprints of the same (app, table) before
+        # inserting (ADVICE r12): a fixture rewrite changes the
+        # fingerprint, and without eviction the superseded entry keeps
+        # its localCheckpoint blocks pinned on executors for the app
+        # lifetime — a slow leak in long sessions that rewrite tables.
+        for stale in [
+            k for k in _COMP_CACHE if k[:2] == key[:2] and k != key
+        ]:
+            del _COMP_CACHE[stale]
         d = load_table(spark, sf_dir, "documents")
         df = connected_components(dup_edges(d)).localCheckpoint()
         _COMP_CACHE[key] = df

@@ -105,11 +105,30 @@ def hof_lambda_recomputed_sources(df: DataFrame) -> list[str]:
     Known limitation: the body is found by paren-depth scanning of the
     plan STRING, and literals print unescaped — a string literal
     containing an unbalanced paren can close the body early (missed
-    offender) or overrun it (bounded by ``_HOF_BODY_CAP``, flagged
-    loudly at test time rather than silently). No registered op carries
-    such a literal; a new one that does should audit itself explicitly.
+    offender) or overrun it (bounded by ``_HOF_BODY_CAP``; on overrun a
+    ``UNPARSEABLE_LAMBDA_BODY`` sentinel offender is appended so the
+    fleet-wide test REDS instead of quietly scanning a truncated
+    window — ADVICE r12). No registered op carries such a literal; a
+    new one that does should audit itself explicitly.
+
+    Rendering (ADVICE r12): ``toString()`` truncates wide node field
+    lists at ``spark.sql.debug.maxToStringFields`` (default 25) with an
+    "... N more fields" elision — a lambda body hidden inside a
+    truncated projection list would be silently missed. The conf is
+    read dynamically at render time, so it is raised around the render
+    and restored after.
     """
-    plan = df._jdf.queryExecution().analyzed().toString()
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    old = conf.get(key, None)
+    conf.set(key, "1000000")
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
     marker = "lambdafunction("
     offenders: list[str] = []
     i = 0
@@ -126,6 +145,11 @@ def hof_lambda_recomputed_sources(df: DataFrame) -> list[str]:
             elif plan[m] == ")":
                 depth -= 1
             m += 1
+        if depth:
+            # Cap overrun: the window closed before the body did. Red
+            # loudly — a truncated scan is a false NEGATIVE in waiting.
+            if "UNPARSEABLE_LAMBDA_BODY" not in offenders:
+                offenders.append("UNPARSEABLE_LAMBDA_BODY")
         body = plan[k : m - 1]
         for s in _HOF_RECOMPUTED_SOURCES:
             if s in body and s not in offenders:

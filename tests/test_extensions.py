@@ -459,3 +459,28 @@ def test_shingles_zipwith_matches_transform_reference(spark):
                 reference(F.col("text"), n).alias("want"),
             ).where(~F.col("got").eqNullSafe(F.col("want")))
             assert bad.count() == 0, f"n={n}: {bad.take(3)}"
+
+
+def test_ngram_jaccard_distinct_precondition_guard(spark):
+    """ADVICE r12: ngram_jaccard derives |A∪B| as |A|+|B|−|A∩B|, which is
+    only the union size for DUPLICATE-FREE arrays. The guard counts
+    violating rows without touching the production plan; it must red on
+    a planted duplicate-carrying frame and clear both real sets_df
+    constructions (ngram_jaccard's internal path and dedup_eval's
+    checkpointed superset frame)."""
+    from desdb_spark.extensions import dedup
+
+    planted = spark.createDataFrame(
+        [(1, ["a b c", "a b c", "b c d"]), (2, ["x y z"])],
+        "id bigint, sh array<string>",
+    )
+    assert dedup.distinct_set_violations(planted) == 1
+
+    from desdb_spark.session import load_table
+
+    d = load_table(spark, SF_DIR, "documents").limit(200)
+    internal = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(dedup.shingles(F.col("text"), 3)).alias("sh"),
+    )
+    assert dedup.distinct_set_violations(internal) == 0

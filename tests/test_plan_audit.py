@@ -396,3 +396,49 @@ def test_r12b_langid_single_pass_pinned(spark, name):
     assert "SortMergeJoin" not in plan, (
         f"{name} regressed to a shuffle join — the profile must broadcast"
     )
+
+
+def test_hof_lambda_lint_survives_wide_projections(spark):
+    """ADVICE r12: ``toString()`` elides node field lists past
+    ``spark.sql.debug.maxToStringFields`` (default 25) with an
+    "... N more fields" marker — an offender sitting past the cutoff in
+    a wide projection was silently missed. The lint now raises the conf
+    around the render; plant the offender at column ~60 of a wide
+    select and require the lint to still fire (and the session conf to
+    come back unchanged)."""
+    from pyspark.sql import functions as F
+
+    from desdb_spark.plans.audit import hof_lambda_recomputed_sources
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    toks = F.split("text", " ")
+    wide = df.select(
+        *[F.lit(i).alias(f"pad_{i}") for i in range(60)],
+        F.transform(toks, lambda _, i: F.slice(toks, i + 1, 2)).alias("x"),
+    )
+    key = "spark.sql.debug.maxToStringFields"
+    before = spark.conf.get(key, None)
+    assert hof_lambda_recomputed_sources(wide) == ["split("]
+    assert spark.conf.get(key, None) == before
+
+
+def test_hof_lambda_lint_reds_on_unparseable_body(spark):
+    """ADVICE r12: a lambda body that outruns the scan cap used to be
+    scanned truncated (minus its last character) with no signal — a
+    false negative in waiting. The lint now appends the
+    UNPARSEABLE_LAMBDA_BODY sentinel so the fleet-wide test reds."""
+    import desdb_spark.plans.audit as audit
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    toks = F.split("text", " ")
+    bad = df.select(
+        F.transform(toks, lambda _, i: F.slice(toks, i + 1, 2)).alias("x")
+    )
+    orig = audit._HOF_BODY_CAP
+    audit._HOF_BODY_CAP = 10  # force the overrun on any real body
+    try:
+        offenders = audit.hof_lambda_recomputed_sources(bad)
+    finally:
+        audit._HOF_BODY_CAP = orig
+    assert "UNPARSEABLE_LAMBDA_BODY" in offenders
