@@ -481,6 +481,7 @@ def main() -> None:
     # warm run to separate (the first run's JVM warmup is already paid
     # by the suites above).
     lake_timings: dict[str, float] = {}
+    lake_dispersion: dict[str, dict] = {}
     for name in LAKE_SUITE:
 
         def _run(name=name):
@@ -492,9 +493,14 @@ def main() -> None:
                 ops[name].fn(spark, sf_dir).toPandas()
                 runs.append(time.perf_counter() - t0)
             lake_timings[name] = round(min(runs), 4)
+            lake_dispersion[name] = {
+                "min": round(min(runs), 4),
+                "max": round(max(runs), 4),
+            }
 
         _guard(lake_timings, name, _run)
     result["lake_queries"] = lake_timings
+    result["lake_dispersion"] = lake_dispersion
     result["lake_total_sec"] = _fsum(lake_timings)
 
     # Post-run floor: catches load that arrived DURING the timing loop.

@@ -50,6 +50,9 @@ def _worst_case_result(with_errors: bool) -> dict:
         },
         "llm_sf1_total_sec": 740.7404,
         "lake_queries": {name: 123.4567 for name in bench.LAKE_SUITE},
+        "lake_dispersion": {
+            k: {"min": 111.1111, "max": 999.9999} for k in bench.LAKE_SUITE
+        },
         "lake_total_sec": 370.3702,
         "ambient_load_warning": True,
         "floor_ratio_vs_historical": 1.43,
