@@ -34,6 +34,28 @@ def test_oracle_sql_parses_in_duckdb():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
+    # ann_pq_codebook_stats' oracle reads the op's own exported
+    # assignment table — in the differential harness the op always runs
+    # first and writes it, but THIS bind-only test never runs ops, so a
+    # clean environment needs a schema-shaped seed file for read_parquet
+    # to infer from (the seed is overwritten by any real run).
+    import os
+
+    from desdb_spark.extensions.ann_pq import PQ_EXPORT_DIR, PQ_M
+
+    if not any(
+        f.endswith(".parquet")
+        for f in (os.listdir(PQ_EXPORT_DIR) if os.path.isdir(PQ_EXPORT_DIR) else [])
+    ):
+        os.makedirs(PQ_EXPORT_DIR, exist_ok=True)
+        cols = ", ".join(
+            ["CAST(0 AS BIGINT) AS vec_id"]
+            + [f"CAST(0 AS INT) AS code_{m}" for m in range(PQ_M)]
+            + [f"CAST(0 AS BIGINT) AS err_micros_{m}" for m in range(PQ_M)]
+        )
+        con.execute(
+            f"COPY (SELECT {cols}) TO '{PQ_EXPORT_DIR}/seed.parquet' (FORMAT PARQUET)"
+        )
     for name, op in all_operators().items():
         if op.oracle:
             try:
