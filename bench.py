@@ -451,10 +451,32 @@ def main() -> None:
 
             build_derived()
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+            # r13 measurement hygiene: the sf0.1 LLM suite just churned
+            # the shared JVM (the retention curve's multi-M-row shuffles
+            # + accumulated checkpoint blocks), and the arm's first
+            # timed cells were eating its GC debt — bm25's committed
+            # max dispersion read 2.0-2.2 s against a 0.67-0.95 steady
+            # state, purely from run position. One explicit full GC at
+            # the suite boundary plus TWO untimed warm runs per cell
+            # (JIT tier-up on the new dataset's codegen takes a few
+            # executions to settle) reads steady-state re-execution,
+            # which is what the DuckDB warm-median baseline measures.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — hygiene must never kill the run
+                pass
+            # Arm-local floor: ambient load swings on minute timescales
+            # on this shared machine, so the floor measured at suite
+            # start can misattribute an arm that ran 10 minutes later.
+            # One attempt — this is attribution, not the self-defense
+            # loop the headline floor runs.
+            result["llm_sf1_floor_sec"] = measure_floor(spark, attempts=1)
+            _flush(result)
             for name in LLM_SF1_SUITE:
 
                 def _run(name=name):
-                    ops[name].fn(spark, DERIVED).toPandas()  # warm codegen
+                    for _ in range(2):
+                        ops[name].fn(spark, DERIVED).toPandas()  # warm
                     runs = []
                     for _ in range(LLM_SF1_RUNS):
                         t0 = time.perf_counter()
