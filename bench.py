@@ -18,9 +18,11 @@ Output framing (r13 — VERDICT r12 item 1): the external driver keeps only
 the LAST ~2000 characters of stdout and parses the FINAL line as JSON; the
 r12 run's single detail line grew past that window and the round recorded
 ``parsed: null``. The full detail dict is now (a) written to
-``BENCH_DETAIL.json`` next to this file and (b) printed as an EARLY stdout
-line, while the final stdout line is a COMPACT summary built by
-``compact_line()`` and hard-capped below the window
+``BENCH_DETAIL.json`` next to this file and (b) printed as the PENULTIMATE
+stdout line (it may be truncated in the tail capture — the committed file
+is the readable copy), while the final stdout line is a COMPACT summary
+built by ``compact_line()`` and hard-capped well below the window so the
+truncated detail ahead of it can never push it out
 (tests/test_bench_emit.py pins the cap against worst-case field widths):
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
      "floor_sec": F, "value_floor_adj": ..., "ratio_floor_adj": ..., ...}
@@ -167,13 +169,14 @@ DETAIL_PATH = os.path.join(
 def compact_line(result: dict) -> dict:
     """Reduce the full detail dict to the driver-parseable final line.
 
-    Keeps the driver contract keys (metric/value/unit/queries/sf) plus
-    the floor-attribution and per-suite totals; per-cell dispersion and
-    the sf1 cells live in BENCH_DETAIL.json. Fields are dropped
-    lowest-value-first if the serialized line would exceed
-    COMPACT_LINE_CAP (it does not at current suite sizes —
-    tests/test_bench_emit.py proves the margin with worst-case widths).
-    """
+    Keeps the driver contract keys (metric/value/unit/queries/sf), the
+    floor-attribution fields, per-suite totals, and the sf1 per-cell
+    MEDIANS (the judged scale arm rides the final line; its min/max
+    dispersion and every other suite's cells live in
+    BENCH_DETAIL.json). Fields are dropped lowest-value-first if the
+    serialized line would exceed COMPACT_LINE_CAP (it does not at
+    current suite sizes — tests/test_bench_emit.py proves the margin
+    with worst-case widths)."""
     headline = {
         k: v for k, v in result.get("queries", {}).items() if isinstance(v, float)
     }
@@ -542,9 +545,10 @@ def main() -> None:
         result["ambient_load_warning"] = True
         result["floor_ratio_vs_historical"] = floor_ratio
     _flush(result)
-    # Full detail: committed file + an early stdout line (both safely
-    # outside the driver's final-line parse). The LAST stdout line is the
-    # compact summary the driver records — never the detail dict again.
+    # Full detail: committed file + a penultimate stdout line (the tail
+    # capture may truncate the latter — the file is the readable copy).
+    # The LAST stdout line is the compact summary the driver parses;
+    # its hard cap guarantees the truncated detail cannot push it out.
     try:
         with open(DETAIL_PATH, "w") as fh:
             json.dump(result, fh, indent=1)

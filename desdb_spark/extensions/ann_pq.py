@@ -139,6 +139,15 @@ def pq_assign(vecs: DataFrame, books) -> DataFrame:
 #: seeded iterative fit; exporting the assignments and differentially
 #: verifying everything downstream of them is the strongest check
 #: available — VERDICT r12 item 5).
+#:
+#: SEQUENTIAL-HARNESS ASSUMPTION: the path is fixed (the oracle is a
+#: static SQL string, so it cannot vary by sf or session), which means
+#: two harness processes interleaving op and oracle (e.g. a selfcheck
+#: and a pytest run in parallel) can cross-read each other's export.
+#: Every harness here runs ops sequentially (tools/selfcheck.py runs
+#: fn before oracle per op; the driver does the same at sf0.01), and
+#: the differential gates are never run concurrently by convention —
+#: run them back to back, not side by side.
 PQ_EXPORT_DIR = "/tmp/desdb_spark_pq_assign"
 
 
@@ -156,24 +165,24 @@ def _pq_oracle() -> str:
         for m in range(PQ_M)
     )
     total_sum = " + ".join(f"sum(err_micros_{m})" for m in range(PQ_M))
+    # The hashed frame carries ONLY exact integers. An earlier draft also
+    # emitted round(err_micros/n/1e6, 6) on both engines — empirically
+    # ~0.1% of (sum, n) combinations straddle the 7th-decimal HALF_UP
+    # boundary differently between Spark's BigDecimal rounding and
+    # DuckDB's binary-double rounding (the dsir r10 hash-red class), so
+    # the derived mean stays OUT of the hash; consumers divide locally.
     return f"""
         WITH a AS (
             SELECT * FROM read_parquet('{PQ_EXPORT_DIR}/*.parquet')
         ), n AS (
             SELECT CAST(count(*) AS BIGINT) AS n_vec FROM a
-        ), u AS (
-            {per}
-            UNION ALL
-            SELECT -1 AS subspace,
-                   (SELECT n_vec FROM n) AS codes_used,
-                   CAST({total_sum} AS BIGINT) AS err_micros
-            FROM a
         )
-        SELECT subspace, codes_used, err_micros,
-               round(CAST(err_micros AS DOUBLE)
-                     / (SELECT n_vec FROM n) / 1000000, 6)
-                   AS mean_distortion
-        FROM u
+        {per}
+        UNION ALL
+        SELECT -1 AS subspace,
+               (SELECT n_vec FROM n) AS codes_used,
+               CAST({total_sum} AS BIGINT) AS err_micros
+        FROM a
         ORDER BY subspace
     """
 
@@ -181,18 +190,21 @@ def _pq_oracle() -> str:
 @register("ann_pq_codebook_stats", oracle=_pq_oracle(), group="ann_pq")
 def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize the embedding table with the fitted PQ codebooks and
-    report, per subspace, the code-usage cardinality, the EXACT integer
-    distortion sum in micro-units, and the derived mean squared
-    distortion, plus the overall (-1) reconstruction row — the numbers
-    an index operator watches when sizing M and K.
+    report, per subspace, the code-usage cardinality and the EXACT
+    integer distortion sum in micro-units, plus the overall (-1)
+    reconstruction row — the numbers an index operator watches when
+    sizing M and K (mean distortion = err_micros / n_vec / 1e6, derived
+    by consumers; the -1 row's codes_used IS n_vec).
 
     Hash-oracle design (r13, VERDICT r12 item 5 — this op was the
     rows-only weak spot two rounds running): per-row distortion is
     rounded ONCE to integer micros Spark-side, the full assignment
     table is exported to ``PQ_EXPORT_DIR``, and the report is computed
     FROM that export — the DuckDB oracle re-aggregates the same stored
-    bigints, so counts and sums are exact-integer on both engines and
-    ``mean_distortion`` is a single identical double division. The
+    bigints, so every hashed cell is exact-integer on both engines (a
+    derived round(sum/n, 6) double was removed from the hash: ~0.1% of
+    integer (sum, n) combinations round differently between Spark's
+    BigDecimal HALF_UP and DuckDB's binary-double rounding). The
     k-means fit itself (not SQL-replayable) stays covered by the
     pinned distortion/recall property tests in tests/test_ann_pq.py.
 
@@ -248,15 +260,7 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return (
-        wide.select(F.col("n_vec"), F.explode(F.array(*rows)).alias("s"))
-        .select(
-            "s.subspace",
-            "s.codes_used",
-            "s.err_micros",
-            F.round(
-                F.col("s.err_micros").cast("double") / F.col("n_vec") / 1_000_000,
-                6,
-            ).alias("mean_distortion"),
-        )
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.subspace", "s.codes_used", "s.err_micros")
         .orderBy("subspace")
     )

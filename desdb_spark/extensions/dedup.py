@@ -552,11 +552,12 @@ def ngram_jaccard(
 
 
 def distinct_set_violations(sets_df: DataFrame, col: str = "sh") -> int:
-    """Count rows whose ``col`` array carries duplicates — the
-    ``ngram_jaccard`` precondition check (ADVICE r12). One cheap
-    aggregate; 0 = the frame is a valid set frame. Kept OUT of the
-    production path so compliant callers' plans don't pay (or churn
-    for) an idempotent re-distinct; tests run it per caller."""
+    """Return 1 if ANY row's ``col`` array carries duplicates, else 0 —
+    the ``ngram_jaccard`` precondition check (ADVICE r12). A bounded
+    probe (``limit(1)`` before the count — finding one witness is
+    enough and stops the scan early), NOT a violation count. Kept OUT
+    of the production path so compliant callers' plans don't pay (or
+    churn for) an idempotent re-distinct; tests run it per caller."""
     return (
         sets_df.where(F.size(col) != F.size(F.array_distinct(col)))
         .limit(1)

@@ -48,9 +48,12 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         # Evict prior fingerprints of the same (app, table) before
         # inserting (ADVICE r12): a fixture rewrite changes the
-        # fingerprint, and without eviction the superseded entry keeps
-        # its localCheckpoint blocks pinned on executors for the app
-        # lifetime — a slow leak in long sessions that rewrite tables.
+        # fingerprint, and the dict reference kept the superseded
+        # frame's localCheckpoint blocks REACHABLE forever — a leak in
+        # long sessions that rewrite tables. Dropping the reference
+        # makes the blocks collectable (py4j finalizer → JVM GC →
+        # ContextCleaner); actual freeing happens at the next GC cycle,
+        # which is the bound Spark itself offers for checkpoint blocks.
         for stale in [
             k for k in _COMP_CACHE if k[:2] == key[:2] and k != key
         ]:

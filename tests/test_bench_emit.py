@@ -93,6 +93,14 @@ def test_compact_drop_order_sheds_sf1_before_headline():
     assert "queries" in compact
 
 
+def test_headline_and_baseline_keys_in_parity():
+    """ratio_floor_adj divides value_floor_adj (summed over ALL timed
+    headline cells) by baseline_total (summed over cells present in
+    BASELINE_HEADLINE_SEC) — a 12th HEADLINE op without a BASELINE.md
+    row would silently inflate the ratio. Pin exact key parity."""
+    assert set(bench.HEADLINE) == set(bench.BASELINE_HEADLINE_SEC)
+
+
 def test_baseline_constants_match_baseline_md():
     """BASELINE_HEADLINE_SEC mirrors BASELINE.md's measured table."""
     text = open(os.path.join(REPO, "BASELINE.md")).read()

@@ -484,3 +484,16 @@ def test_ngram_jaccard_distinct_precondition_guard(spark):
         F.array_distinct(dedup.shingles(F.col("text"), 3)).alias("sh"),
     )
     assert dedup.distinct_set_violations(internal) == 0
+    # dedup_eval's checkpointed superset frame — the one external
+    # caller passing sets_df — replicated pre-checkpoint (a checkpoint
+    # cannot reintroduce duplicates, and the construction expression is
+    # what a future edit would break).
+    ids = d.select(F.col("doc_id")).limit(50)
+    eval_frame = (
+        d.join(ids, "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(dedup.shingles(F.col("text"), 3)).alias("sh"),
+        )
+    )
+    assert dedup.distinct_set_violations(eval_frame) == 0

@@ -40,13 +40,30 @@ def test_oracle_sql_parses_in_duckdb():
     # clean environment needs a schema-shaped seed file for read_parquet
     # to infer from (the seed is overwritten by any real run).
     import os
+    import shutil
 
     from desdb_spark.extensions.ann_pq import PQ_EXPORT_DIR, PQ_M
 
-    if not any(
-        f.endswith(".parquet")
-        for f in (os.listdir(PQ_EXPORT_DIR) if os.path.isdir(PQ_EXPORT_DIR) else [])
-    ):
+    def _export_is_current() -> bool:
+        files = (
+            os.listdir(PQ_EXPORT_DIR) if os.path.isdir(PQ_EXPORT_DIR) else []
+        )
+        if not any(f.endswith(".parquet") for f in files):
+            return False
+        # A PQ_M change leaves a stale-schema export behind; probe the
+        # last expected column so the seed is rewritten when geometry
+        # changes instead of failing the bind below.
+        try:
+            con.execute(
+                f"SELECT code_{PQ_M - 1}, err_micros_{PQ_M - 1} FROM "
+                f"read_parquet('{PQ_EXPORT_DIR}/*.parquet') LIMIT 0"
+            )
+            return True
+        except Exception:  # noqa: BLE001 — any mismatch means reseed
+            return False
+
+    if not _export_is_current():
+        shutil.rmtree(PQ_EXPORT_DIR, ignore_errors=True)
         os.makedirs(PQ_EXPORT_DIR, exist_ok=True)
         cols = ", ".join(
             ["CAST(0 AS BIGINT) AS vec_id"]
