@@ -10,17 +10,49 @@ from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
 
+#: Exported per-query evaluation table — same design, caveats, and
+#: SEQUENTIAL-HARNESS ASSUMPTION as ann_pq.PQ_EXPORT_DIR (static path
+#: because the oracle is a static SQL string; harnesses run
+#: op-then-oracle sequentially, never concurrently).
+EVAL_EXPORT_DIR = "/tmp/desdb_spark_ann_eval"
 
-@register("ann_recall_report", group="ann_eval")  # rows-only: derived from ANN tiers
+_EVAL_ORACLE = f"""
+    WITH a AS (
+        SELECT * FROM read_parquet('{EVAL_EXPORT_DIR}/*.parquet')
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(ivf_nn) AS BIGINT) AS n_evaluated,
+           CAST(sum(CASE WHEN ivf_nn = exact_nn THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_match,
+           CAST(sum(CASE WHEN ivf_sim_micros IS NOT NULL
+                          AND ivf_sim_micros >= exact_sim_micros
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sim_match
+    FROM a
+"""
+
+
+@register("ann_recall_report", oracle=_EVAL_ORACLE, group="ann_eval")
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@1 of the IVF tier against exact nearest neighbors: for every
     vector, does ``ann_ivf_kmeans``'s reported neighbor match the true
     top-1 (or tie its similarity)? One summary row:
-    (n_vectors, n_evaluated, exact_match, sim_match, recall_at_1).
+    (n_vectors, n_evaluated, exact_match, sim_match) — all exact
+    integers; recall@1 = sim_match / n_evaluated, derived by consumers
+    (a rounded float ratio is deliberately NOT in the hashed frame —
+    the cross-engine round(double) divergence class).
 
-    sim_match (tie-tolerant at 6 dp — the rounding both tiers emit)
-    is the honest metric: distinct vectors at identical similarity are
-    interchangeable as "the" nearest neighbor.
+    Hash-oracle design (r13, completing VERDICT r12 item 5 across the
+    rows-only ANN trio): the joined per-query frame (vec_id, exact_nn,
+    exact_sim_micros, ivf_nn, ivf_sim_micros — similarities quantized
+    once to integer micros) is exported to ``EVAL_EXPORT_DIR`` and the
+    summary is computed FROM that export, so the DuckDB oracle
+    re-aggregates the same stored integers. What stays approximate (and
+    pytest-pinned: the ≥0.6 recall floor) is the IVF probe itself — the
+    k-means index no SQL engine can replay.
+
+    sim_match (tie-tolerant at 6 dp — integer-micro comparison of the
+    rounding both tiers emit) is the honest metric: distinct vectors at
+    identical similarity are interchangeable as "the" nearest neighbor.
 
     Scale shape: both inputs are the SAME registered IVF machinery — the
     exact side sets nprobe ≥ the cell count, which by construction
@@ -54,16 +86,26 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no neighbor for is a MISS, not a row to silently drop — recall's
     # denominator is every evaluated query, so coverage gaps show up as
     # lost recall instead of vanishing from the report.
-    joined = exact.join(approx, "vec_id", "left")
-    hit = F.col("ivf_sim").isNotNull() & (
-        F.round("ivf_sim", 6) >= F.round("exact_sim", 6)
+    def micros(col: str):
+        return F.round(F.col(col) * 1_000_000, 0).cast("bigint")
+
+    joined = exact.join(approx, "vec_id", "left").select(
+        "vec_id",
+        "exact_nn",
+        micros("exact_sim").alias("exact_sim_micros"),
+        "ivf_nn",
+        micros("ivf_sim").alias("ivf_sim_micros"),
     )
-    return joined.agg(
-        F.count("*").alias("n_vectors"),
-        F.count("ivf_nn").alias("n_evaluated"),
+    joined.write.mode("overwrite").parquet(EVAL_EXPORT_DIR)
+    a = spark.read.parquet(EVAL_EXPORT_DIR)
+    hit = F.col("ivf_sim_micros").isNotNull() & (
+        F.col("ivf_sim_micros") >= F.col("exact_sim_micros")
+    )
+    return a.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.count("ivf_nn").cast("bigint").alias("n_evaluated"),
         F.sum((F.col("ivf_nn") == F.col("exact_nn")).cast("bigint")).alias(
             "exact_match"
         ),
         F.sum(hit.cast("bigint")).alias("sim_match"),
-        F.round(F.avg(hit.cast("double")), 4).alias("recall_at_1"),
     )

@@ -91,14 +91,18 @@ _REGISTRY: dict[str, Operator] = {}
 #:     HOF-lint offender fix; the other four are r4-vintage fills, so
 #:     this module double-counts as rotation). Clears the entire
 #:     "changed-plan op riding selfcheck-only evidence" exception list
-#:     from r12 — no op carries it two rounds running. One NEW r13
-#:     exception replaces it: ann_pq_codebook_stats' fn changed in r13
-#:     (the VERDICT r12 item 5 hash-oracle rework: assignment-table
-#:     export + integer-micro census) and stays outside the window —
-#:     its 1-op module could only displace a mandated fill, and its
-#:     HEAD evidence is the committed selfcheck logs where the op is
-#:     now HASH-checked (it was rows-only before, so no driver window
-#:     slot could have matched that strength). First r14 candidate.
+#:     from r12 — no op carries it two rounds running. THREE new r13
+#:     exceptions replace it: the whole rows-only ANN trio
+#:     (ann_pq_codebook_stats, ann_query_topk, ann_recall_report)
+#:     changed fn in r13 via the VERDICT r12 item 5 hash-oracle rework
+#:     (export the assignment/candidate/evaluation table in exact
+#:     integer micros, compute the report FROM the export, let DuckDB
+#:     re-aggregate the same stored integers) and stays outside the
+#:     window — each 1-op module could only displace a mandated fill,
+#:     and their HEAD evidence is the committed selfcheck logs where
+#:     all three are now HASH-checked (they were rows-only before, so
+#:     no driver window slot could have matched that strength). First
+#:     r14 candidates.
 #:   * 39 slots, the r4-vintage backlog (VERDICT r12 item 2's rotation):
 #:     lake (join_bucketed_colocated — the promised first fill, r4 row
 #:     displaced in r12 by the pagerank swap), relational_ext3 (9),

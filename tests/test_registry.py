@@ -34,45 +34,61 @@ def test_oracle_sql_parses_in_duckdb():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    # ann_pq_codebook_stats' oracle reads the op's own exported
-    # assignment table — in the differential harness the op always runs
-    # first and writes it, but THIS bind-only test never runs ops, so a
-    # clean environment needs a schema-shaped seed file for read_parquet
-    # to infer from (the seed is overwritten by any real run).
+    # The export-table oracles (PQ census, ANN serving, ANN recall)
+    # read their op's own exported parquet — in the differential
+    # harness the op always runs first and writes it, but THIS
+    # bind-only test never runs ops, so a clean environment needs a
+    # schema-shaped seed file for read_parquet to infer from (any real
+    # run overwrites the seed). A geometry change (e.g. PQ_M) leaves a
+    # stale-schema export behind; probe the expected columns and reseed
+    # on mismatch instead of failing the bind below.
     import os
     import shutil
 
+    from desdb_spark.extensions.ann_eval import EVAL_EXPORT_DIR
     from desdb_spark.extensions.ann_pq import PQ_EXPORT_DIR, PQ_M
+    from desdb_spark.extensions.ann_serving import SERVING_EXPORT_DIR
 
-    def _export_is_current() -> bool:
-        files = (
-            os.listdir(PQ_EXPORT_DIR) if os.path.isdir(PQ_EXPORT_DIR) else []
-        )
-        if not any(f.endswith(".parquet") for f in files):
-            return False
-        # A PQ_M change leaves a stale-schema export behind; probe the
-        # last expected column so the seed is rewritten when geometry
-        # changes instead of failing the bind below.
-        try:
+    pq_cols = (
+        ["CAST(0 AS BIGINT) AS vec_id"]
+        + [f"CAST(0 AS INT) AS code_{m}" for m in range(PQ_M)]
+        + [f"CAST(0 AS BIGINT) AS err_micros_{m}" for m in range(PQ_M)]
+    )
+    exports = {
+        PQ_EXPORT_DIR: pq_cols,
+        SERVING_EXPORT_DIR: [
+            "CAST(0 AS BIGINT) AS query_id",
+            "CAST(0 AS BIGINT) AS nn_id",
+            "CAST(0 AS BIGINT) AS sim_micros",
+        ],
+        EVAL_EXPORT_DIR: [
+            "CAST(0 AS BIGINT) AS vec_id",
+            "CAST(0 AS BIGINT) AS exact_nn",
+            "CAST(0 AS BIGINT) AS exact_sim_micros",
+            "CAST(0 AS BIGINT) AS ivf_nn",
+            "CAST(0 AS BIGINT) AS ivf_sim_micros",
+        ],
+    }
+    for export_dir, cols in exports.items():
+        names = ", ".join(c.split(" AS ")[1] for c in cols)
+        files = os.listdir(export_dir) if os.path.isdir(export_dir) else []
+        current = False
+        if any(f.endswith(".parquet") for f in files):
+            try:
+                con.execute(
+                    f"SELECT {names} FROM "
+                    f"read_parquet('{export_dir}/*.parquet') LIMIT 0"
+                )
+                current = True
+            except Exception:  # noqa: BLE001 — any mismatch means reseed
+                current = False
+        if not current:
+            shutil.rmtree(export_dir, ignore_errors=True)
+            os.makedirs(export_dir, exist_ok=True)
             con.execute(
-                f"SELECT code_{PQ_M - 1}, err_micros_{PQ_M - 1} FROM "
-                f"read_parquet('{PQ_EXPORT_DIR}/*.parquet') LIMIT 0"
+                f"COPY (SELECT {', '.join(cols)}) TO "
+                f"'{export_dir}/seed.parquet' (FORMAT PARQUET)"
             )
-            return True
-        except Exception:  # noqa: BLE001 — any mismatch means reseed
-            return False
-
-    if not _export_is_current():
-        shutil.rmtree(PQ_EXPORT_DIR, ignore_errors=True)
-        os.makedirs(PQ_EXPORT_DIR, exist_ok=True)
-        cols = ", ".join(
-            ["CAST(0 AS BIGINT) AS vec_id"]
-            + [f"CAST(0 AS INT) AS code_{m}" for m in range(PQ_M)]
-            + [f"CAST(0 AS BIGINT) AS err_micros_{m}" for m in range(PQ_M)]
-        )
-        con.execute(
-            f"COPY (SELECT {cols}) TO '{PQ_EXPORT_DIR}/seed.parquet' (FORMAT PARQUET)"
-        )
     for name, op in all_operators().items():
         if op.oracle:
             try:

@@ -87,16 +87,19 @@ def test_schema_describe_pins_lineitem_schema(spark):
 
 def test_ann_recall_report_consistency_and_floor(spark):
     """The recall report's columns must be internally consistent
-    (evaluated ⊆ vectors, matches ≤ evaluated, recall = the recorded
-    ratio) and the IVF tier must clear a recall floor on the fixture —
-    the deterministic planted-set bar, not a flaky sample."""
+    (evaluated ⊆ vectors, matches ≤ evaluated) and the IVF tier must
+    clear a recall floor on the fixture — the deterministic planted-set
+    bar, not a flaky sample. (The ratio itself left the frame in r13:
+    integers only in the hashed report.)"""
     from desdb_spark.extensions.ann_eval import ann_recall_report
 
     r = ann_recall_report(spark, SF_DIR).collect()[0]
     assert 0 < r.n_evaluated <= r.n_vectors
     assert 0 <= r.exact_match <= r.sim_match <= r.n_evaluated
-    assert abs(r.recall_at_1 - round(r.sim_match / r.n_evaluated, 4)) < 1e-9
-    assert r.recall_at_1 >= 0.6  # measured 0.71 at sf0.001; IVF probes 1 cell
+    # r13: the report carries exact integers only (a rounded float
+    # ratio diverges cross-engine in the hash); derive recall here.
+    recall_at_1 = r.sim_match / r.n_evaluated
+    assert recall_at_1 >= 0.6  # measured 0.71 at sf0.001; IVF probes 1 cell
 
 
 def test_agg_approx_count_distinct_error_bound(spark):
