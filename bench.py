@@ -27,6 +27,14 @@ truncated detail ahead of it can never push it out
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
      "floor_sec": F, "value_floor_adj": ..., "ratio_floor_adj": ..., ...}
 
+Same-day baseline honesty (r14 — VERDICT r13 item 2): the sf1 arm times
+each op's own oracle SQL in DuckDB in-process right after the Spark cells
+(``duckdb_sameday``) and the compact line's ``llm_sf1`` cells are
+[median_sec, ratio_frozen, ratio_sameday] triples — the 2x gate stays
+defined on the FROZEN BASELINE.md cells, but the same-machine-state ratio
+rides the artifact so baseline aging (15-25% in the r13 judge session) is
+attributable the round it happens.
+
 Floor normalization (r13 — VERDICT r12 item 2/item 4): every headline cell
 is a single Spark action riding the local-mode action floor, so ambient
 machine load inflates all 11 cells in lockstep (the r12 round: floor 0.0795
@@ -157,6 +165,25 @@ BASELINE_HEADLINE_SEC = {
     "dedup_exact_docs": 0.0085,
 }
 
+#: BASELINE.md's FROZEN DuckDB sf1 medians (seconds, measured 2026-08-13/15)
+#: for the llm_queries_sf1 arm. r14 (VERDICT r13 item 2): the frozen cells
+#: age — same-day re-measures in the r13 judge session ran 15-25% faster
+#: (disk cache, machine state), silently flattering every committed ratio.
+#: The arm now ALSO times each op's own oracle SQL in-process right after
+#: the Spark cell (1 warm + 3 timed, median — the same SQL the selfcheck
+#: runs) and emits BOTH ratios per cell: ratio_frozen (the 2x gate's
+#: definition, vs this dict) and ratio_sameday (vs the just-measured
+#: DuckDB on identical machine state). Drift between them is attributable
+#: the round it happens instead of a round later.
+BASELINE_LLM_SF1_SEC = {
+    "text_bm25_search": 0.4457,
+    "docs_eval_substring_contamination": 7.7250,
+    "docs_dedup_lines_global": 1.0296,
+    "dedup_exact_substring_spans": 2.2695,
+    "docs_dsir_importance_weights": 1.6431,
+    "dedup_near_minhash": 8.3400,
+}
+
 #: Hard cap for the final stdout line — comfortably inside the driver's
 #: ~2000-char tail window even after rc/terminator framing.
 COMPACT_LINE_CAP = 1800
@@ -171,16 +198,21 @@ def compact_line(result: dict) -> dict:
 
     Keeps the driver contract keys (metric/value/unit/queries/sf), the
     floor-attribution fields, per-suite totals, and the sf1 per-cell
-    MEDIANS (the judged scale arm rides the final line; its min/max
-    dispersion and every other suite's cells live in
-    BENCH_DETAIL.json). Fields are dropped lowest-value-first if the
+    triples [median_sec, ratio_frozen, ratio_sameday] (the judged scale
+    arm rides the final line with BOTH its ratios — VERDICT r13 item 2;
+    min/max dispersion and every other suite's cells live in
+    BENCH_DETAIL.json). Fields are shed NON-CONTRACT-FIRST if the
     serialized line would exceed COMPACT_LINE_CAP (it does not at
     current suite sizes — tests/test_bench_emit.py proves the margin
-    with worst-case widths)."""
+    with worst-case widths): adjunct duplicates, then sf1 cells, then
+    errors — and 'queries' (a driver-contract key, ADVICE r13) is never
+    dropped, only truncated entry-by-entry as the true last resort."""
     headline = {
         k: v for k, v in result.get("queries", {}).items() if isinstance(v, float)
     }
     errors = result.get("op_errors", [])
+    rf = result.get("llm_sf1_ratio_frozen", {})
+    rs = result.get("llm_sf1_ratio_sameday", {})
     compact: dict = {
         "metric": result["metric"],
         "value": result["value"],
@@ -196,8 +228,10 @@ def compact_line(result: dict) -> dict:
         "llm_total_sec": result.get("llm_total_sec"),
         "llm_sf1_total_sec": result.get("llm_sf1_total_sec"),
         "lake_total_sec": result.get("lake_total_sec"),
+        # [median_sec, ratio vs frozen BASELINE.md, ratio vs same-day
+        # in-process DuckDB re-measure] — nulls where a side is missing.
         "llm_sf1": {
-            k: v
+            k: [v, rf.get(k), rs.get(k)]
             for k, v in result.get("llm_queries_sf1", {}).items()
             if isinstance(v, float)
         },
@@ -211,17 +245,73 @@ def compact_line(result: dict) -> dict:
     if errors:
         compact["op_error_count"] = len(errors)
         compact["op_errors"] = errors[:5]
-    # Drop order: sf1 cells first (they live in the detail file), then
-    # headline queries last-resort truncation keeps the line parseable.
-    for victim in ("llm_sf1", "op_errors", "queries"):
+    # Shed order (ADVICE r13): non-contract adjuncts first, sf1 cells
+    # (they live in the detail file) and error samples next; 'queries'
+    # is driver-contract and is truncated, never dropped.
+    for victim in (
+        "cold_first_action_sec",
+        "baseline_total_sec",
+        "value_floor_adj",
+        "llm_total_sec",
+        "llm_sf1_total_sec",
+        "lake_total_sec",
+        "llm_sf1",
+        "op_errors",
+    ):
         if len(json.dumps(compact)) <= COMPACT_LINE_CAP:
             break
         compact.pop(victim, None)
+    while len(json.dumps(compact)) > COMPACT_LINE_CAP and compact["queries"]:
+        compact["queries"].pop(next(reversed(compact["queries"])))
     return compact
 
 
 def median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
+
+
+def duckdb_sameday(sf_dir: str, names: list[str], ops) -> dict:
+    """Same-day DuckDB re-measure (VERDICT r13 item 2): time each op's
+    OWN oracle SQL in-process over the same parquet dir — 1 untimed warm
+    run then median of 3 timed ``.df()`` materializations, the protocol
+    BASELINE.md's frozen cells were measured with. Ops whose oracle is
+    absent or capped below this scale (oracle_max_sf) are skipped; a
+    failing oracle records an in-band error string, never an exception."""
+    import duckdb
+
+    from desdb_spark.session import TABLES
+
+    out: dict = {}
+    con = duckdb.connect()
+    try:
+        # Long oracles trip DuckDB's progress bar, which writes to this
+        # process's stdout — the driver's 2000-char tail window must see
+        # only bench's own lines.
+        con.execute("SET enable_progress_bar = false")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in names:
+            op = ops[name]
+            if op.oracle is None or (
+                op.oracle_max_sf is not None and op.oracle_max_sf < 1.0
+            ):
+                continue
+            try:
+                con.execute(op.oracle).df()  # warm
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(op.oracle).df()
+                    runs.append(time.perf_counter() - t0)
+                out[name] = round(median(runs), 4)
+            except Exception as exc:  # noqa: BLE001 — in-band, like _guard
+                out[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    finally:
+        con.close()
+    return out
 
 
 #: Crash containment (VERDICT r10 item 5): in r10 ONE broken operator
@@ -492,6 +582,23 @@ def main() -> None:
                     }
 
                 _guard(llm_sf1_timings, name, _run)
+            # Same-day DuckDB re-measure AFTER the Spark cells (so the
+            # DuckDB runs never perturb the Spark timings) on identical
+            # machine state — both ratios land in the artifact.
+            sameday = duckdb_sameday(DERIVED, LLM_SF1_SUITE, ops)
+            result["llm_sf1_duckdb_sameday"] = sameday
+            result["llm_sf1_ratio_frozen"] = {
+                k: round(v / BASELINE_LLM_SF1_SEC[k], 3)
+                for k, v in llm_sf1_timings.items()
+                if isinstance(v, float) and k in BASELINE_LLM_SF1_SEC
+            }
+            result["llm_sf1_ratio_sameday"] = {
+                k: round(v / sameday[k], 3)
+                for k, v in llm_sf1_timings.items()
+                if isinstance(v, float)
+                and isinstance(sameday.get(k), float)
+                and sameday[k] > 0
+            }
         except Exception as exc:  # never fail the whole bench on the arm
             llm_sf1_timings["error"] = str(exc)[:200]
         finally:

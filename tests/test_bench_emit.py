@@ -48,6 +48,11 @@ def _worst_case_result(with_errors: bool) -> dict:
         "llm_sf1_dispersion": {
             k: {"min": 111.1111, "max": 999.9999} for k in bench.LLM_SF1_SUITE
         },
+        "llm_sf1_duckdb_sameday": {
+            name: 123.4567 for name in bench.LLM_SF1_SUITE
+        },
+        "llm_sf1_ratio_frozen": {name: 12.345 for name in bench.LLM_SF1_SUITE},
+        "llm_sf1_ratio_sameday": {name: 12.345 for name in bench.LLM_SF1_SUITE},
         "llm_sf1_total_sec": 740.7404,
         "lake_queries": {name: 123.4567 for name in bench.LAKE_SUITE},
         "lake_dispersion": {
@@ -109,3 +114,25 @@ def test_baseline_constants_match_baseline_md():
     for m in re.finditer(r"\| `(\w+)`[^|]* \| ([\d .]+) \|", section):
         parsed[m.group(1)] = round(float(m.group(2).replace(" ", "")) / 1000, 4)
     assert parsed == bench.BASELINE_HEADLINE_SEC
+
+
+def test_sf1_baseline_constants_match_baseline_md():
+    """BASELINE_LLM_SF1_SEC (the frozen side of the r14 dual-ratio sf1
+    cells) mirrors BASELINE.md's sf1 table and covers exactly the arm's
+    suite — a suite addition without a frozen cell would silently lose
+    its ratio_frozen."""
+    text = open(os.path.join(REPO, "BASELINE.md")).read()
+    section = text.split("## LLM-pipeline suite at sf1", 1)[1].split("## ", 1)[0]
+    parsed = {}
+    for m in re.finditer(r"\| `(\w+)`[^|]* \| ([\d .]+) \|", section):
+        parsed[m.group(1)] = round(float(m.group(2).replace(" ", "")) / 1000, 4)
+    assert parsed == bench.BASELINE_LLM_SF1_SEC
+    assert set(bench.LLM_SF1_SUITE) == set(bench.BASELINE_LLM_SF1_SEC)
+
+
+def test_compact_sf1_cells_carry_both_ratios():
+    compact = bench.compact_line(_worst_case_result(with_errors=False))
+    for name in bench.LLM_SF1_SUITE:
+        sec, rf, rs = compact["llm_sf1"][name]
+        assert isinstance(sec, float) and isinstance(rf, float), name
+        assert isinstance(rs, float), name
