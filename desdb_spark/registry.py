@@ -168,26 +168,76 @@ _REGISTRY: dict[str, Operator] = {}
 #: same trade-off documented above, resolved the same way. r13 window
 #: candidates with pyds_sink and the lake fill.
 #: Pinned by tests/test_registry.py::test_r12_window_pinned.
+#:
+#: Round 14 window rationale (VERDICT r13 items 1/3/4 + item 5), slot
+#: priority unchanged: changed-since-checked > never-checked (none) >
+#: oldest-green.
+#:   * 5 slots, changed plans in r14: span_dedup (the gate-breach
+#:     rework — codegen lead-offset window keys replacing the
+#:     interpreted transform(sequence) HOF build), line_dedup (lazy
+#:     localCheckpoint), and the whole ANN trio (ann_pq / ann_serving /
+#:     ann_eval — run_token + scoped export paths changed their output
+#:     schemas in r14, AND their r13 hash-oracle reworks were never
+#:     driver-run: the r13 exception list clears here). All five are
+#:     1-op modules, so no rider cost.
+#:   * 27 slots, the ENTIRE pre-r6 backlog (4 r4 + 23 r5):
+#:     joins_ext (join_salted_skew, r4), temporal (scd2, r4),
+#:     quality_ext (2, r4), relational_ext (11, r5 — the TPC-H
+#:     q3/q5/q10 + scalar/set/sessionize wave), relational_ext7 (4,
+#:     r5), relational_ext6 (2, r5), text_ext (3, r5), stats_monitor
+#:     (2, r5), formats_ext (source_orc_roundtrip, r5). After
+#:     CORRECTNESS_r14 no op's newest driver row predates r6.
+#:   * 18 slots, oldest-green r6 fills: relational_ext11 (7),
+#:     relational_ext8 (4), relational_ext10 (4 — agg_approx_percentile
+#:     is the window's ONE rows-only rider, module granularity; its
+#:     property pin is in gen_survey_status.ROWS_ONLY_EVIDENCE),
+#:     dedup_ext (2), streaming.joins (1).
+#: Sums to EXACTLY 50 (tests/test_registry.py::test_r14_window_pinned).
+#: Changed-plan exception list after this rotation: EMPTY. Remaining
+#: r6-vintage rows after CORRECTNESS_r14: 12 (streaming.foreach 1,
+#: formats_ext2 1, timeseries_ext 2, lake_ext 1, diagnostics 2,
+#: ingest_ext 2, plans.lineage 1, quality_gates 2) — first r15 fills,
+#: then the r7 wave (SURVEY §2C documents the expected r15 window).
 _OP_MODULES = (
-    # --- r13 window: changed-plan slots (11 ops) ---
-    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r13 bm25 rework (bound toks + lazy ckpt), VERDICT r12 item 3
-    "desdb_spark.extensions.dedup_near",  # 2 ops — r12c shingle-kernel plan change rode selfcheck-only evidence; simhash rides
-    "desdb_spark.extensions.pipeline_ext",  # 2 ops — corpus_contamination_ngram same kernel change; pii rides
-    "desdb_spark.sources.pyds_sink",  # 1 op — r12 Arrow-batch DataSource rework
-    "desdb_spark.extensions.corpus_timeseries",  # 5 ops — text_bigram_topk r12c HOF fix + four r4-vintage fills
-    # --- r13 window: r4-vintage oldest-green fills (39 ops) ---
-    "desdb_spark.sources.lake",  # 1 op — join_bucketed_colocated, the promised r13 lead fill (r4 row)
-    "desdb_spark.operators.relational_ext3",  # 9 ops — r4 TPC-H wave
-    "desdb_spark.operators.relational_ext5",  # 8 ops — r4 TPC-H wave
-    "desdb_spark.operators.relational_ext4",  # 6 ops — r4 TPC-H wave
-    "desdb_spark.extensions.pipeline_analytics",  # 7 ops — r4
-    "desdb_spark.extensions.training_prep",  # 5 ops — r4
-    "desdb_spark.operators.relational_ext2",  # 3 ops — r4; slot 50
-    # --- end of r13 window. Everything below holds a driver row from
-    # the round named in SURVEY §2C (the r12 window modules lead — their
-    # rows are CORRECTNESS_r12-fresh), code unchanged since, re-proven
+    # --- r14 window: changed-plan slots (5 ops) ---
+    "desdb_spark.extensions.span_dedup",  # 1 op — r14 codegen lead-offset key rework (VERDICT r13 item 1)
+    "desdb_spark.extensions.line_dedup",  # 1 op — r14 lazy-checkpoint rework (VERDICT r13 item 4)
+    "desdb_spark.extensions.ann_pq",  # 1 op — r13 hash oracle never driver-run + r14 run_token schema
+    "desdb_spark.extensions.ann_serving",  # 1 op — same
+    "desdb_spark.extensions.ann_eval",  # 1 op — same, + NULL-sum semantics fix
+    # --- r14 window: the entire pre-r6 backlog (27 ops) ---
+    "desdb_spark.operators.joins_ext",  # 1 op — join_salted_skew (r4 row)
+    "desdb_spark.operators.temporal",  # 1 op — scd2_event_type_history (r4)
+    "desdb_spark.extensions.quality_ext",  # 2 ops — r4
+    "desdb_spark.operators.relational_ext",  # 11 ops — r5 TPC-H/scalar/set wave
+    "desdb_spark.operators.relational_ext7",  # 4 ops — r5
+    "desdb_spark.operators.relational_ext6",  # 2 ops — r5
+    "desdb_spark.extensions.text_ext",  # 3 ops — r5
+    "desdb_spark.extensions.stats_monitor",  # 2 ops — r5
+    "desdb_spark.sources.formats_ext",  # 1 op — source_orc_roundtrip (r5)
+    # --- r14 window: oldest-green r6 fills (18 ops) ---
+    "desdb_spark.operators.relational_ext11",  # 7 ops — r6
+    "desdb_spark.operators.relational_ext8",  # 4 ops — r6
+    "desdb_spark.operators.relational_ext10",  # 4 ops — r6 (agg_approx_percentile: the one rows-only rider)
+    "desdb_spark.extensions.dedup_ext",  # 2 ops — r6
+    "desdb_spark.streaming.joins",  # 1 op — stream_stream_enrich_join (r6); slot 50
+    # --- end of r14 window. Everything below holds a driver row from
+    # the round named in SURVEY §2C (the r13 window modules lead — their
+    # rows are CORRECTNESS_r13-fresh), code unchanged since, re-proven
     # at HEAD by the committed full-registry selfcheck logs; prior
     # relative order preserved.
+    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r13 row
+    "desdb_spark.extensions.dedup_near",  # 2 ops — r13 rows
+    "desdb_spark.extensions.pipeline_ext",  # 2 ops — r13 rows
+    "desdb_spark.sources.pyds_sink",  # 1 op — r13 row
+    "desdb_spark.extensions.corpus_timeseries",  # 5 ops — r13 rows
+    "desdb_spark.sources.lake",  # 1 op — r13 row
+    "desdb_spark.operators.relational_ext3",  # 9 ops — r13 rows
+    "desdb_spark.operators.relational_ext5",  # 8 ops — r13 rows
+    "desdb_spark.operators.relational_ext4",  # 6 ops — r13 rows
+    "desdb_spark.extensions.pipeline_analytics",  # 7 ops — r13 rows
+    "desdb_spark.extensions.training_prep",  # 5 ops — r13 rows
+    "desdb_spark.operators.relational_ext2",  # 3 ops — r13 rows
     "desdb_spark.extensions.dedup",  # 2 ops — r12 PPJoin kernel rework (asymmetric prefix + positional filter + hot-key salting); dedup_exact_docs rides along (module granularity)
     "desdb_spark.extensions.dedup_curve",  # 1 op — consumes the reworked prefix_filtered_pairs (26.8s -> 13s)
     "desdb_spark.extensions.dedup_components",  # 1 op — same consumer
@@ -217,8 +267,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.sharding_ext",
     "desdb_spark.extensions.signal_corr",
     "desdb_spark.extensions.hapax_ext",
-    "desdb_spark.extensions.ann_serving",
-    "desdb_spark.extensions.ann_pq",
     "desdb_spark.operators.footer_census",
     "desdb_spark.extensions.shard_budget",
     "desdb_spark.extensions.loop_detect",
@@ -251,9 +299,7 @@ _OP_MODULES = (
     "desdb_spark.extensions.lm_score",
     "desdb_spark.extensions.split_safe",
     "desdb_spark.sources.lake_bloom",
-    "desdb_spark.extensions.span_dedup",
     "desdb_spark.extensions.ann_binary",
-    "desdb_spark.extensions.line_dedup",
     "desdb_spark.sources.lake_partition_evo",
     "desdb_spark.extensions.novelty_ext",
     "desdb_spark.extensions.multimodal_phash",
@@ -323,29 +369,14 @@ _OP_MODULES = (
     "desdb_spark.extensions.mining_ext",
     "desdb_spark.streaming.stateful",
     "desdb_spark.extensions.linalg_ext",
-    "desdb_spark.operators.relational_ext8",
     "desdb_spark.streaming.foreach",
     "desdb_spark.sources.formats_ext2",
     "desdb_spark.extensions.timeseries_ext",
-    "desdb_spark.extensions.ann_eval",
     "desdb_spark.sources.lake_ext",
-    "desdb_spark.operators.relational_ext10",
     "desdb_spark.operators.diagnostics",
     "desdb_spark.sources.ingest_ext",
     "desdb_spark.plans.lineage",
-    "desdb_spark.operators.relational_ext11",
     "desdb_spark.extensions.quality_gates",
-    "desdb_spark.streaming.joins",
-    "desdb_spark.extensions.dedup_ext",
-    "desdb_spark.extensions.stats_monitor",
-    "desdb_spark.sources.formats_ext",
-    "desdb_spark.operators.relational_ext6",
-    "desdb_spark.operators.relational_ext",
-    "desdb_spark.operators.relational_ext7",
-    "desdb_spark.extensions.text_ext",
-    "desdb_spark.operators.temporal",
-    "desdb_spark.extensions.quality_ext",
-    "desdb_spark.operators.joins_ext",
 )
 
 

@@ -259,54 +259,55 @@ def test_registry_order_import_pollution_proof():
 #: join_bucketed_colocated (see the registry rationale block for the
 #: remaining-backlog arithmetic: 27 pre-r6 rows remain, all unchanged
 #: since their green round and re-proven by the HEAD selfcheck logs).
-R13_WINDOW = [
-    "text_bm25_search",
-    "dedup_near_minhash", "dedup_simhash",
-    "corpus_contamination_ngram", "docs_pii_scrub_stats",
-    "sink_python_datasource",
-    "text_tfidf_topk", "text_bigram_topk", "events_transition_matrix",
-    "events_daily_ewma", "emb_dim_stats",
-    "join_bucketed_colocated",
-    "subq_exists_q4", "scan_agg_q6", "join_two_dim_pair_q7",
-    "agg_conditional_share_q14", "subq_scalar_per_group_q17",
-    "subq_having_in_q18", "filter_disjunctive_q19",
-    "subq_scalar_antijoin_q22", "window_time_range_rolling",
-    "subq_corr_min_q2", "agg_market_share_q8",
-    "agg_profit_nation_year_q9", "subq_global_threshold_q11",
-    "agg_priority_class_q12", "agg_supplier_cnt_q16",
-    "subq_nested_semijoin_q20", "subq_self_exists_q21",
-    "tpch_q13_custdist", "tpch_q15_top_supplier", "agg_histogram_bins",
-    "agg_mode_per_group", "window_monthly_growth",
-    "analytics_rfm_segments",
-    "events_funnel_conversion", "events_retention_cohort",
-    "text_word_topk_per_lang", "emb_label_centroid_cosine",
-    "sink_partitioned_parquet", "events_minute_gapfill",
-    "profile_table_summary",
-    "sample_stratified_docs", "split_train_valid_test",
-    "docs_pack_sequences", "corpus_mix_weights",
-    "docs_token_budget_select",
-    "join_full_outer", "agg_corr_covar", "scalar_conditional_funcs",
+R14_WINDOW = [
+    # changed-plan slots (5 ops, all 1-op modules)
+    "dedup_exact_substring_spans", "docs_dedup_lines_global",
+    "ann_pq_codebook_stats", "ann_query_topk", "ann_recall_report",
+    # the entire pre-r6 backlog (27 ops)
+    "join_salted_skew", "scd2_event_type_history",
+    "text_repetition_score", "emb_quantize_int8",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q10_returned_items", "scalar_regex_funcs", "scalar_hash_funcs",
+    "agg_bitwise", "agg_median", "unpivot_stack", "set_intersect_all",
+    "set_except_all", "events_sessionize_batch",
+    "agg_filter_clause", "topk_per_group", "sort_offset_page",
+    "rollup_time_hierarchy",
+    "merge_upsert_snapshot", "window_ntile_deciles",
+    "text_stopword_ratio", "text_sentence_stats", "text_word_length_hist",
+    "stat_chi_square_indep", "events_windowed_anomaly",
+    "source_orc_roundtrip",
+    # oldest-green r6 fills (18 ops)
+    "window_gaps_islands", "events_path_3gram", "window_running_distinct",
+    "events_hourly_heatmap", "agg_argmax_minby", "agg_weighted_stats",
+    "agg_central_moments",
+    "join_null_safe_eq", "agg_bool_flags", "window_last_ignore_nulls",
+    "agg_multi_distinct",
+    "udtf_explode_outer_nulls", "scalar_edit_distance",
+    "agg_approx_percentile", "agg_percentile_disc",
+    "dedup_keep_best_quality", "dedup_canonical_text",
+    "stream_stream_enrich_join",
 ]
 
-#: Rows-only ops inside the r13 window — module riders of ops that must
-#: be in the window. Their property evidence is pinned per op in
+#: Rows-only ops inside the r14 window — module riders of ops that must
+#: be in the window (agg_approx_percentile rides relational_ext10's
+#: three hash fills). Property evidence is pinned per op in
 #: tools/gen_survey_status.ROWS_ONLY_EVIDENCE.
-_R13_ROWS_ONLY = set()
+_R14_ROWS_ONLY = {"agg_approx_percentile"}
 
 
-def test_r13_window_pinned():
+def test_r14_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R13_WINDOW, (
-        "driver window drifted from the documented r13 rotation plan; "
-        "if intentional, update R13_WINDOW in the same commit"
+    assert window == R14_WINDOW, (
+        "driver window drifted from the documented r14 rotation plan; "
+        "if intentional, update R14_WINDOW in the same commit"
     )
     # Rows-only slots are limited to the documented rider set — any
     # OTHER rows-only op appearing in the window wastes a hash slot.
     ops = all_operators()
     rows_only = {n for n in window if ops[n].oracle is None}
-    assert rows_only == _R13_ROWS_ONLY, (
+    assert rows_only == _R14_ROWS_ONLY, (
         f"unexpected rows-only window occupancy: "
-        f"{sorted(rows_only ^ _R13_ROWS_ONLY)}"
+        f"{sorted(rows_only ^ _R14_ROWS_ONLY)}"
     )
 
 
