@@ -224,7 +224,9 @@ def compact_line(result: dict) -> dict:
         "cold_first_action_sec": result.get("cold_first_action_sec"),
         "value_floor_adj": result.get("value_floor_adj"),
         "ratio_floor_adj": result.get("ratio_floor_adj"),
+        "ratio_sameday": result.get("ratio_sameday"),
         "baseline_total_sec": result.get("baseline_total_sec"),
+        "baseline_sameday_total_sec": result.get("baseline_sameday_total_sec"),
         "llm_total_sec": result.get("llm_total_sec"),
         "llm_sf1_total_sec": result.get("llm_sf1_total_sec"),
         "lake_total_sec": result.get("lake_total_sec"),
@@ -485,6 +487,22 @@ def main() -> None:
         result["ratio_floor_adj"] = round(
             result["value_floor_adj"] / baseline_total, 3
         )
+        # Same-day honesty for the HEADLINE ratio too (r14 — the frozen
+        # sf0.1 cells age exactly like the sf1 ones; 11 sub-100 ms
+        # oracles cost ~3 s to re-time). Totals only: per-cell medians
+        # land in the detail file, the compact line carries the scalar.
+        headline_sameday = duckdb_sameday(sf_dir, list(floor_adj), ops)
+        result["headline_duckdb_sameday"] = headline_sameday
+        sameday_total = round(
+            sum(v for v in headline_sameday.values() if isinstance(v, float)), 4
+        )
+        if sameday_total > 0 and not any(
+            isinstance(v, str) for v in headline_sameday.values()
+        ):
+            result["baseline_sameday_total_sec"] = sameday_total
+            result["ratio_sameday"] = round(
+                result["value_floor_adj"] / sameday_total, 3
+            )
     _flush(result)
 
     # LLM-pipeline suite: run after the headline loop so its heavy

@@ -106,3 +106,60 @@ def test_export_run_token_reds_on_cross_run_overwrite(spark):
     assert (oracle["run_token"] != token).all(), (
         "a cross-run export must differ from the op's hashed token"
     )
+
+
+def test_serving_candidates_match_independent_recompute(spark):
+    """Pin candidate GENERATION, not just its downstream ranking: the
+    exported candidate table is the hash oracle's input, so probe
+    admission, the broadcast cell equi-join, self-exclusion, and dedup
+    all sit upstream of the differential check (the SURVEY §2C scope
+    note). Recompute the full candidate set independently in NumPy from
+    the same memoized centroids and assert exact (query, neighbor) set
+    equality, with similarities within 1 integer micro (NumPy pairwise
+    summation vs Spark's left-fold differ in last ulps)."""
+    import numpy as np
+
+    from desdb_spark.extensions.ann_serving import (
+        DEFAULT_NPROBE,
+        _ivf_centers,
+        _query_candidates,
+        planted_queries,
+    )
+
+    queries = planted_queries(spark, SF_DIR)
+    C = _ivf_centers(spark, SF_DIR)
+    c_sq = (C * C).sum(axis=1)
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )  # fixture-sized ground truth (500 vectors at sf0.001)
+    ids = np.array([r.vec_id for r in rows])
+    E = np.stack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    # Home cells via the op's own distance expression shape.
+    home = np.argsort(-2.0 * (E @ C.T) + c_sq[None, :], axis=1)[:, 0]
+    cell_of = dict(zip(ids.tolist(), home.tolist()))
+
+    expected: dict = {}
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    by_id = {int(i): En[k] for k, i in enumerate(ids)}
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype="float64")
+        probed = set(
+            np.argsort(-2.0 * (q @ C.T) + c_sq, axis=0)[:DEFAULT_NPROBE].tolist()
+        )
+        qn = q / np.linalg.norm(q)
+        for vid in ids.tolist():
+            if vid != qid and cell_of[vid] in probed:
+                expected[(qid, vid)] = float(qn @ by_id[vid])
+
+    got = _query_candidates(spark, SF_DIR, queries, DEFAULT_NPROBE).collect()
+    got_pairs = {(r.query_id, r.nn_id): r.sim_micros for r in got}
+    assert set(got_pairs) == set(expected), (
+        f"candidate set mismatch: spark-only="
+        f"{sorted(set(got_pairs) - set(expected))[:5]} "
+        f"numpy-only={sorted(set(expected) - set(got_pairs))[:5]}"
+    )
+    for pair, sim in expected.items():
+        assert abs(got_pairs[pair] - round(sim * 1_000_000)) <= 1, pair

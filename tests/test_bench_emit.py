@@ -39,6 +39,9 @@ def _worst_case_result(with_errors: bool) -> dict:
         "floor_after_sec": 0.0652,
         "baseline_total_sec": 0.7867,
         "ratio_floor_adj": 1.726,
+        "baseline_sameday_total_sec": 0.6543,
+        "ratio_sameday": 1.726,
+        "headline_duckdb_sameday": {name: 123.4567 for name in bench.HEADLINE},
         "llm_queries": {name: 123.4567 for name in bench.LLM_SUITE},
         "llm_dispersion": {
             k: {"min": 111.1111, "max": 999.9999} for k in bench.LLM_SUITE
