@@ -108,9 +108,11 @@ LLM_SF1_SUITE = [
     "dedup_exact_substring_spans",
     "docs_dsir_importance_weights",
     # r11: joined after the single-pass-signature rework brought its sf1
-    # wall from 173 s to ~6 s. No DuckDB sf1 cell exists for it — the
-    # exact all-pairs oracle is quadratic (23 s at sf0.1 → hours at
-    # sf1), which is the designed asymmetry the LSH tier exists for.
+    # wall from 173 s to ~6 s. Its frozen sf1 baseline (added r12,
+    # BASELINE_LLM_SF1_SEC) is the op's OWN LSH oracle at sf1 — the
+    # quadratic exact all-pairs semantics used for the sf0.1 cell would
+    # be hours at this scale, the designed asymmetry the LSH tier
+    # exists for.
     "dedup_near_minhash",
 ]
 
@@ -251,6 +253,8 @@ def compact_line(result: dict) -> dict:
     # (they live in the detail file) and error samples next; 'queries'
     # is driver-contract and is truncated, never dropped.
     for victim in (
+        "ratio_sameday",
+        "baseline_sameday_total_sec",
         "cold_first_action_sec",
         "baseline_total_sec",
         "value_floor_adj",
@@ -272,13 +276,15 @@ def median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
-def duckdb_sameday(sf_dir: str, names: list[str], ops) -> dict:
+def duckdb_sameday(sf_dir: str, names: list[str], ops, sf: float = 1.0) -> dict:
     """Same-day DuckDB re-measure (VERDICT r13 item 2): time each op's
     OWN oracle SQL in-process over the same parquet dir — 1 untimed warm
     run then median of 3 timed ``.df()`` materializations, the protocol
     BASELINE.md's frozen cells were measured with. Ops whose oracle is
-    absent or capped below this scale (oracle_max_sf) are skipped; a
-    failing oracle records an in-band error string, never an exception."""
+    absent or capped below ``sf`` (oracle_max_sf) are skipped; a
+    failing oracle records an in-band error string, never an exception.
+    Callers computing a suite-total ratio must check key-set parity with
+    their timed cells — a skipped op silently shrinks the denominator."""
     import duckdb
 
     from desdb_spark.session import TABLES
@@ -298,7 +304,7 @@ def duckdb_sameday(sf_dir: str, names: list[str], ops) -> dict:
         for name in names:
             op = ops[name]
             if op.oracle is None or (
-                op.oracle_max_sf is not None and op.oracle_max_sf < 1.0
+                op.oracle_max_sf is not None and op.oracle_max_sf < sf
             ):
                 continue
             try:
@@ -491,14 +497,21 @@ def main() -> None:
         # sf0.1 cells age exactly like the sf1 ones; 11 sub-100 ms
         # oracles cost ~3 s to re-time). Totals only: per-cell medians
         # land in the detail file, the compact line carries the scalar.
-        headline_sameday = duckdb_sameday(sf_dir, list(floor_adj), ops)
+        # Crash-contained like every other measurement (VERDICT r10
+        # item 5): a DuckDB import/connect/bind failure must never take
+        # down the run before the first _flush.
+        try:
+            headline_sameday = duckdb_sameday(sf_dir, list(floor_adj), ops, sf=sf)
+        except Exception as exc:  # noqa: BLE001
+            headline_sameday = {"error": f"{type(exc).__name__}: {exc}"[:200]}
         result["headline_duckdb_sameday"] = headline_sameday
         sameday_total = round(
             sum(v for v in headline_sameday.values() if isinstance(v, float)), 4
         )
-        if sameday_total > 0 and not any(
-            isinstance(v, str) for v in headline_sameday.values()
-        ):
+        # The ratio is only honest when EVERY timed cell has a same-day
+        # twin — a skipped op (capped/oracle-less/failed) would stay in
+        # the numerator while vanishing from the denominator.
+        if sameday_total > 0 and set(headline_sameday) == set(floor_adj):
             result["baseline_sameday_total_sec"] = sameday_total
             result["ratio_sameday"] = round(
                 result["value_floor_adj"] / sameday_total, 3
@@ -603,7 +616,7 @@ def main() -> None:
             # Same-day DuckDB re-measure AFTER the Spark cells (so the
             # DuckDB runs never perturb the Spark timings) on identical
             # machine state — both ratios land in the artifact.
-            sameday = duckdb_sameday(DERIVED, LLM_SF1_SUITE, ops)
+            sameday = duckdb_sameday(DERIVED, LLM_SF1_SUITE, ops, sf=1.0)
             result["llm_sf1_duckdb_sameday"] = sameday
             result["llm_sf1_ratio_frozen"] = {
                 k: round(v / BASELINE_LLM_SF1_SEC[k], 3)

@@ -88,17 +88,24 @@ def scoped_export_dir(name: str) -> str:
     export, another user, or a concurrent harness feed the DuckDB oracle
     data the op never produced). Scoping by user + a repo-root digest
     keeps the path a STATIC string at import time — the oracle SQL
-    embeds it, preserving the static-oracle contract — while making
-    cross-user and cross-checkout collisions impossible. The remaining
-    same-checkout concurrent-harness window is closed by the run_token
-    column each export carries (the hashed report includes it, so a
-    cross-read reds deterministically on a value mismatch)."""
+    embeds it, preserving the static-oracle contract — so ACCIDENTAL
+    cross-user/cross-checkout collisions don't occur (the path is still
+    predictable under world-writable /tmp, so a deliberate squatter can
+    pre-own it — that fails LOUDLY as a write permission error, never a
+    silent wrong-pass). The remaining same-checkout concurrent-harness
+    window is closed by the run_token column each export carries (the
+    hashed report includes it, so a cross-read reds deterministically
+    on a value mismatch)."""
     import getpass
     import hashlib
 
+    try:
+        user = getpass.getuser()
+    except Exception:  # no USER/LOGNAME and no passwd entry (bare container)
+        user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "nouser"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tag = hashlib.md5(repo.encode()).hexdigest()[:8]
-    return f"/tmp/desdb_spark_{name}_{getpass.getuser()}_{tag}"
+    return f"/tmp/desdb_spark_{name}_{user}_{tag}"
 
 
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
