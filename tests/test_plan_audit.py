@@ -364,6 +364,16 @@ def test_r9_reworked_ops_hold_their_shuffle_budget(spark, name):
             f"{name} regressed to an object-hash (collect_*) aggregate in "
             "the corpus-sized path"
         )
+    # r14: spans' window keys must come from the codegen lead-offset
+    # WindowExec, not a per-window HOF lambda (CodegenFallback — the
+    # r13 gate breach). A revert to the transform(sequence) build would
+    # pass the exchange ceiling (it plans FEWER exchanges) while
+    # quietly reinstating the interpreted hot path — pin the shape.
+    if name == "dedup_exact_substring_spans":
+        assert "lead(" in plan, (
+            "spans lost its lead-offset key build — the r14 rework "
+            "(interpreted HOF -> codegen WindowExec) was reverted"
+        )
 
 
 #: r12b plan-shape pins for this round's single-pass reworks. The langid
