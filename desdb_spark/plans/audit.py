@@ -96,6 +96,60 @@ _HOF_RECOMPUTED_SOURCES = ("split(", "sequence(", "sentences(", "json_tuple(")
 _HOF_BODY_CAP = 4000
 
 
+def codegen_generate_over_hof_column(df: DataFrame) -> list[str]:
+    """Generate nodes fused into WholeStageCodegen whose generator is a
+    bare column reference computed by a HOF (``lambdafunction``)
+    expression in the directly-fused child Project. The fused codegen
+    re-evaluates the column's defining expression per OUTPUT element,
+    not once per input row — measured 105 s vs 4 s (≈50×) on the sf1
+    span-window corpus (r14; docs/SCALING.md §14). Empty list = clean.
+
+    This trap is the MIRROR of the capture-re-eval lint below: binding
+    an expensive array to a projected column is the fix THERE, but
+    posexploding that bound column is the offender HERE — put the HOF
+    expression inline in the generator instead (the un-fused
+    interpreted GenerateExec evaluates it once per input row), or break
+    fusion between the Project and the Generate.
+
+    Detection is string-level on the executed plan: a ``*(n) Generate
+    (pos)explode(col#id)`` line whose DIRECT child line is a Project
+    containing ``lambdafunction(`` and ``AS col#id``. A Project
+    separated by a stage boundary (InputAdapter/exchange/checkpoint) is
+    not fused and not flagged."""
+    import re
+
+    plan = _rendered_plan(df)
+    lines = plan.split("\n")
+    offenders: list[str] = []
+    gen_re = re.compile(r"\*\(\d+\)\s+Generate\s+(?:pos)?explode(?:_outer)?\((\w+)#(\d+)\)")
+    for i, ln in enumerate(lines):
+        m = gen_re.search(ln)
+        if not m or i + 1 >= len(lines):
+            continue
+        child = lines[i + 1]
+        name, cid = m.group(1), m.group(2)
+        if "lambdafunction(" in child and f"AS {name}#{cid}" in child:
+            offenders.append(f"{name}#{cid}")
+    return offenders
+
+
+def _rendered_plan(df: DataFrame, analyzed: bool = False) -> str:
+    """Render a plan with maxToStringFields raised so wide projections
+    cannot hide expression bodies (ADVICE r12), restoring the conf."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    old = conf.get(key, None)
+    conf.set(key, "1000000")
+    try:
+        qe = df._jdf.queryExecution()
+        return (qe.analyzed() if analyzed else qe.executedPlan()).toString()
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
+
+
 def hof_lambda_recomputed_sources(df: DataFrame) -> list[str]:
     """Array-source function calls found INSIDE lambdafunction bodies of
     ``df``'s analyzed plan — each is re-evaluated per array element at
@@ -118,17 +172,7 @@ def hof_lambda_recomputed_sources(df: DataFrame) -> list[str]:
     read dynamically at render time, so it is raised around the render
     and restored after.
     """
-    conf = df.sparkSession.conf
-    key = "spark.sql.debug.maxToStringFields"
-    old = conf.get(key, None)
-    conf.set(key, "1000000")
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-    finally:
-        if old is None:
-            conf.unset(key)
-        else:
-            conf.set(key, old)
+    plan = _rendered_plan(df, analyzed=True)
     marker = "lambdafunction("
     offenders: list[str] = []
     i = 0

@@ -123,6 +123,19 @@ def test_no_accidental_cross_products(spark, name):
         "lambdafunction body — per-element recomputation; bind the array "
         "to a column first (see shingles() in extensions/dedup.py)"
     )
+    # r14 (docs/SCALING.md §14, the MIRROR trap): a codegen-fused
+    # Generate over a bound HOF column re-evaluates the HOF per OUTPUT
+    # element — 50× measured at the sf1 span corpus. Explode the HOF
+    # expression inline in the generator instead.
+    from desdb_spark.plans.audit import codegen_generate_over_hof_column
+
+    fused = codegen_generate_over_hof_column(df)
+    assert not fused, (
+        f"{name} posexplodes bound HOF column(s) {fused} inside a fused "
+        "WholeStageCodegen Generate — the HOF re-evaluates per element; "
+        "inline the expression in the generator (span_dedup.py is the "
+        "exemplar of the safe shape)"
+    )
 
 
 def test_repeated_subtree_lint_reds_on_planted_offender(spark):
@@ -455,3 +468,26 @@ def test_hof_lambda_lint_reds_on_unparseable_body(spark):
     finally:
         audit._HOF_BODY_CAP = orig
     assert "UNPARSEABLE_LAMBDA_BODY" in offenders
+
+
+def test_codegen_generate_hof_lint_reds_on_planted_offender(spark):
+    """The fused-Generate lint must fire on the known-bad shape (bind an
+    expensive HOF array to a column, then posexplode the COLUMN — the
+    r14 profiling anomaly: 105 s vs 4 s at the sf1 span corpus) and
+    pass the safe shape (the HOF expression inline in the generator,
+    which plans an un-fused Generate evaluating once per input row)."""
+    from pyspark.sql import functions as F
+
+    from desdb_spark.plans.audit import codegen_generate_over_hof_column
+
+    base = spark.range(200).select(
+        F.col("id"),
+        F.split(F.concat_ws(" ", F.lit("a b c d"), F.col("id")), " ").alias("t"),
+    )
+    keys = F.transform(F.col("t"), lambda x: F.xxhash64(x))
+    bad = base.select("id", keys.alias("wk")).select(
+        "id", F.posexplode("wk").alias("pos", "h")
+    )
+    assert codegen_generate_over_hof_column(bad), "lint missed the fused shape"
+    good = base.select("id", F.posexplode(keys).alias("pos", "h"))
+    assert codegen_generate_over_hof_column(good) == []
