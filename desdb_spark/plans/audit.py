@@ -128,7 +128,18 @@ def codegen_generate_over_hof_column(df: DataFrame) -> list[str]:
             continue
         child = lines[i + 1]
         name, cid = m.group(1), m.group(2)
-        if "lambdafunction(" in child and f"AS {name}#{cid}" in child:
+        pos = child.find(f"AS {name}#{cid}")
+        if pos < 0:
+            continue
+        # Scope the scan to THIS column's defining expression: it spans
+        # from just after the previous column's alias (if any) to our
+        # own `AS` — a lambdafunction in a sibling column must not flag.
+        seg = child[:pos]
+        prev = seg.rfind(" AS ")
+        if prev >= 0:
+            comma = seg.find(",", prev)
+            seg = seg[comma + 1 :] if comma >= 0 else seg[prev:]
+        if "lambdafunction(" in seg:
             offenders.append(f"{name}#{cid}")
     return offenders
 

@@ -491,3 +491,22 @@ def test_codegen_generate_hof_lint_reds_on_planted_offender(spark):
     assert codegen_generate_over_hof_column(bad), "lint missed the fused shape"
     good = base.select("id", F.posexplode(keys).alias("pos", "h"))
     assert codegen_generate_over_hof_column(good) == []
+
+
+def test_codegen_generate_hof_lint_ignores_sibling_hof_columns(spark):
+    """A lambdafunction belonging to a SIBLING column in the fused child
+    Project must not flag the explode of a plain column — the lint
+    scopes its scan to the exploded column's own defining segment."""
+    from pyspark.sql import functions as F
+
+    from desdb_spark.plans.audit import codegen_generate_over_hof_column
+
+    base = spark.range(200).select(
+        F.col("id"),
+        F.split(F.concat_ws(" ", F.lit("a b c"), F.col("id")), " ").alias("t"),
+    )
+    ok = base.select(
+        F.transform(F.col("t"), lambda x: F.xxhash64(x)).alias("hashed"),
+        F.col("t").alias("plain"),
+    ).select("hashed", F.posexplode("plain").alias("pos", "tok"))
+    assert codegen_generate_over_hof_column(ok) == []
