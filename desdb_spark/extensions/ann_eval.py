@@ -13,8 +13,8 @@ from desdb_spark.session import scoped_export_dir
 
 #: Exported per-query evaluation table — same design and r14 hardening
 #: as ann_pq.PQ_EXPORT_DIR (user+checkout-scoped static path; per-run
-#: run_token inside the hashed frame; harnesses run op-then-oracle
-#: sequentially).
+#: run_token in every row with n_runs = count(distinct run_token) in
+#: the hashed frame — order-robust, see the PQ module comment).
 EVAL_EXPORT_DIR = scoped_export_dir("ann_eval")
 
 _EVAL_ORACLE = f"""
@@ -28,7 +28,7 @@ _EVAL_ORACLE = f"""
            CAST(sum(CASE WHEN ivf_sim_micros IS NOT NULL
                           AND ivf_sim_micros >= exact_sim_micros
                          THEN 1 ELSE 0 END) AS BIGINT) AS sim_match,
-           min(run_token) AS run_token
+           CAST(count(DISTINCT run_token) AS BIGINT) AS n_runs
     FROM a
 """
 
@@ -118,5 +118,5 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ivf_nn").cast("bigint").alias("n_evaluated"),
         miss_as_zero(F.col("ivf_nn") == F.col("exact_nn")).alias("exact_match"),
         miss_as_zero(hit).alias("sim_match"),
-        F.min("run_token").alias("run_token"),
+        F.countDistinct("run_token").cast("bigint").alias("n_runs"),
     )

@@ -151,25 +151,29 @@ def pq_assign(vecs: DataFrame, books) -> DataFrame:
 #: r14 hardening (VERDICT r13 item 5 + ADVICE r13): the path is scoped
 #: per user + checkout (static at import time, so the oracle SQL can
 #: still embed it), and every exported row carries a per-run
-#: ``run_token`` that the hashed report includes via min() — a stale or
-#: concurrent export under the same path now reds DETERMINISTICALLY on
-#: the token cell instead of depending on content coincidence. The
-#: harness ordering contract stands: tools/selfcheck.py and the driver
-#: run op-then-oracle sequentially per op.
+#: ``run_token``. The HASHED frame includes ``n_runs`` =
+#: count(distinct run_token): a torn/mixed concurrent overwrite reds
+#: deterministically (the oracle reads 2 tokens where the op's report
+#: read 1), while a WHOLE stale same-code export still hashes equal on
+#: content — deliberately, so the differential result does not depend
+#: on whether the external harness runs op-then-oracle per op or
+#: batches all ops before all oracles. The token VALUE itself (the
+#: strictly stronger same-run assertion) is pinned by the collision
+#: pytest in tests/test_ann_serving.py, where run order is controlled.
 PQ_EXPORT_DIR = scoped_export_dir("pq_assign")
 
 
 def _pq_oracle() -> str:
     """DuckDB census over the exported assignment table: per-subspace
     distinct-code count + exact integer distortion-micro sum, and the
-    -1 total row. Relies on the differential harness's spark-runs-first
-    order (tools/selfcheck.py runs ``op.fn`` before the oracle, so the
-    export is always the current run's)."""
+    -1 total row. Order-robust by design (see PQ_EXPORT_DIR): a whole
+    stale same-code export hashes equal on content, a torn/mixed one
+    reds on n_runs."""
     per = "\n            UNION ALL\n            ".join(
         f"""SELECT {m} AS subspace,
                    CAST(count(DISTINCT code_{m}) AS BIGINT) AS codes_used,
                    CAST(sum(err_micros_{m}) AS BIGINT) AS err_micros,
-                   min(run_token) AS run_token
+                   CAST(count(DISTINCT run_token) AS BIGINT) AS n_runs
             FROM a"""
         for m in range(PQ_M)
     )
@@ -191,7 +195,7 @@ def _pq_oracle() -> str:
         SELECT -1 AS subspace,
                (SELECT n_vec FROM n) AS codes_used,
                CAST({total_sum} AS BIGINT) AS err_micros,
-               min(run_token) AS run_token
+               CAST(count(DISTINCT run_token) AS BIGINT) AS n_runs
         FROM a
         ORDER BY subspace
     """
@@ -253,16 +257,22 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.countDistinct(f"code_{m}").cast("bigint").alias(f"cu_{m}"))
         aggs.append(F.sum(f"err_micros_{m}").cast("bigint").alias(f"em_{m}"))
     aggs.append(F.count("*").cast("bigint").alias("n_vec"))
-    # run_token rides the hashed frame (read back from the EXPORT, not
-    # re-stamped) so a cross-run oracle read reds on this cell.
-    aggs.append(F.min("run_token").alias("rt"))
+    # n_runs = count(distinct run_token) rides the hashed frame (read
+    # back from the EXPORT, not re-stamped): a torn/mixed concurrent
+    # overwrite reds deterministically (oracle sees 2 tokens, the op's
+    # report saw 1), while a WHOLE stale same-code export still hashes
+    # equal on content — deliberately, so the check does not depend on
+    # whether the external harness runs op-then-oracle or batches all
+    # ops before all oracles (the token VALUE itself is asserted by the
+    # collision pytest, not the driver hash).
+    aggs.append(F.countDistinct("run_token").cast("bigint").alias("rt"))
     wide = a.agg(*aggs)
     rows = [
         F.struct(
             F.lit(m).alias("subspace"),
             F.col(f"cu_{m}").alias("codes_used"),
             F.col(f"em_{m}").alias("err_micros"),
-            F.col("rt").alias("run_token"),
+            F.col("rt").alias("n_runs"),
         )
         for m in range(PQ_M)
     ] + [
@@ -272,11 +282,11 @@ def ann_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(F.col(f"em_{m}") for m in range(PQ_M))
             .cast("bigint")
             .alias("err_micros"),
-            F.col("rt").alias("run_token"),
+            F.col("rt").alias("n_runs"),
         )
     ]
     return (
         wide.select(F.explode(F.array(*rows)).alias("s"))
-        .select("s.subspace", "s.codes_used", "s.err_micros", "s.run_token")
+        .select("s.subspace", "s.codes_used", "s.err_micros", "s.n_runs")
         .orderBy("subspace")
     )

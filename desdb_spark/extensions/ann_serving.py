@@ -151,11 +151,9 @@ def _query_candidates(
     )
 
 
-def _rank_topk(cand: DataFrame, k: int, carry: tuple[str, ...] = ()) -> DataFrame:
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k over the integer candidate frame: total
-    order (sim_micros DESC, nn_id) — no float comparison anywhere.
-    ``carry`` names passthrough columns (the registered arm's
-    run_token) appended after the contract columns."""
+    order (sim_micros DESC, nn_id) — no float comparison anywhere."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -164,7 +162,7 @@ def _rank_topk(cand: DataFrame, k: int, carry: tuple[str, ...] = ()) -> DataFram
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "nn_id", "sim_micros", *carry)
+        .select("query_id", "rank", "nn_id", "sim_micros")
         .orderBy("query_id", "rank")
     )
 
@@ -198,9 +196,11 @@ def ann_query_topk_lib(
 
 #: Exported candidate table for the registered arm — same design and
 #: r14 hardening as ann_pq.PQ_EXPORT_DIR (user+checkout-scoped static
-#: path; every row carries a per-run run_token that the hashed frame
-#: includes, so a stale/concurrent export reds deterministically;
-#: harnesses run op-then-oracle sequentially).
+#: path; every row carries a per-run run_token; the hashed frame
+#: includes n_runs = count(distinct run_token), which is order-robust:
+#: a torn/mixed concurrent export reds deterministically while a whole
+#: stale same-code export hashes equal on content — see the PQ module
+#: comment for the full rationale).
 SERVING_EXPORT_DIR = scoped_export_dir("ann_serving")
 
 
@@ -208,15 +208,19 @@ def _serving_oracle() -> str:
     return f"""
         WITH a AS (
             SELECT * FROM read_parquet('{SERVING_EXPORT_DIR}/*.parquet')
+        ), tok AS (
+            SELECT CAST(count(DISTINCT run_token) AS BIGINT) AS n_runs
+            FROM a
         ), r AS (
-            SELECT query_id, nn_id, sim_micros, run_token,
+            SELECT query_id, nn_id, sim_micros,
                    CAST(row_number() OVER (
                        PARTITION BY query_id
                        ORDER BY sim_micros DESC, nn_id
                    ) AS BIGINT) AS rank
             FROM a
         )
-        SELECT query_id, rank, nn_id, sim_micros, run_token
+        SELECT query_id, rank, nn_id, sim_micros,
+               (SELECT n_runs FROM tok) AS n_runs
         FROM r WHERE rank <= {DEFAULT_K}
         ORDER BY query_id, rank
     """
@@ -243,6 +247,10 @@ def ann_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, planted_queries(spark, sf_dir), DEFAULT_NPROBE
     ).withColumn("run_token", F.lit(new_run_token()))
     cand.write.mode("overwrite").parquet(SERVING_EXPORT_DIR)
-    return _rank_topk(
-        spark.read.parquet(SERVING_EXPORT_DIR), DEFAULT_K, carry=("run_token",)
+    a = spark.read.parquet(SERVING_EXPORT_DIR)
+    # n_runs over the FULL export (like the oracle's CTE), attached as a
+    # fitted driver scalar — never a 1-row crossJoin (the BNLJ lint).
+    n_runs = int(a.agg(F.countDistinct("run_token")).first()[0])
+    return _rank_topk(a, DEFAULT_K).withColumn(
+        "n_runs", F.lit(n_runs).cast("bigint")
     )
