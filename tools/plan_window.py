@@ -1,0 +1,158 @@
+"""Driver-window rotation planner (r14 — SURVEY §2C keeps the rotation
+auditable; this tool automates the arithmetic that was previously done
+by hand each round).
+
+The external driver hash-checks only the FIRST 50 registered operators
+(registration order = ``_OP_MODULES`` in desdb_spark/registry.py), so
+each round's window must be rebuilt under the standing priority
+    changed-since-checked > never-checked > oldest-green
+at MODULE granularity (a module's ops register together). This tool:
+
+1. computes each op's newest driver-green round from every committed
+   CORRECTNESS_r*.json (green = hash_match, or the rows-only contract:
+   err == "no_oracle" with spark_rows recorded);
+2. aggregates to per-module vintage (min over the module's ops);
+3. proposes a window: the caller's changed modules lead (use
+   ``--changed-since GIT_REF`` to detect them from the working tree, or
+   pass names), then never-checked modules, then oldest-vintage fills,
+   greedily packed to exactly 50 with an exact-fit completion pass.
+
+The proposal is ADVISORY — the committed window is whatever
+``_OP_MODULES`` orders and ``tests/test_registry.py::test_r*_window_pinned``
+pins; this tool exists so the next round's plan starts from computed
+facts instead of hand-recounted JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+WINDOW = 50
+
+
+def newest_green_rounds(root: str = _REPO_ROOT) -> dict[str, int]:
+    """op name -> newest round with a green driver row (0 = never)."""
+    newest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        rows = json.load(open(f))
+        for name, row in rows.items():
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def module_vintages() -> list[dict]:
+    """Per-module summary in canonical registry order."""
+    from desdb_spark.registry import all_operators
+
+    ops = all_operators()
+    greens = newest_green_rounds()
+    mods: dict[str, dict] = {}
+    for name, op in ops.items():
+        m = op.fn.__module__
+        d = mods.setdefault(
+            m, {"module": m, "ops": [], "rows_only": [], "vintage": 10**9}
+        )
+        d["ops"].append(name)
+        if op.oracle is None:
+            d["rows_only"].append(name)
+        d["vintage"] = min(d["vintage"], greens.get(name, 0))
+    return list(mods.values())
+
+
+def propose(changed: list[str]) -> dict:
+    """Window proposal: changed modules first (caller-ordered), then
+    never-checked (vintage 0), then oldest-vintage fills, exact-fit to
+    WINDOW slots when a same-size candidate exists."""
+    mods = module_vintages()
+    by_name = {d["module"]: d for d in mods}
+    short = {d["module"].rsplit(".", 1)[-1]: d["module"] for d in mods}
+    picked: list[dict] = []
+    used: set[str] = set()
+    for c in changed:
+        full = by_name.get(c) or by_name.get(short.get(c, ""))
+        if full is None:
+            raise SystemExit(f"unknown module: {c}")
+        picked.append(full)
+        used.add(full["module"])
+    total = sum(len(d["ops"]) for d in picked)
+    if total > WINDOW:
+        raise SystemExit(
+            f"changed modules alone hold {total} ops > {WINDOW} — the "
+            "window cannot cover them all; document the overflow as "
+            "exceptions in SURVEY §2C"
+        )
+    fills = sorted(
+        (d for d in mods if d["module"] not in used),
+        key=lambda d: d["vintage"],
+    )
+    deferred: list[str] = []
+    for d in fills:
+        n = len(d["ops"])
+        if total + n <= WINDOW:
+            picked.append(d)
+            used.add(d["module"])
+            total += n
+        else:
+            deferred.append(d["module"])
+    if total < WINDOW:
+        # exact-fit completion: any not-yet-picked module of exactly the
+        # remaining size, oldest first.
+        gap = WINDOW - total
+        for d in fills:
+            if d["module"] not in used and len(d["ops"]) == gap:
+                picked.append(d)
+                total += gap
+                break
+    return {
+        "total": total,
+        "window": picked,
+        "first_deferred": deferred[:10],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--changed-since",
+        metavar="GIT_REF",
+        help="modules whose source differs from GIT_REF lead the window",
+    )
+    ap.add_argument("changed", nargs="*", help="explicit changed modules")
+    args = ap.parse_args()
+    changed = list(args.changed)
+    if args.changed_since:
+        from tools.selfcheck import _names_changed_since
+
+        from desdb_spark.registry import all_operators
+
+        ops = all_operators()
+        changed += sorted(
+            {ops[n].fn.__module__ for n in _names_changed_since(args.changed_since)}
+        )
+    prop = propose(changed)
+    print(f"proposed window: {prop['total']}/{WINDOW} ops")
+    for d in prop["window"]:
+        tag = f" rows-only: {d['rows_only']}" if d["rows_only"] else ""
+        print(
+            f"    \"{d['module']}\",  # {len(d['ops'])} ops — newest row "
+            f"r{d['vintage']}{tag}"
+        )
+    if prop["first_deferred"]:
+        print("next-oldest deferred:", ", ".join(prop["first_deferred"]))
+
+
+if __name__ == "__main__":
+    main()
