@@ -79,3 +79,63 @@ def test_spans_disjoint_and_wide_enough(spark):
             assert r.span_tokens >= SPAN_K
             assert 1 <= r.n_windows <= r.span_tokens - SPAN_K + 1
             prev_end = r.span_end
+
+
+def test_spans_adversarial_synthetic_corpus(spark, tmp_path):
+    """Semantics edges the fixture may not exercise, against the same
+    brute force: (a) a window repeated twice WITHIN one doc only is not
+    df >= 2 (distinct docs) and emits nothing; (b) two repeated regions
+    adjacent with zero gap stay separate spans unless the bridging
+    window is itself repeated; (c) a repeated bridging window merges
+    them into one maximal span; (d) ragged ends shorter than SPAN_K."""
+    rep = "r1 r2 r3 r4 r5"           # the cross-doc repeated 5-gram
+    rep2 = "s1 s2 s3 s4 s5"          # a second repeated 5-gram
+    docs = [
+        # (a) within-doc repeat only: 'w1..w5' twice in doc 1, nowhere else
+        (1, "w1 w2 w3 w4 w5 x1 w1 w2 w3 w4 w5"),
+        # (c-pair) rep then rep2 back-to-back — doc 5 repeats this
+        # exact text, so even the bridge windows are df >= 2 and the
+        # two regions merge into one maximal span
+        (2, f"{rep} {rep2} z1 z2"),
+        # the other halves of the cross-doc repeats, far apart
+        (3, f"a1 a2 {rep} b1 b2 b3"),
+        (4, f"c1 {rep2} d1 d2 d3"),
+        # (c) the SAME back-to-back text as doc 2 — now every bridge
+        # window repeats across docs 2 and 5, merging one 10-token span
+        (5, f"{rep} {rep2} y1 y2"),
+        # (d) too short for any window
+        (6, "t1 t2 t3"),
+        # (b) rep and rep2 separated by one unrepeated token: the
+        # bridge windows (containing q1) occur nowhere else, so the two
+        # repeated regions stay SEPARATE spans
+        (7, f"{rep} q1 {rep2}"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id bigint, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in dedup_exact_substring_spans(spark, sf_dir).collect()
+    }
+    expect = _brute_spans(docs)
+    assert got == expect
+    by_doc = defaultdict(list)
+    for row in got:
+        by_doc[row[0]].append(row)
+    assert 1 not in by_doc, "within-doc-only repeat must not be a hit"
+    assert 6 not in by_doc
+    # docs 2 and 5 share the full 10-token region INCLUDING bridges, so
+    # each carries ONE merged span covering tokens 0..9
+    for d in (2, 5):
+        spans = by_doc[d]
+        assert len(spans) == 1 and spans[0][1:4] == (0, 9, 10), spans
+    # docs 3 and 4 carry exactly their single 5-token repeated region
+    assert by_doc[3] == [(3, 2, 6, 5, 1)]
+    assert by_doc[4] == [(4, 1, 5, 5, 1)]
+    # doc 7: one unrepeated gap token keeps the two regions separate
+    assert sorted(by_doc[7], key=lambda s: s[1]) == [
+        (7, 0, 4, 5, 1),
+        (7, 6, 10, 5, 1),
+    ]
