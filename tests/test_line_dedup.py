@@ -70,3 +70,48 @@ def test_untouched_docs_reassemble_verbatim(spark):
         original = " ".join(t for t in docs[r.doc_id].split(" ") if t)
         assert r.kept_md5 == hashlib.md5(original.encode()).hexdigest()
         assert r.kept_n_chars == len(original)
+
+
+def test_line_dedup_adversarial_synthetic_corpus(spark, tmp_path):
+    """Edges the fixture may not exercise, against the same brute
+    force: a document ALL of whose lines are boilerplate (n_kept=0,
+    kept_md5 = md5(''), the left-join null/coalesce path), a ragged
+    last line shorter than LINE_W, a line repeated twice WITHIN one
+    doc only (df counts distinct docs — not dropped), and the
+    whole-text fast path equaling the per-line rebuild."""
+    import hashlib
+
+    line = " ".join(f"b{i}" for i in range(LINE_W))      # boilerplate line
+    uniq = lambda d, j: " ".join(f"u{d}_{j}_{i}" for i in range(LINE_W))  # noqa: E731
+    docs = [
+        # every line boilerplate -> fully emptied document
+        (1, f"{line} {line}"),
+        # the other carrier of the boilerplate line + a unique line +
+        # a ragged 3-token tail
+        (2, f"{line} {uniq(2, 0)} t1 t2 t3"),
+        # within-doc-only repeat: same unique line twice in doc 3 only
+        (3, f"{uniq(3, 0)} {uniq(3, 0)}"),
+        # untouched doc (fast path), ragged tail
+        (4, f"{uniq(4, 0)} z9"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id bigint, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = docs_dedup_lines_global(spark, sf_dir).collect()
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.kept_n_chars, r.kept_md5)
+        for r in rows
+    }
+    assert got == _brute(docs)
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert got[1] == (2, 0, 0, empty_md5), "fully-emptied doc path"
+    # doc 2 keeps its unique line + ragged tail, loses the boilerplate
+    assert got[2][0] == 3 and got[2][1] == 2
+    # within-doc repeat is NOT df >= 2 (distinct docs) — nothing dropped
+    assert got[3] == (
+        2, 2, len(f"{uniq(3, 0)} {uniq(3, 0)}"),
+        hashlib.md5(f"{uniq(3, 0)} {uniq(3, 0)}".encode()).hexdigest(),
+    )
+    assert got[4][1] == got[4][0] == 2
