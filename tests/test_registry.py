@@ -120,7 +120,10 @@ def test_driver_window_union_coverage():
         pytest.skip("no driver CORRECTNESS artifacts yet")
     latest = json.load(open(files[-1]))
     selfcheck_green: set[str] = set()
-    for log in glob.glob(os.path.join(root, "SELFCHECK_r*_sf0.1.log")):
+    # r14: the committed full-registry sweeps are named *_sf0.1_full.log
+    # since r11 — the narrow pattern matched only the r4-r11 era logs,
+    # so the fallback was silently reading 3-round-old evidence.
+    for log in glob.glob(os.path.join(root, "SELFCHECK_r*_sf0.1*.log")):
         for ln in open(log, errors="replace"):
             m = re.match(r"^(PASS|rows)\s+([a-z_0-9]+):", ln)
             if m:
