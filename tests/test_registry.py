@@ -210,7 +210,12 @@ def test_cited_selfcheck_logs_exist():
     cited: set[str] = set()
     for fname in ("desdb_spark/registry.py", "SURVEY.md"):
         with open(os.path.join(root, fname), errors="replace") as fh:
-            cited.update(re.findall(r"SELFCHECK_r\d+_sf0\.1\.log", fh.read()))
+            cited.update(
+                re.findall(
+                    r"SELFCHECK_r\d+_sf[\d.]+(?:_full(?:_driverconf)?)?\.log",
+                    fh.read(),
+                )
+            )
     missing = [c for c in sorted(cited) if not os.path.exists(os.path.join(root, c))]
     assert not missing, f"cited selfcheck logs absent from the repo: {missing}"
 
