@@ -130,8 +130,31 @@ def main() -> None:
         metavar="GIT_REF",
         help="modules whose source differs from GIT_REF lead the window",
     )
+    ap.add_argument(
+        "--assume-current-window-round",
+        type=int,
+        metavar="N",
+        help="preview the NEXT round: treat the current first-50 ops as "
+        "holding round-N driver rows (simulates the CORRECTNESS file the "
+        "driver has not written yet)",
+    )
     ap.add_argument("changed", nargs="*", help="explicit changed modules")
     args = ap.parse_args()
+    if args.assume_current_window_round:
+        from desdb_spark.registry import all_operators
+
+        window_ops = set(list(all_operators())[:WINDOW])
+        real = newest_green_rounds
+
+        def assumed(root=_REPO_ROOT):  # type: ignore[misc]
+            greens = real(root)
+            for n in window_ops:
+                greens[n] = max(
+                    greens.get(n, 0), args.assume_current_window_round
+                )
+            return greens
+
+        globals()["newest_green_rounds"] = assumed
     changed = list(args.changed)
     if args.changed_since:
         from tools.selfcheck import _names_changed_since
