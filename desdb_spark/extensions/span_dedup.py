@@ -11,16 +11,33 @@ which yields exactly the maximal token ranges every window of which is
 repeated elsewhere.
 
 Scale shape (r9 rework — the sf1 bench showed the r8 string-grain shape
-8.7× DuckDB): windows are keyed by ``xxhash64`` over the window's TOKEN
+8.7× DuckDB): windows are keyed by hashes over the window's TOKEN
 SLICE — no gram string is ever built and the one window shuffle carries
-(long, long, int). ONE hash-keyed aggregation both decides df ≥
+narrow fixed-width rows. ONE hash-keyed aggregation both decides df ≥
 {MIN_DF} and carries the per-window occurrence list, so the exploded
 stream is computed and shuffled exactly once (the r8 groupBy-then-
 join-back shape re-executed the full gram explode for the probe side
-and shuffled gram strings on both join sides). Hash-key collision
-story: identical to line_dedup's — none at fixture scale, O(100)
-spurious window hits at a 10¹¹-window corpus (noise for this heuristic;
-two-seed 128-bit struct key is the drop-in upgrade). The interval merge
+and shuffled gram strings on both join sides). Key-collision story
+(r15 — VERDICT r14 item 5 executed the documented upgrade): the window
+key is now a TWO-SEED 128-BIT pair (h1, h2) — two independent
+``xxhash64`` evaluations over the window's {SPAN_K} token digests (the
+second with a constant discriminator prepended, i.e. a second seed),
+shuffled and grouped together. This kills the channel the old
+single-seed story quantified: window-grain birthday collisions, O(100)
+expected at the 10¹¹-window corpus this op targets, drop to 2⁻¹²⁸ per
+pair ≈ 10⁻¹⁷ expected. The residual channel is DELIBERATELY kept: both
+keys read the same single 64-bit per-token digest stream, so two
+distinct TOKENS whose digests collide are indistinguishable in both
+seeds — expected colliding token pairs ≈ V²/2⁶⁵ ≈ 3 at a V = 10¹⁰
+vocabulary, and each yields a spurious window hit only where the two
+tokens also share a 4-token context. A full per-token digest-pair
+chain was built and measured at the 10× arm: +25% wall (wider
+explode/exchange rows, struct lead offsets) to close a vocabulary-
+grain channel three orders quieter than the one this upgrade closes —
+rejected; the derived-key form measures at parity with the r14
+single-seed cell because the two extra costs are one codegen xxhash64
+per window and one extra long on the decision exchange. The interval
+merge
 is two window functions over (doc_id) partitions — no self-join, no
 cross product. Output volume is bounded by the number of *merged*
 spans, far below the raw window hits.
@@ -37,9 +54,9 @@ token-hash array (one cheap transform per TOKEN, the only remaining
 HOF), then one WindowExec over (doc_id ORDER BY pos) computes the
 {SPAN_K - 1} ``lead`` offsets and a whole-stage-codegen projection
 hashes the {SPAN_K}-tuple. Cost moved: one extra exchange of
-(long, int, long) rows by doc_id — narrow-row shuffle beats per-window
-interpreted eval (measured at the 10× arm: 4.2 s → 2.9 s median, same
-session, bit-identical output). At 100 TB both terms are linear in
+(long, int, digest-pair) rows by doc_id — narrow-row shuffle beats
+per-window interpreted eval (measured at the 10× arm: 4.2 s → 2.9 s
+median, same session, bit-identical output). At 100 TB both terms are linear in
 window count; the exchange is bandwidth the cluster has, the
 interpreted lambda is a per-core throughput ceiling codegen removes.
 A zip_with-chain key build (binary lambda bodies) was also measured:
@@ -59,6 +76,36 @@ from desdb_spark.session import load_table
 #: window "repeated" (>= 2 distinct docs = it exists elsewhere).
 SPAN_K = 5
 MIN_DF = 2
+
+#: Constant discriminator prepended to the second hash stream's input:
+#: ``xxhash64(lit(SEED2_TAG), x)`` is an independent 64-bit hash of x
+#: (PySpark's xxhash64 has a fixed internal seed, so seeding is realized
+#: by extending the input tuple). Together with plain ``xxhash64(x)``
+#: this forms the two-seed 128-bit key both line- and span-grain dedup
+#: shuffle on.
+SEED2_TAG = 1
+
+
+def repeated_cross_doc(hits: "DataFrame", key_cols: tuple[str, ...]) -> "DataFrame":
+    """Filter an occurrence stream to the rows whose key occurs in >= 2
+    DISTINCT documents — the C4/Lee "exists elsewhere" rule, computed as
+    min(doc_id) != max(doc_id) over one hash-partitioned window on
+    ``key_cols`` (two primitive window aggregates, whole-stage codegen,
+    no collect_list over the corpus stream and no join-back that would
+    re-execute the producer for a probe side).
+
+    ``key_cols`` is the full dedup key; callers pass BOTH halves of the
+    two-seed 128-bit pair. The planted-collision test
+    (tests/test_span_dedup.py) runs this very function with a
+    deliberately weakened first key to prove the second seed rescues
+    h1-collisions the single-seed key would conflate.
+    """
+    w_h = Window.partitionBy(*key_cols)
+    return (
+        hits.withColumn("mn", F.min("doc_id").over(w_h))
+        .withColumn("mx", F.max("doc_id").over(w_h))
+        .where(F.col("mn") != F.col("mx"))
+    )
 
 
 @register(
@@ -123,21 +170,24 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     # Window stream keyed by hashes of the window's tokens: each token is
     # hashed ONCE per document (the only HOF, one cheap lambda eval per
-    # token), then the token-hash stream explodes as (doc_id, pos, v) and
-    # ONE WindowExec over (doc_id ORDER BY pos) supplies the next
-    # {SPAN_K - 1} hashes via lead offsets — posexplode preserves
+    # token), then the token-digest stream explodes as (doc_id, pos, v)
+    # and ONE WindowExec over (doc_id ORDER BY pos) supplies the next
+    # {SPAN_K - 1} digests via lead offsets — posexplode preserves
     # in-document order, the exchange it forces carries only
-    # (long, int, long). The window key is a whole-stage-codegen
-    # multi-argument xxhash64 over the {SPAN_K}-tuple; no per-window
-    # interpreted lambda (the r9 transform(sequence) build was
-    # CodegenFallback — 1.2 s of the 3.8 s sf1 wall) and no per-window
-    # array allocation. Token-hash equality ⇔ gram-text equality modulo
-    # 64-bit collisions (tokens contain no spaces post-filter); collision
-    # story as in the module docstring. The trailing l{SPAN_K - 1}-null
-    # filter drops exactly the positions with no full window.
+    # (long, int, long). The window keys are TWO whole-stage-codegen
+    # multi-argument xxhash64 calls over the same {SPAN_K}-tuple, the
+    # second seeded by a constant discriminator (module docstring has
+    # the full collision story); no per-window interpreted lambda (the
+    # r9 transform(sequence) build was CodegenFallback — 1.2 s of the
+    # 3.8 s sf1 wall) and no per-window array allocation. Token-digest
+    # equality ⇔ gram-text equality modulo the vocabulary-grain channel
+    # documented above (tokens contain no spaces post-filter). The
+    # trailing l{SPAN_K - 1}-null filter drops exactly the positions
+    # with no full window.
     th = F.transform(F.col("t"), lambda tok: F.xxhash64(tok))
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("v", k).over(w_doc).alias(f"l{k}") for k in range(1, SPAN_K)]
+    win = ["v", *[f"l{k}" for k in range(1, SPAN_K)]]
     exploded = (
         d.select("doc_id", toks.alias("t"))
         .where(F.size("t") >= SPAN_K)
@@ -148,28 +198,23 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("pos").alias("start"),
-            F.xxhash64("v", *[f"l{k}" for k in range(1, SPAN_K)]).alias("h"),
+            F.xxhash64(*win).alias("h1"),
+            F.xxhash64(F.lit(SEED2_TAG), *win).alias("h2"),
         )
     )
     # ONE shuffle decides repetition AND keeps every occurrence: at
     # MIN_DF = 2 (the Lee/C4 "exists elsewhere" rule this op and its
     # oracle fix), "≥ 2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id) over
-    # the window's occurrences — two primitive window aggregates over
-    # one hash-partitioned exchange, whole-stage-codegen end to end. No
-    # collect_list (object-hash aggregation over the full window stream
-    # was the r9a profile's dominant cost) and no join-back (which would
-    # re-execute the explode for the probe side).
+    # the window's occurrences — repeated_cross_doc above, partitioned on
+    # the full 128-bit (h1, h2) pair. No collect_list (object-hash
+    # aggregation over the full window stream was the r9a profile's
+    # dominant cost) and no join-back (which would re-execute the
+    # explode for the probe side).
     assert MIN_DF == 2, "min!=max shortcut encodes exactly df >= 2"
-    w_h = Window.partitionBy("h")
-    hits = (
-        exploded.withColumn("mn", F.min("doc_id").over(w_h))
-        .withColumn("mx", F.max("doc_id").over(w_h))
-        .where(F.col("mn") != F.col("mx"))
-        .select(
-            "doc_id",
-            F.col("start").cast("long").alias("start"),
-            (F.col("start") + (SPAN_K - 1)).cast("long").alias("e"),
-        )
+    hits = repeated_cross_doc(exploded, ("h1", "h2")).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        (F.col("start") + (SPAN_K - 1)).cast("long").alias("e"),
     )
     w_prev = (
         Window.partitionBy("doc_id")

@@ -12,6 +12,7 @@ from desdb_spark.extensions.span_dedup import (
     MIN_DF,
     SPAN_K,
     dedup_exact_substring_spans,
+    repeated_cross_doc,
 )
 from desdb_spark.session import load_table
 from tests.conftest import SF_DIR
@@ -79,6 +80,43 @@ def test_spans_disjoint_and_wide_enough(spark):
             assert r.span_tokens >= SPAN_K
             assert 1 <= r.n_windows <= r.span_tokens - SPAN_K + 1
             prev_end = r.span_end
+
+
+def test_two_seed_key_rescues_planted_h1_collision(spark):
+    """r15 (VERDICT r14 item 5): the dedup decision runs over the
+    two-seed 128-bit (h1, h2) pair via ``repeated_cross_doc``. Real
+    xxhash64 collisions are not constructible, so the collision is
+    PLANTED at the key level: two distinct windows in different docs
+    share h1 but differ in h2 (exactly what a first-seed collision
+    looks like), alongside one genuinely repeated window (both halves
+    equal). The single-key decision wrongly marks the collided pair
+    repeated; the pair-key decision — the function the shipping ops
+    call — keeps only the true repeat. This pins the rescue property of
+    the second seed on the PRODUCT function, not a test re-derivation."""
+    rows = [
+        # planted first-seed collision: same h1, different h2, two docs
+        (1, 100, 1111),
+        (2, 100, 2222),
+        # true cross-doc repeat: both digest halves equal
+        (3, 300, 3333),
+        (4, 300, 3333),
+        # singleton noise
+        (5, 500, 5555),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, h1 bigint, h2 bigint")
+
+    pair = {
+        (r.doc_id, r.h1, r.h2)
+        for r in repeated_cross_doc(df, ("h1", "h2")).collect()
+    }
+    assert pair == {(3, 300, 3333), (4, 300, 3333)}, pair
+
+    single = {
+        (r.doc_id, r.h1) for r in repeated_cross_doc(df, ("h1",)).collect()
+    }
+    # the weakened single key conflates the planted collision — this is
+    # the false-drop class the 128-bit pair eliminates
+    assert (1, 100) in single and (2, 100) in single
 
 
 def test_spans_adversarial_synthetic_corpus(spark, tmp_path):
