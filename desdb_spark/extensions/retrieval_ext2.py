@@ -29,18 +29,14 @@ B = 0.75
 TOP_N = 20
 
 
-def _eq_term(term: str):
-    """Unary equality predicate factory for F.filter.
-
-    MUST stay a closure returning a ONE-parameter lambda: PySpark
-    dispatches higher-order-function lambdas on arity, so a
-    two-parameter lambda (even `lambda x, qt=qt: ...`) is bound as the
-    `(element, index)` form and the default arg is overwritten by the
-    BIGINT index column — every string token then ANSI-casts to BIGINT
-    and the query throws CAST_INVALID_INPUT (the r10 bm25 incident;
-    see tests/test_lint.py::test_no_multiarg_hof_lambdas).
-    """
-    return lambda x: x == F.lit(term)
+def _dbl(x: float) -> str:
+    """Embed a Python float in SQL text bit-exactly: ``repr`` emits the
+    shortest decimal that round-trips to the same IEEE double, and both
+    Spark (Java ``Double.parseDouble``) and Python parse it back to the
+    identical bits. CAST-from-string sidesteps Spark SQL's bare-decimal
+    literal typing (DECIMAL, the r6 trap) without relying on the ``D``
+    suffix grammar."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 @register(
@@ -143,20 +139,34 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      local-mode action floors instead of three. Single-evaluation
     #      is unchanged — blocks persist at first materialization and
     #      the scoring pass reads them, never the tokenize lineage.
-    # Measured (idle machine, bench session config, 5-run): 1.00 s
-    # median/1.14 max → 0.67 median/0.69 max = 1.50× of baseline.
+    # r15 (VERDICT r14 item 2 — the last floor-bound cell): phase
+    # profiling at the 10× arm attributed ~0.5 s of the 0.72 s wall to
+    # DRIVER-SIDE plan construction — each F.* call is a py4j
+    # round-trip, and the HOF lambdas + the 3-term scoring tree cost
+    # hundreds of them per fn() invocation (build 0.34 s + scoring-plan
+    # 0.18 s measured; the EXECUTED work was only 0.27 + 0.12 s, i.e.
+    # the cell was plan-BUILD-bound, not scan-bound). Every projection
+    # is now a selectExpr string — one JVM-side parse per stage, zero
+    # Column-tree round-trips; the executed plan is IDENTICAL (verified:
+    # collected rows bit-equal, score_micros included) and the HOF
+    # lambdas parse JVM-side (`t -> t = '...'` — unary, immune to the
+    # r10 arity-dispatch trap by construction; float literals embed via
+    # _dbl's repr round-trip). Measured same-session at the 10× arm:
+    # 0.72 → 0.51 s median = 1.14× of the frozen DuckDB cell (was
+    # 1.53×). At 100 TB plan-build cost is a driver constant — this
+    # buys nothing there — but the bench cell measures a single-query
+    # round-trip, where it was the dominant non-scan term. An
+    # alternative single-pass F.aggregate token walk (the minhash
+    # playbook) was measured and REJECTED: the per-element struct
+    # accumulator allocation made it 63% slower than the 4 tiny-lambda
+    # filter walks it replaced.
     per = (
-        d.select(
+        d.selectExpr("doc_id", "filter(split(text, ' '), t -> t <> '') AS toks")
+        .selectExpr(
             "doc_id",
-            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
-        )
-        .select(
-            "doc_id",
-            F.size(F.col("toks")).alias("dl"),
+            "size(toks) AS dl",
             *[
-                F.size(F.filter(F.col("toks"), _eq_term(qt)))
-                .cast("bigint")
-                .alias(f"tf_{j}")
+                f"CAST(size(filter(toks, t -> t = '{qt}')) AS BIGINT) AS tf_{j}"
                 for j, qt in enumerate(QUERY_TERMS)
             ],
         )
@@ -169,40 +179,40 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it constant-folds into a BroadcastNestedLoopJoin (the plan audit
     # forbids the node class); fitted scalars as literals remain the
     # MLlib pattern.
-    tot = per.agg(
-        F.count("*").alias("n"),
-        F.sum("dl").cast("bigint").alias("s"),
+    tot = per.selectExpr(
+        "count(*) AS n",
+        "CAST(sum(dl) AS BIGINT) AS s",
         *[
-            F.sum(F.when(F.col(f"tf_{j}") > 0, 1).otherwise(0)).alias(f"df_{j}")
+            f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
             for j in range(len(QUERY_TERMS))
         ],
     ).first()
     n_docs, avgdl = tot.n, tot.s / tot.n
-    norm = K1 * ((1 - B) + B * F.col("dl") / F.lit(avgdl))
-    n_terms = sum(
-        F.when(F.col(f"tf_{j}") > 0, 1).otherwise(0)
-        for j in range(len(QUERY_TERMS))
-    )
-    score = sum(
-        F.when(
-            F.col(f"tf_{j}") > 0,
-            F.round(
-                F.lit(math.log((n_docs - tot[f"df_{j}"] + 0.5) / (tot[f"df_{j}"] + 0.5) + 1))
-                * (F.col(f"tf_{j}").cast("double") * (K1 + 1))
-                / (F.col(f"tf_{j}").cast("double") + norm)
-                * 1_000_000,
-                0,
-            ).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
+    # Scoring as ONE SQL projection string. Arithmetic order mirrors the
+    # retired Column tree exactly (left-associative, same grouping), so
+    # the integer-micro rounding is bit-identical — the differential
+    # hash and the pinned brute-force test both prove it.
+    norm = f"{_dbl(K1)} * ({_dbl(1 - B)} + {_dbl(B)} * dl / {_dbl(avgdl)})"
+    contribs = []
+    for j in range(len(QUERY_TERMS)):
+        idf = math.log((n_docs - tot[f"df_{j}"] + 0.5) / (tot[f"df_{j}"] + 0.5) + 1)
+        contribs.append(
+            f"(CASE WHEN tf_{j} > 0 THEN CAST(round({_dbl(idf)}"
+            f" * (CAST(tf_{j} AS DOUBLE) * {_dbl(K1 + 1)})"
+            f" / (CAST(tf_{j} AS DOUBLE) + {norm}) * 1000000, 0) AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    n_terms = " + ".join(
+        f"(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END)"
         for j in range(len(QUERY_TERMS))
     )
     return (
-        per.select(
+        per.selectExpr(
             "doc_id",
-            n_terms.cast("bigint").alias("n_terms"),
-            score.alias("score_micros"),
+            f"CAST({n_terms} AS BIGINT) AS n_terms",
+            f"{' + '.join(contribs)} AS score_micros",
         )
-        .where(F.col("n_terms") > 0)
+        .where("n_terms > 0")
         .orderBy(F.desc("score_micros"), "doc_id")
         .limit(TOP_N)
     )

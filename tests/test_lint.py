@@ -13,7 +13,10 @@ default arguments. Default args are Python's loop-variable capture idiom,
 and that is exactly the intent that arity dispatch breaks; legitimate
 two-parameter forms (``transform(col, (x, i) -> ...)``, ``aggregate``'s
 merge, ``zip_with``, ``map_*``) never need defaults. Capture via a
-closure factory instead (see retrieval_ext2._eq_term).
+closure factory returning a unary lambda instead (example in
+test_lint_accepts_the_closure_factory_fix below; SQL-string HOF lambdas
+via selectExpr, the r15 bm25 shape, parse JVM-side and are immune by
+construction).
 """
 
 from __future__ import annotations
