@@ -83,29 +83,32 @@ _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def scoped_export_dir(name: str) -> str:
-    """Static-per-checkout /tmp path for a differential-oracle export
-    sink (r14 — ADVICE r13: the fixed world-readable paths let a stale
-    export, another user, or a concurrent harness feed the DuckDB oracle
-    data the op never produced). Scoping by user + a repo-root digest
-    keeps the path a STATIC string at import time — the oracle SQL
-    embeds it, preserving the static-oracle contract — so ACCIDENTAL
-    cross-user/cross-checkout collisions don't occur (the path is still
-    predictable under world-writable /tmp, so a deliberate squatter can
-    pre-own it — that fails LOUDLY as a write permission error, never a
-    silent wrong-pass). The remaining same-checkout concurrent-harness
-    window is closed by the run_token column each export carries (the
-    hashed report includes it, so a cross-read reds deterministically
-    on a value mismatch)."""
+    """Static-per-checkout path for a differential-oracle export sink
+    (r14 — ADVICE r13: fixed world-readable paths let a stale export,
+    another user, or a concurrent harness feed the DuckDB oracle data
+    the op never produced). r15 (ADVICE r14): rooted under the repo
+    checkout's gitignored ``_scratch/exports/`` instead of /tmp — the
+    path stays a STATIC string at import time (the oracle SQL embeds
+    it, preserving the static-oracle contract), cross-checkout
+    collisions are impossible by construction (each checkout owns its
+    own tree), and the /tmp squatting window is gone: under /tmp an
+    adversary could pre-create the predictable path as world-writable,
+    let Spark's overwrite succeed, and inject rows copying the visible
+    run_token — a silent wrong-pass. Repo-directory permissions now
+    gate every write. The user suffix stays so two users sharing one
+    checkout (sudo workflows) keep distinct dirs; the remaining
+    same-checkout concurrent-harness window is still closed by the
+    run_token column each export carries (the hashed report includes
+    n_runs = count(distinct run_token), so a torn/mixed read reds
+    deterministically)."""
     import getpass
-    import hashlib
 
     try:
         user = getpass.getuser()
     except Exception:  # no USER/LOGNAME and no passwd entry (bare container)
         user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "nouser"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tag = hashlib.md5(repo.encode()).hexdigest()[:8]
-    return f"/tmp/desdb_spark_{name}_{user}_{tag}"
+    return os.path.join(repo, "_scratch", "exports", f"{name}_{user}")
 
 
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
