@@ -195,10 +195,35 @@ DETAIL_PATH = os.path.join(
 )
 
 
+def git_sha() -> str:
+    """Short HEAD sha of the repo this bench file lives in, with a
+    ``+dirty`` suffix when the working tree differs from HEAD (r15 —
+    VERDICT r14 item 3: the committed artifact must carry the exact
+    code identity it measured, so a commit message's bench claim can
+    never diverge silently from the later driver-run BENCH_r{N}.json).
+    Degrades to ``unknown`` rather than failing the run."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (sha or "unknown") + ("+dirty" if dirty else "")
+    except Exception:  # noqa: BLE001 — provenance must never kill the run
+        return "unknown"
+
+
 def compact_line(result: dict) -> dict:
     """Reduce the full detail dict to the driver-parseable final line.
 
     Keeps the driver contract keys (metric/value/unit/queries/sf), the
+    provenance stamp (sha + load_note — VERDICT r14 item 3), the
     floor-attribution fields, per-suite totals, and the sf1 per-cell
     triples [median_sec, ratio_frozen, ratio_sameday] (the judged scale
     arm rides the final line with BOTH its ratios — VERDICT r13 item 2;
@@ -206,9 +231,12 @@ def compact_line(result: dict) -> dict:
     BENCH_DETAIL.json). Fields are shed NON-CONTRACT-FIRST if the
     serialized line would exceed COMPACT_LINE_CAP (it does not at
     current suite sizes — tests/test_bench_emit.py proves the margin
-    with worst-case widths): adjunct duplicates, then sf1 cells, then
-    errors — and 'queries' (a driver-contract key, ADVICE r13) is never
-    dropped, only truncated entry-by-entry as the true last resort."""
+    with worst-case widths), as UNITS so a retained field can never
+    reference shed context (ADVICE r14: op_error_count without
+    op_errors, or ratio_floor_adj outliving the value it derives from):
+    adjunct duplicates, then sf1 cells, then errors — and 'queries' (a
+    driver-contract key, ADVICE r13) is never dropped, only truncated
+    entry-by-entry as the true last resort."""
     headline = {
         k: v for k, v in result.get("queries", {}).items() if isinstance(v, float)
     }
@@ -220,6 +248,8 @@ def compact_line(result: dict) -> dict:
         "value": result["value"],
         "unit": result["unit"],
         "sf": result["sf"],
+        "sha": result.get("sha"),
+        "load_note": result.get("load_note"),
         "queries": headline,
         "floor_sec": result.get("floor_sec"),
         "floor_after_sec": result.get("floor_after_sec"),
@@ -249,24 +279,27 @@ def compact_line(result: dict) -> dict:
     if errors:
         compact["op_error_count"] = len(errors)
         compact["op_errors"] = errors[:5]
-    # Shed order (ADVICE r13): non-contract adjuncts first, sf1 cells
-    # (they live in the detail file) and error samples next; 'queries'
-    # is driver-contract and is truncated, never dropped.
-    for victim in (
-        "ratio_sameday",
-        "baseline_sameday_total_sec",
-        "cold_first_action_sec",
-        "baseline_total_sec",
-        "value_floor_adj",
-        "llm_total_sec",
-        "llm_sf1_total_sec",
-        "lake_total_sec",
-        "llm_sf1",
-        "op_errors",
+    # Shed order (ADVICE r13), paired into units (ADVICE r14): the
+    # same-day ratio goes with its denominator, the floor-adjusted
+    # ratio with the value it derives from, the error count with its
+    # samples. 'queries' is driver-contract and is truncated, never
+    # dropped. The provenance stamp (sha/load_note) is ~40 chars and
+    # never shed — without it the artifact loses its code identity.
+    for unit in (
+        ("ratio_sameday", "baseline_sameday_total_sec"),
+        ("cold_first_action_sec",),
+        ("baseline_total_sec",),
+        ("llm_total_sec",),
+        ("llm_sf1_total_sec",),
+        ("lake_total_sec",),
+        ("value_floor_adj", "ratio_floor_adj"),
+        ("llm_sf1",),
+        ("op_errors", "op_error_count"),
     ):
         if len(json.dumps(compact)) <= COMPACT_LINE_CAP:
             break
-        compact.pop(victim, None)
+        for victim in unit:
+            compact.pop(victim, None)
     while len(json.dumps(compact)) > COMPACT_LINE_CAP and compact["queries"]:
         compact["queries"].pop(next(reversed(compact["queries"])))
     return compact
@@ -670,6 +703,15 @@ def main() -> None:
     floor_after = measure_floor(spark, attempts=1)
     floor_ratio = round(max(floor, floor_after) / HISTORICAL_FLOOR_SEC, 2)
     result["floor_after_sec"] = floor_after
+    # Provenance stamp (VERDICT r14 item 3): the exact code identity and
+    # machine state the numbers were measured under ride the artifact,
+    # so a commit message's bench claim can be checked against the
+    # driver-run BENCH_r{N}.json instead of diverging silently.
+    result["sha"] = git_sha()
+    result["load_note"] = (
+        f"{'loaded' if floor_ratio > FLOOR_TOLERANCE else 'idle'}"
+        f"@{floor_ratio}x_floor"
+    )
     errors = sorted(
         k for suite in (timings, llm_timings, llm_sf1_timings, lake_timings)
         for k, v in suite.items() if isinstance(v, str)

@@ -64,6 +64,8 @@ def _worst_case_result(with_errors: bool) -> dict:
         "lake_total_sec": 370.3702,
         "ambient_load_warning": True,
         "floor_ratio_vs_historical": 1.43,
+        "sha": "abcdef0+dirty",
+        "load_note": "loaded@99.99x_floor",
     }
     if with_errors:
         result["op_errors"] = [f"{'y' * 60}_{i}_error" for i in range(8)]
@@ -139,3 +141,50 @@ def test_compact_sf1_cells_carry_both_ratios():
         sec, rf, rs = compact["llm_sf1"][name]
         assert isinstance(sec, float) and isinstance(rf, float), name
         assert isinstance(rs, float), name
+
+
+def test_git_sha_matches_head_at_emit_time():
+    """VERDICT r14 item 3: the provenance stamp must be the sha of the
+    code actually measured — bench.git_sha() read at emit time must
+    agree with an independent rev-parse of HEAD run now."""
+    import subprocess
+
+    head = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, timeout=10,
+    ).stdout.strip()
+    stamped = bench.git_sha()
+    assert stamped.split("+", 1)[0] == head, (stamped, head)
+    # dirty marker agrees with the tree state at the same instant
+    dirty = bool(subprocess.run(
+        ["git", "-C", REPO, "status", "--porcelain"],
+        capture_output=True, text=True, timeout=10,
+    ).stdout.strip())
+    assert stamped.endswith("+dirty") == dirty, stamped
+
+
+def test_compact_line_always_carries_provenance():
+    for with_errors in (False, True):
+        compact = bench.compact_line(_worst_case_result(with_errors))
+        assert compact["sha"] == "abcdef0+dirty"
+        assert compact["load_note"] == "loaded@99.99x_floor"
+
+
+def test_compact_sheds_derived_fields_with_their_sources():
+    """ADVICE r14: shedding drops units, so a retained field can never
+    reference shed context — op_error_count goes with op_errors, the
+    floor-adjusted ratio with the value it derives from, the same-day
+    ratio with its denominator. Force deep shedding with an oversized
+    payload and check the pairings at every depth."""
+    result = _worst_case_result(with_errors=True)
+    result["op_errors"] = ["z" * 290 for _ in range(8)]
+    # Inflate headline floats' rendering to force shedding past the
+    # error unit and into the adjunct pairs.
+    result["queries"] = {k: 123456789.1234567 for k in bench.HEADLINE}
+    compact = bench.compact_line(result)
+    assert len(json.dumps(compact)) <= bench.COMPACT_LINE_CAP
+    assert ("op_errors" in compact) == ("op_error_count" in compact)
+    assert ("value_floor_adj" in compact) == ("ratio_floor_adj" in compact)
+    assert ("ratio_sameday" in compact) == (
+        "baseline_sameday_total_sec" in compact
+    )
