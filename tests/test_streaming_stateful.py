@@ -71,10 +71,67 @@ def test_stateful_profile_rocksdb_provider_engaged(spark, tables):
     assert out == batch
 
 
+def test_transform_with_state_profile_emulated(spark, tables):
+    """r15 (VERDICT r14 item 6 — close the suite's last silent skip):
+    drive the EXACT StatefulProcessor class through the protobuf-free
+    local lifecycle harness, splitting each user's events across three
+    micro-batches so state must thread between handleInputRows calls,
+    and pin the FINAL per-key emission against the batch aggregate.
+    Exercises the processor's own semantics everywhere; the live
+    streaming-runner arm below still runs where protobuf exists."""
+    import pandas as pd
+
+    from desdb_spark.streaming.transform_state import (
+        emulate_transform_with_state,
+        make_profile_processor,
+    )
+
+    events = (
+        tables["events"]
+        .select(
+            "user_id",
+            F.round(F.col("value") * 10_000, 0).cast("long").alias("value_q"),
+        )
+        .toPandas()
+    )
+    # Arrival order: interleave keys batch-by-batch (3 slices per key,
+    # possibly empty) — per-key state must survive other keys' batches.
+    batches = []
+    for i in range(3):
+        for uid, grp in events.groupby("user_id"):
+            batches.append(((uid,), grp.iloc[i::3]))
+    emitted = emulate_transform_with_state(make_profile_processor, batches)
+    assert all(isinstance(e, pd.DataFrame) for e in emitted)
+    # Update-mode: the LAST emission per key is the final running state.
+    final = {}
+    for e in emitted:
+        final[int(e["user_id"].iloc[0])] = (
+            int(e["n_events"].iloc[0]),
+            float(e["sum_value"].iloc[0]),
+        )
+    batch = {
+        r.user_id: (r.n, r.s_q / 10_000)
+        for r in tables["events"]
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), _batch_sum_q())
+        .collect()
+    }
+    assert final == batch
+    # Three emissions per key (one per micro-batch), monotone counts.
+    per_key = {}
+    for e in emitted:
+        per_key.setdefault(int(e["user_id"].iloc[0]), []).append(
+            int(e["n_events"].iloc[0])
+        )
+    for uid, counts in per_key.items():
+        assert len(counts) == 3 and counts == sorted(counts), (uid, counts)
+
+
 def test_transform_with_state_profile(spark, tables):
-    """transformWithStateInPandas twin of the profile op — runs only where
-    the streaming Python runner's protobuf dependency exists (this
-    container lacks it; the wrapper itself is the tested surface)."""
+    """transformWithStateInPandas twin of the profile op — the LIVE
+    streaming-runner arm, runs only where the runner's protobuf
+    dependency exists (this container lacks it; the emulated test above
+    covers the processor semantics here)."""
     import pytest
 
     from desdb_spark.streaming import transform_state
@@ -82,7 +139,8 @@ def test_transform_with_state_profile(spark, tables):
 
     if not transform_state.is_available():
         pytest.skip("google.protobuf unavailable: transformWithState "
-                    "streaming runner cannot start in this container")
+                    "streaming runner cannot start in this container; "
+                    "processor semantics covered by the emulated test")
     from desdb_spark.session import normalize_events_ts
     from desdb_spark.streaming.runner import run_available_now, stage_file_source
 
