@@ -28,9 +28,47 @@ def test_propose_leads_with_changed_and_fills_to_window():
     assert window[0]["module"] == "desdb_spark.extensions.span_dedup"
     assert window[1]["module"] == "desdb_spark.extensions.line_dedup"
     assert prop["total"] <= WINDOW
+    assert prop["short_by"] == WINDOW - prop["total"]
     total = sum(len(d["ops"]) for d in window)
     assert total == prop["total"]
     # fills are vintage-sorted after the changed head
     fills = window[2:]
     vintages = [d["vintage"] for d in fills]
     assert vintages == sorted(vintages)
+
+
+def test_assume_round_is_an_explicit_parameter():
+    """ADVICE r14: the next-round preview threads through parameters,
+    not a globals() patch, and 0 is honored (compared against None)."""
+    from desdb_spark.registry import all_operators
+
+    window_ops = list(all_operators())[:WINDOW]
+    real = newest_green_rounds()
+    bumped = newest_green_rounds(assume_current_window_round=99)
+    for n in window_ops:
+        assert bumped[n] == 99, n
+    # non-window ops unchanged
+    for n in set(real) - set(window_ops):
+        assert bumped.get(n, 0) == real[n]
+    # 0 is a valid (no-op, but honored) assumption, not silently ignored
+    zeroed = newest_green_rounds(assume_current_window_round=0)
+    for n in window_ops:
+        assert zeroed.get(n, 0) == max(real.get(n, 0), 0)
+    # and it reaches propose() through the explicit parameter
+    prop = propose([], assume_current_window_round=99)
+    head_vintages = {d["module"]: d["vintage"] for d in prop["window"]}
+    assert "desdb_spark.extensions.span_dedup" not in head_vintages or (
+        head_vintages["desdb_spark.extensions.span_dedup"] == 99
+    )
+
+
+def test_exact_fill_finds_multi_module_combinations():
+    from tools.plan_window import _exact_fill
+
+    mk = lambda name, n, v: {"module": name, "ops": [f"{name}.{i}" for i in range(n)], "rows_only": [], "vintage": v}  # noqa: E731
+    remaining = [mk("a", 3, 5), mk("b", 4, 6), mk("c", 2, 7), mk("d", 7, 8)]
+    # no single module has 5 ops, but a(3)+c(2) fits — oldest-biased
+    combo = _exact_fill(remaining, 5)
+    assert combo is not None and sorted(d["module"] for d in combo) == ["a", "c"]
+    # impossible gap -> None (caller reports short_by instead)
+    assert _exact_fill(remaining, 1) is None

@@ -37,8 +37,17 @@ sys.path.insert(0, _REPO_ROOT)
 WINDOW = 50
 
 
-def newest_green_rounds(root: str = _REPO_ROOT) -> dict[str, int]:
-    """op name -> newest round with a green driver row (0 = never)."""
+def newest_green_rounds(
+    root: str = _REPO_ROOT, assume_current_window_round: int | None = None
+) -> dict[str, int]:
+    """op name -> newest round with a green driver row (0 = never).
+
+    ``assume_current_window_round`` previews the NEXT round: the current
+    first-WINDOW registered ops are treated as holding round-N rows, as
+    if the driver had already written the CORRECTNESS file for the
+    currently-committed window. Threaded as an explicit parameter
+    (ADVICE r14 — the previous globals() patch silently decayed under
+    refactoring and ignored 0; the comparison is now against None)."""
     newest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
@@ -50,15 +59,22 @@ def newest_green_rounds(root: str = _REPO_ROOT) -> dict[str, int]:
             )
             if green:
                 newest[name] = max(newest.get(name, 0), rnd)
+    if assume_current_window_round is not None:
+        from desdb_spark.registry import all_operators
+
+        for n in list(all_operators())[:WINDOW]:
+            newest[n] = max(newest.get(n, 0), assume_current_window_round)
     return newest
 
 
-def module_vintages() -> list[dict]:
+def module_vintages(assume_current_window_round: int | None = None) -> list[dict]:
     """Per-module summary in canonical registry order."""
     from desdb_spark.registry import all_operators
 
     ops = all_operators()
-    greens = newest_green_rounds()
+    greens = newest_green_rounds(
+        assume_current_window_round=assume_current_window_round
+    )
     mods: dict[str, dict] = {}
     for name, op in ops.items():
         m = op.fn.__module__
@@ -72,11 +88,33 @@ def module_vintages() -> list[dict]:
     return list(mods.values())
 
 
-def propose(changed: list[str]) -> dict:
+def _exact_fill(remaining: list[dict], gap: int) -> list[dict] | None:
+    """Subset of ``remaining`` whose op counts sum to exactly ``gap``
+    (ADVICE r14: a single same-size module is not always available when
+    a multi-module combination fits). Subset-sum over the (small) module
+    sizes, scanning oldest-first so the chosen combination is biased
+    toward the oldest vintages; None when no exact combination exists."""
+    reach: dict[int, list[dict]] = {0: []}
+    for d in remaining:
+        n = len(d["ops"])
+        for s in sorted(reach, reverse=True):
+            t = s + n
+            if t <= gap and t not in reach:
+                reach[t] = reach[s] + [d]
+        if gap in reach:
+            return reach[gap]
+    return None
+
+
+def propose(
+    changed: list[str], assume_current_window_round: int | None = None
+) -> dict:
     """Window proposal: changed modules first (caller-ordered), then
-    never-checked (vintage 0), then oldest-vintage fills, exact-fit to
-    WINDOW slots when a same-size candidate exists."""
-    mods = module_vintages()
+    never-checked (vintage 0), then oldest-vintage fills, completed to
+    exactly WINDOW slots by an exact-fit subset when one exists; a
+    still-short window is reported via ``short_by`` instead of being
+    silently assumed complete (ADVICE r14)."""
+    mods = module_vintages(assume_current_window_round)
     by_name = {d["module"]: d for d in mods}
     short = {d["module"].rsplit(".", 1)[-1]: d["module"] for d in mods}
     picked: list[dict] = []
@@ -108,16 +146,19 @@ def propose(changed: list[str]) -> dict:
         else:
             deferred.append(d["module"])
     if total < WINDOW:
-        # exact-fit completion: any not-yet-picked module of exactly the
-        # remaining size, oldest first.
-        gap = WINDOW - total
-        for d in fills:
-            if d["module"] not in used and len(d["ops"]) == gap:
-                picked.append(d)
-                total += gap
-                break
+        # exact-fit completion: the oldest-biased not-yet-picked subset
+        # summing to exactly the remaining gap (single module or a
+        # combination — ADVICE r14).
+        combo = _exact_fill(
+            [d for d in fills if d["module"] not in used], WINDOW - total
+        )
+        for d in combo or ():
+            picked.append(d)
+            used.add(d["module"])
+            total += len(d["ops"])
     return {
         "total": total,
+        "short_by": WINDOW - total,
         "window": picked,
         "first_deferred": deferred[:10],
     }
@@ -140,21 +181,6 @@ def main() -> None:
     )
     ap.add_argument("changed", nargs="*", help="explicit changed modules")
     args = ap.parse_args()
-    if args.assume_current_window_round:
-        from desdb_spark.registry import all_operators
-
-        window_ops = set(list(all_operators())[:WINDOW])
-        real = newest_green_rounds
-
-        def assumed(root=_REPO_ROOT):  # type: ignore[misc]
-            greens = real(root)
-            for n in window_ops:
-                greens[n] = max(
-                    greens.get(n, 0), args.assume_current_window_round
-                )
-            return greens
-
-        globals()["newest_green_rounds"] = assumed
     changed = list(args.changed)
     if args.changed_since:
         from tools.selfcheck import _names_changed_since
@@ -165,8 +191,14 @@ def main() -> None:
         changed += sorted(
             {ops[n].fn.__module__ for n in _names_changed_since(args.changed_since)}
         )
-    prop = propose(changed)
+    prop = propose(changed, args.assume_current_window_round)
     print(f"proposed window: {prop['total']}/{WINDOW} ops")
+    if prop["short_by"]:
+        print(
+            f"WARNING: window is short by {prop['short_by']} slots — no "
+            "not-yet-picked module combination fits the gap exactly; "
+            "hand-finish before pinning"
+        )
     for d in prop["window"]:
         tag = f" rows-only: {d['rows_only']}" if d["rows_only"] else ""
         print(
