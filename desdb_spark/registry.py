@@ -198,64 +198,125 @@ _REGISTRY: dict[str, Operator] = {}
 #: formats_ext2 1, timeseries_ext 2, lake_ext 1, diagnostics 2,
 #: ingest_ext 2, plans.lineage 1, quality_gates 2) — first r15 fills,
 #: then the r7 wave (SURVEY §2C documents the expected r15 window).
+#:
+#: Round 15 window rationale (VERDICT r14 item 1 — executes the plan
+#: SURVEY §2C pinned last round, via tools/plan_window.py's preview),
+#: slot priority unchanged: changed-since-checked > never-checked
+#: (none) > oldest-green.
+#:   * 6 slots, changed in r15, all 1-op modules so no rider cost:
+#:     span_dedup + line_dedup (the two-seed 128-bit key upgrade,
+#:     VERDICT r14 item 5), retrieval_ext2 (bm25's selectExpr
+#:     plan-build rework, item 2 — executed plan identical but the
+#:     code path is new), and the ANN trio (ann_pq / ann_serving /
+#:     ann_eval — their oracle SQL changed when the differential
+#:     export dirs re-rooted from /tmp to _scratch/exports, ADVICE
+#:     r14; the driver must prove the new paths end-to-end).
+#:   * 12 slots, the ENTIRE remaining r6-vintage backlog:
+#:     streaming.foreach, formats_ext2, timeseries_ext (2), lake_ext,
+#:     diagnostics (2 — both rows-only by design, plan-introspection
+#:     reports), ingest_ext (2, one rows-only), plans.lineage,
+#:     quality_gates (2). After CORRECTNESS_r15 no op's newest driver
+#:     row predates r7.
+#:   * 32 slots, oldest-green r7 fills in module-size combinations
+#:     summing to exactly 50: relational_ext9 (3), retrieval_ext (3),
+#:     formats_ext3, modern_types (2), curriculum, joins_ext2 (2),
+#:     sampling_ext (2), corpus_stats (3), graph_ext (2), sketches_ext
+#:     (2 — both rows-only sketch estimates, property-pinned),
+#:     linkage_ext, layout_ext, incremental, constraints (3),
+#:     streaming.resume, reconcile, schema_evolution, static_join, cdc.
+#: Window rows-only occupancy: 5 (diagnostics' pair, ingest's
+#: malformed-audit, sketches' pair) — not riders this round but the
+#: rotation's own subjects: rows-only ops age like hash ops and their
+#: freshness is the same union-coverage obligation; each carries a
+#: property pin named in SURVEY §2C's rows-only evidence map.
+#: Sums to EXACTLY 50 (tests/test_registry.py::test_r15_window_pinned).
+#: Changed-plan exception list after this rotation: EMPTY. Remaining
+#: r7-vintage rows after CORRECTNESS_r15: the temporal_ext/allocation/
+#: windowed_topk/text/analytics_ext5/mining_ext/stateful/linalg_ext
+#: wave (the planner's next-oldest-deferred list) — first r16 fills.
 _OP_MODULES = (
-    # --- r14 window: changed-plan slots (5 ops) ---
-    "desdb_spark.extensions.span_dedup",  # 1 op — r14 codegen lead-offset key rework (VERDICT r13 item 1)
-    "desdb_spark.extensions.line_dedup",  # 1 op — r14 lazy-checkpoint rework (VERDICT r13 item 4)
-    "desdb_spark.extensions.ann_pq",  # 1 op — r13 hash oracle never driver-run + r14 run_token schema
+    # --- r15 window: changed-plan slots (6 ops, all 1-op modules) ---
+    "desdb_spark.extensions.span_dedup",  # 1 op — r15 two-seed 128-bit key rework (VERDICT r14 item 5)
+    "desdb_spark.extensions.line_dedup",  # 1 op — r15 two-seed 128-bit key rework (same item)
+    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r15 selectExpr plan-build rework (VERDICT r14 item 2)
+    "desdb_spark.extensions.ann_pq",  # 1 op — oracle path changed: exports re-rooted under _scratch/ (ADVICE r14)
     "desdb_spark.extensions.ann_serving",  # 1 op — same
-    "desdb_spark.extensions.ann_eval",  # 1 op — same, + NULL-sum semantics fix
-    # --- r14 window: the entire pre-r6 backlog (27 ops) ---
-    "desdb_spark.operators.joins_ext",  # 1 op — join_salted_skew (r4 row)
-    "desdb_spark.operators.temporal",  # 1 op — scd2_event_type_history (r4)
-    "desdb_spark.extensions.quality_ext",  # 2 ops — r4
-    "desdb_spark.operators.relational_ext",  # 11 ops — r5 TPC-H/scalar/set wave
-    "desdb_spark.operators.relational_ext7",  # 4 ops — r5
-    "desdb_spark.operators.relational_ext6",  # 2 ops — r5
-    "desdb_spark.extensions.text_ext",  # 3 ops — r5
-    "desdb_spark.extensions.stats_monitor",  # 2 ops — r5
-    "desdb_spark.sources.formats_ext",  # 1 op — source_orc_roundtrip (r5)
-    # --- r14 window: oldest-green r6 fills (18 ops) ---
-    "desdb_spark.operators.relational_ext11",  # 7 ops — r6
-    "desdb_spark.operators.relational_ext8",  # 4 ops — r6
-    "desdb_spark.operators.relational_ext10",  # 4 ops — r6 (agg_approx_percentile: the one rows-only rider)
-    "desdb_spark.extensions.dedup_ext",  # 2 ops — r6
-    "desdb_spark.streaming.joins",  # 1 op — stream_stream_enrich_join (r6); slot 50
-    # --- end of r14 window. Everything below holds a driver row from
-    # the round named in SURVEY §2C (the r13 window modules lead — their
-    # rows are CORRECTNESS_r13-fresh), code unchanged since, re-proven
+    "desdb_spark.extensions.ann_eval",  # 1 op — same
+    # --- r15 window: the entire remaining r6-vintage backlog (12 ops) ---
+    "desdb_spark.streaming.foreach",  # 1 op — r6 row
+    "desdb_spark.sources.formats_ext2",  # 1 op — r6
+    "desdb_spark.extensions.timeseries_ext",  # 2 ops — r6
+    "desdb_spark.sources.lake_ext",  # 1 op — r6
+    "desdb_spark.operators.diagnostics",  # 2 ops — r6 (both rows-only by design: plan-introspection reports)
+    "desdb_spark.sources.ingest_ext",  # 2 ops — r6 (source_csv_malformed_audit rows-only)
+    "desdb_spark.plans.lineage",  # 1 op — r6
+    "desdb_spark.extensions.quality_gates",  # 2 ops — r6
+    # --- r15 window: oldest-green r7 fills (32 ops) ---
+    "desdb_spark.operators.relational_ext9",  # 3 ops — r7
+    "desdb_spark.extensions.retrieval_ext",  # 3 ops — r7
+    "desdb_spark.sources.formats_ext3",  # 1 op — r7
+    "desdb_spark.functions.modern_types",  # 2 ops — r7
+    "desdb_spark.extensions.curriculum",  # 1 op — r7
+    "desdb_spark.operators.joins_ext2",  # 2 ops — r7
+    "desdb_spark.extensions.sampling_ext",  # 2 ops — r7
+    "desdb_spark.extensions.corpus_stats",  # 3 ops — r7
+    "desdb_spark.extensions.graph_ext",  # 2 ops — r7
+    "desdb_spark.extensions.sketches_ext",  # 2 ops — r7 (both rows-only: sketch estimates, property-pinned)
+    "desdb_spark.extensions.linkage_ext",  # 1 op — r7
+    "desdb_spark.sources.layout_ext",  # 1 op — r7
+    "desdb_spark.operators.incremental",  # 1 op — r7
+    "desdb_spark.extensions.constraints",  # 3 ops — r7
+    "desdb_spark.streaming.resume",  # 1 op — r7
+    "desdb_spark.operators.reconcile",  # 1 op — r7
+    "desdb_spark.sources.schema_evolution",  # 1 op — r7
+    "desdb_spark.streaming.static_join",  # 1 op — r7
+    "desdb_spark.operators.cdc",  # 1 op — r7; slot 50
+    # --- end of r15 window. Everything below holds a driver row from
+    # the round named in SURVEY §2C (the r14 window modules lead — their
+    # rows are CORRECTNESS_r14-fresh), code unchanged since, re-proven
     # at HEAD by the committed full-registry selfcheck logs; prior
     # relative order preserved.
-    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r13 row
-    "desdb_spark.extensions.dedup_near",  # 2 ops — r13 rows
-    "desdb_spark.extensions.pipeline_ext",  # 2 ops — r13 rows
-    "desdb_spark.sources.pyds_sink",  # 1 op — r13 row
-    "desdb_spark.extensions.corpus_timeseries",  # 5 ops — r13 rows
-    "desdb_spark.sources.lake",  # 1 op — r13 row
-    "desdb_spark.operators.relational_ext3",  # 9 ops — r13 rows
-    "desdb_spark.operators.relational_ext5",  # 8 ops — r13 rows
-    "desdb_spark.operators.relational_ext4",  # 6 ops — r13 rows
-    "desdb_spark.extensions.pipeline_analytics",  # 7 ops — r13 rows
-    "desdb_spark.extensions.training_prep",  # 5 ops — r13 rows
-    "desdb_spark.operators.relational_ext2",  # 3 ops — r13 rows
-    "desdb_spark.extensions.dedup",  # 2 ops — r12 PPJoin kernel rework (asymmetric prefix + positional filter + hot-key salting); dedup_exact_docs rides along (module granularity)
-    "desdb_spark.extensions.dedup_curve",  # 1 op — consumes the reworked prefix_filtered_pairs (26.8s -> 13s)
-    "desdb_spark.extensions.dedup_components",  # 1 op — same consumer
-    "desdb_spark.extensions.dedup_eval",  # 1 op — same consumer
-    "desdb_spark.extensions.dsir_ext",  # 1 op — r12 null-safe map scoring (plan changed)
-    "desdb_spark.extensions.similarity",  # 4 ops — r12 persisted IVF fit input; 3 knn ops ride along
-    "desdb_spark.extensions.ann_lsh",  # 1 op — r11 plan change (signature ckpt) postdates its newest driver row (ADVICE r11)
-    "desdb_spark.extensions.dedup_containment",  # 1 op — r11 PPJoin playbook change postdates its r10 row (ADVICE r11)
-    "desdb_spark.extensions.graph_pagerank",  # 1 op — r12-late plan rework (edges checkpointed once, dangling flag folded into the rank frame, one job/round); displaced the lake fill per the standing changed > oldest priority
-    "desdb_spark.operators.aggregates",  # 9 ops — oldest-green fill (r3)
-    "desdb_spark.operators.windows",  # 5 ops — oldest-green fill (r3)
-    "desdb_spark.operators.sorts_sets",  # 5 ops — oldest-green fill (r3)
-    "desdb_spark.functions.scalars",  # 5 ops — oldest-green fill (r3)
-    "desdb_spark.streaming.windows",  # 5 ops — oldest-green fill (r5)
-    "desdb_spark.functions.udfs",  # 4 ops — oldest-green fill (r5)
-    "desdb_spark.operators.scans",  # 4 ops — oldest-green fill (r5); was slot 50 in r12
-    # (historical r12-window boundary — the comment block above lists
-    # those modules; the r11-and-earlier tail continues below.)
+    "desdb_spark.operators.joins_ext",  # r14 rows
+    "desdb_spark.operators.temporal",  # r14 rows
+    "desdb_spark.extensions.quality_ext",  # r14 rows
+    "desdb_spark.operators.relational_ext",  # r14 rows
+    "desdb_spark.operators.relational_ext7",  # r14 rows
+    "desdb_spark.operators.relational_ext6",  # r14 rows
+    "desdb_spark.extensions.text_ext",  # r14 rows
+    "desdb_spark.extensions.stats_monitor",  # r14 rows
+    "desdb_spark.sources.formats_ext",  # r14 rows
+    "desdb_spark.operators.relational_ext11",  # r14 rows
+    "desdb_spark.operators.relational_ext8",  # r14 rows
+    "desdb_spark.operators.relational_ext10",  # r14 rows
+    "desdb_spark.extensions.dedup_ext",  # r14 rows
+    "desdb_spark.streaming.joins",  # r14 rows
+    "desdb_spark.extensions.dedup_near",
+    "desdb_spark.extensions.pipeline_ext",
+    "desdb_spark.sources.pyds_sink",
+    "desdb_spark.extensions.corpus_timeseries",
+    "desdb_spark.sources.lake",
+    "desdb_spark.operators.relational_ext3",
+    "desdb_spark.operators.relational_ext5",
+    "desdb_spark.operators.relational_ext4",
+    "desdb_spark.extensions.pipeline_analytics",
+    "desdb_spark.extensions.training_prep",
+    "desdb_spark.operators.relational_ext2",
+    "desdb_spark.extensions.dedup",
+    "desdb_spark.extensions.dedup_curve",
+    "desdb_spark.extensions.dedup_components",
+    "desdb_spark.extensions.dedup_eval",
+    "desdb_spark.extensions.dsir_ext",
+    "desdb_spark.extensions.similarity",
+    "desdb_spark.extensions.ann_lsh",
+    "desdb_spark.extensions.dedup_containment",
+    "desdb_spark.extensions.graph_pagerank",
+    "desdb_spark.operators.aggregates",
+    "desdb_spark.operators.windows",
+    "desdb_spark.operators.sorts_sets",
+    "desdb_spark.functions.scalars",
+    "desdb_spark.streaming.windows",
+    "desdb_spark.functions.udfs",
+    "desdb_spark.operators.scans",
     "desdb_spark.extensions.classifier_ext",
     "desdb_spark.extensions.bpe_train",
     "desdb_spark.extensions.retrieval_ext3",
@@ -342,25 +403,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.decontam_ext",
     "desdb_spark.extensions.engagement_ext",
     "desdb_spark.sources.sinks",
-    "desdb_spark.operators.relational_ext9",
-    "desdb_spark.extensions.retrieval_ext",
-    "desdb_spark.sources.formats_ext3",
-    "desdb_spark.functions.modern_types",
-    "desdb_spark.extensions.curriculum",
-    "desdb_spark.operators.joins_ext2",
-    "desdb_spark.extensions.sampling_ext",
-    "desdb_spark.extensions.corpus_stats",
-    "desdb_spark.extensions.graph_ext",
-    "desdb_spark.extensions.sketches_ext",
-    "desdb_spark.extensions.linkage_ext",
-    "desdb_spark.sources.layout_ext",
-    "desdb_spark.operators.incremental",
-    "desdb_spark.extensions.constraints",
-    "desdb_spark.streaming.resume",
-    "desdb_spark.operators.reconcile",
-    "desdb_spark.sources.schema_evolution",
-    "desdb_spark.streaming.static_join",
-    "desdb_spark.operators.cdc",
     "desdb_spark.operators.temporal_ext",
     "desdb_spark.operators.allocation",
     "desdb_spark.streaming.windowed_topk",
@@ -369,14 +411,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.mining_ext",
     "desdb_spark.streaming.stateful",
     "desdb_spark.extensions.linalg_ext",
-    "desdb_spark.streaming.foreach",
-    "desdb_spark.sources.formats_ext2",
-    "desdb_spark.extensions.timeseries_ext",
-    "desdb_spark.sources.lake_ext",
-    "desdb_spark.operators.diagnostics",
-    "desdb_spark.sources.ingest_ext",
-    "desdb_spark.plans.lineage",
-    "desdb_spark.extensions.quality_gates",
 )
 
 

@@ -267,55 +267,66 @@ def test_registry_order_import_pollution_proof():
 #: join_bucketed_colocated (see the registry rationale block for the
 #: remaining-backlog arithmetic: 27 pre-r6 rows remain, all unchanged
 #: since their green round and re-proven by the HEAD selfcheck logs).
-R14_WINDOW = [
-    # changed-plan slots (5 ops, all 1-op modules)
+R15_WINDOW = [
+    # changed-plan slots (6 ops, all 1-op modules): the two-seed key
+    # reworks, the bm25 selectExpr rework, and the ANN trio whose
+    # oracle paths re-rooted under _scratch/exports (ADVICE r14)
     "dedup_exact_substring_spans", "docs_dedup_lines_global",
+    "text_bm25_search",
     "ann_pq_codebook_stats", "ann_query_topk", "ann_recall_report",
-    # the entire pre-r6 backlog (27 ops)
-    "join_salted_skew", "scd2_event_type_history",
-    "text_repetition_score", "emb_quantize_int8",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "tpch_q10_returned_items", "scalar_regex_funcs", "scalar_hash_funcs",
-    "agg_bitwise", "agg_median", "unpivot_stack", "set_intersect_all",
-    "set_except_all", "events_sessionize_batch",
-    "agg_filter_clause", "topk_per_group", "sort_offset_page",
-    "rollup_time_hierarchy",
-    "merge_upsert_snapshot", "window_ntile_deciles",
-    "text_stopword_ratio", "text_sentence_stats", "text_word_length_hist",
-    "stat_chi_square_indep", "events_windowed_anomaly",
-    "source_orc_roundtrip",
-    # oldest-green r6 fills (18 ops)
-    "window_gaps_islands", "events_path_3gram", "window_running_distinct",
-    "events_hourly_heatmap", "agg_argmax_minby", "agg_weighted_stats",
-    "agg_central_moments",
-    "join_null_safe_eq", "agg_bool_flags", "window_last_ignore_nulls",
-    "agg_multi_distinct",
-    "udtf_explode_outer_nulls", "scalar_edit_distance",
-    "agg_approx_percentile", "agg_percentile_disc",
-    "dedup_keep_best_quality", "dedup_canonical_text",
-    "stream_stream_enrich_join",
+    # the entire remaining r6-vintage backlog (12 ops)
+    "stream_foreachbatch_upsert", "source_text_roundtrip",
+    "events_ohlc_bars", "events_interarrival_stats",
+    "join_partition_pruned_scan",
+    "diag_partition_balance", "diag_file_layout",
+    "source_binaryfile_scan", "source_csv_malformed_audit",
+    "lineage_walk_recursive_cte",
+    "corpus_quality_gate_report", "docs_dup_rate_by_source",
+    # oldest-green r7 fills (32 ops)
+    "join_lateral_topn", "agg_collect_sorted_list",
+    "scalar_higher_order_funcs",
+    "text_inverted_index", "text_boolean_search", "docs_chunk_sliding",
+    "source_xml_roundtrip", "scalar_variant_json", "scalar_map_funcs",
+    "docs_curriculum_buckets",
+    "join_bloom_runtime_filter", "join_interval_overlap",
+    "sample_priority_weighted", "sample_fixed_n_per_group",
+    "corpus_zipf_slope", "corpus_label_entropy", "docs_winsorized_stats",
+    "graph_degree_stats", "graph_triangle_count",
+    "agg_hll_sketch_union", "agg_freq_items_sketch",
+    "linkage_blocked_fuzzy", "layout_zorder_stats",
+    "agg_incremental_merge",
+    "quality_constraint_audit", "stat_mad_outliers", "split_kfold_assign",
+    "stream_resume_exactly_once", "diff_snapshot_reconcile",
+    "source_schema_evolution_merge", "stream_static_enrich",
+    "cdc_apply_tombstones",
 ]
 
-#: Rows-only ops inside the r14 window — module riders of ops that must
-#: be in the window (agg_approx_percentile rides relational_ext10's
-#: three hash fills). Property evidence is pinned per op in
+#: Rows-only ops inside the r15 window — not module riders this round
+#: but rotation subjects in their own right: the diagnostics pair and
+#: ingest's malformed-audit are r6-vintage, the sketch pair r7-vintage,
+#: and rows-only rows age under the same union-coverage obligation as
+#: hash rows. Property evidence is pinned per op in
 #: tools/gen_survey_status.ROWS_ONLY_EVIDENCE.
-_R14_ROWS_ONLY = {"agg_approx_percentile"}
+_R15_ROWS_ONLY = {
+    "diag_partition_balance", "diag_file_layout",
+    "source_csv_malformed_audit",
+    "agg_hll_sketch_union", "agg_freq_items_sketch",
+}
 
 
-def test_r14_window_pinned():
+def test_r15_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R14_WINDOW, (
-        "driver window drifted from the documented r14 rotation plan; "
-        "if intentional, update R14_WINDOW in the same commit"
+    assert window == R15_WINDOW, (
+        "driver window drifted from the documented r15 rotation plan; "
+        "if intentional, update R15_WINDOW in the same commit"
     )
-    # Rows-only slots are limited to the documented rider set — any
-    # OTHER rows-only op appearing in the window wastes a hash slot.
+    # Rows-only slots are limited to the documented set — any OTHER
+    # rows-only op appearing in the window wastes a hash slot.
     ops = all_operators()
     rows_only = {n for n in window if ops[n].oracle is None}
-    assert rows_only == _R14_ROWS_ONLY, (
+    assert rows_only == _R15_ROWS_ONLY, (
         f"unexpected rows-only window occupancy: "
-        f"{sorted(rows_only ^ _R14_ROWS_ONLY)}"
+        f"{sorted(rows_only ^ _R15_ROWS_ONLY)}"
     )
 
 
