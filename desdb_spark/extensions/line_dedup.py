@@ -93,10 +93,15 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desdb_spark.extensions.dedup import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    t = F.col("t")
-    n_lines = F.ceil(F.size(t) / F.lit(LINE_W)).cast("int")
-    line_at = lambda i: F.concat_ws(" ", F.slice(t, i * LINE_W + 1, LINE_W))  # noqa: E731
+    # r15 plan-BUILD rework (the bm25 finding generalized): every stage
+    # is a selectExpr string parsed JVM-side. The Column-tree form cost
+    # ~0.28 s of py4j round-trips per fn() invocation building the HOF
+    # lambdas and the reassembly tree, and the bench timer bills fn() to
+    # the cell; executed plan and output are bit-identical (verified by
+    # exact row equality at the 10× arm and the unchanged differential
+    # oracle). The remaining fn()-time term is the lazy checkpoint's
+    # toRdd, which under AQE materializes the ensure_parallelism
+    # exchange (i.e. real tokenize work, not driver fat).
     # Tokenize ONCE and materialize (r10 — VERDICT r9 item 4): the token
     # arrays feed BOTH the line-hash stream and the per-doc reassembly,
     # and without the checkpoint each consumer re-runs scan+split over
@@ -113,8 +118,8 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB cell. A persist(MEMORY_ONLY) variant measured the same
     # within noise; checkpoint keeps the truncated-lineage contract.
     base = (
-        d.select("doc_id", toks.alias("t"))
-        .where(F.size("t") > 0)
+        d.selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS t")
+        .where("size(t) > 0")
         .localCheckpoint(eager=False)
     )
     # Hash-grain line stream: the ONLY exploded representation. The key
@@ -142,19 +147,14 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus-sized array-SOURCE re-evaluation the HOF lint guards.
     # The oracle groups by the raw line text, so the differential hash
     # PROVES the hash keying changes nothing on the fixture.
-    lines_h = base.select(
+    lines_h = base.selectExpr(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines - 1),
-                lambda i: F.struct(
-                    F.xxhash64(F.slice(t, i * LINE_W + 1, LINE_W)).alias("a"),
-                    F.xxhash64(
-                        F.lit(SEED2_TAG), F.slice(t, i * LINE_W + 1, LINE_W)
-                    ).alias("b"),
-                ),
-            )
-        ).alias("line_id", "h"),
+        f"posexplode(transform("
+        f"sequence(0, CAST(ceil(size(t) / {LINE_W}) AS INT) - 1), "
+        f"i -> struct("
+        f"xxhash64(slice(t, i * {LINE_W} + 1, {LINE_W})) AS a, "
+        f"xxhash64({SEED2_TAG}, slice(t, i * {LINE_W} + 1, {LINE_W})) AS b"
+        f"))) AS (line_id, h)",
     )
     # ONE hash-partitioned exchange decides repetition AND keeps every
     # occurrence: at MIN_DROP_DF = 2 (the C4 "occurs in more than one
@@ -175,33 +175,41 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Codegen reassembly: re-derive kept lines from the token array,
     # skipping dropped line_ids — no text ever shuffled, and totals come
     # free from the array length (no second aggregation over lines).
-    drop_ids = F.coalesce(F.col("drop_ids"), F.array().cast("array<int>"))
-    kept_ids = F.filter(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: ~F.array_contains(drop_ids, i),
-    )
     # Docs with no dropped lines (the overwhelming majority — C4 drops
     # boilerplate, not corpora) take the cheap whole-text path; only
     # docs that actually lost a line pay the per-line rebuild. Both
-    # branches produce the identical single-space-joined string.
-    kept_text = F.when(
-        F.size(drop_ids) == 0, F.concat_ws(" ", t)
-    ).otherwise(F.concat_ws(" ", F.transform(kept_ids, line_at)))
-    # Stage the rebuilt text in its own projection so length() and md5()
-    # share ONE rebuild, and return WITHOUT a global sort: the driver's
-    # differential hash is order-insensitive, and Sort's range-partition
-    # sampling would execute this (deliberately compute-heavy, shuffle-
-    # free) rebuild stage a second time just to pick boundaries —
-    # measured 2.5 s of pure re-execution at the 10× scale.
-    return base.join(dropped, "doc_id", "left").select(
-        "doc_id",
-        n_lines.cast("bigint").alias("n_lines"),
-        (n_lines - F.size(drop_ids)).cast("bigint").alias("n_kept"),
-        kept_text.alias("kt"),
-    ).select(
-        "doc_id",
-        "n_lines",
-        "n_kept",
-        F.length("kt").cast("bigint").alias("kept_n_chars"),
-        F.md5("kt").alias("kept_md5"),
+    # branches produce the identical single-space-joined string. The
+    # dids/nl binding stage keeps the coalesced array and line count
+    # single-reference for the consumers below; the rebuilt text gets
+    # its own projection so length() and md5() share ONE rebuild. Return
+    # WITHOUT a global sort: the driver's differential hash is
+    # order-insensitive, and Sort's range-partition sampling would
+    # execute this (deliberately compute-heavy, shuffle-free) rebuild
+    # stage a second time just to pick boundaries — measured 2.5 s of
+    # pure re-execution at the 10× scale.
+    return (
+        base.join(dropped, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "t",
+            "coalesce(drop_ids, CAST(array() AS ARRAY<INT>)) AS dids",
+            f"CAST(ceil(size(t) / {LINE_W}) AS INT) AS nl",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(nl AS BIGINT) AS n_lines",
+            "CAST(nl - size(dids) AS BIGINT) AS n_kept",
+            "CASE WHEN size(dids) = 0 THEN concat_ws(' ', t) "
+            "ELSE concat_ws(' ', transform("
+            "filter(sequence(0, nl - 1), i -> NOT array_contains(dids, i)), "
+            f"i -> concat_ws(' ', slice(t, i * {LINE_W} + 1, {LINE_W})))) "
+            "END AS kt",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "CAST(length(kt) AS BIGINT) AS kept_n_chars",
+            "md5(kt) AS kept_md5",
+        )
     )

@@ -167,7 +167,6 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate spans.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
     # Window stream keyed by hashes of the window's tokens: each token is
     # hashed ONCE per document (the only HOF, one cheap lambda eval per
     # token), then the token-digest stream explodes as (doc_id, pos, v)
@@ -184,22 +183,30 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documented above (tokens contain no spaces post-filter). The
     # trailing l{SPAN_K - 1}-null filter drops exactly the positions
     # with no full window.
-    th = F.transform(F.col("t"), lambda tok: F.xxhash64(tok))
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("v", k).over(w_doc).alias(f"l{k}") for k in range(1, SPAN_K)]
-    win = ["v", *[f"l{k}" for k in range(1, SPAN_K)]]
+    # r15 plan-BUILD rework (the bm25 finding generalized): every stage
+    # is a selectExpr string parsed JVM-side — the Column-tree form cost
+    # 0.35 s of py4j round-trips per fn() invocation (measured; now
+    # 0.11 s), and the bench timer bills fn() to the cell. Executed plan
+    # and output are bit-identical (verified by exact row equality at
+    # the 10× arm and the unchanged differential oracle); the plan-shape
+    # pins (3 exchanges, lead(), no SMJ/object-agg) hold unchanged.
+    over = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    win = ", ".join(["v"] + [f"l{k}" for k in range(1, SPAN_K)])
     exploded = (
-        d.select("doc_id", toks.alias("t"))
-        .where(F.size("t") >= SPAN_K)
-        .select("doc_id", th.alias("th"))
-        .select("doc_id", F.posexplode("th").alias("pos", "v"))
-        .select("doc_id", "pos", "v", *leads)
-        .where(F.col(f"l{SPAN_K - 1}").isNotNull())
-        .select(
+        d.selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS t")
+        .where(f"size(t) >= {SPAN_K}")
+        .selectExpr("doc_id", "transform(t, tok -> xxhash64(tok)) AS th")
+        .selectExpr("doc_id", "posexplode(th) AS (pos, v)")
+        .selectExpr(
+            "doc_id", "pos", "v",
+            *[f"lead(v, {k}) {over} AS l{k}" for k in range(1, SPAN_K)],
+        )
+        .where(f"l{SPAN_K - 1} IS NOT NULL")
+        .selectExpr(
             "doc_id",
-            F.col("pos").alias("start"),
-            F.xxhash64(*win).alias("h1"),
-            F.xxhash64(F.lit(SEED2_TAG), *win).alias("h2"),
+            "pos AS start",
+            f"xxhash64({win}) AS h1",
+            f"xxhash64({SEED2_TAG}, {win}) AS h2",
         )
     )
     # ONE shuffle decides repetition AND keeps every occurrence: at
@@ -211,35 +218,31 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominant cost) and no join-back (which would re-execute the
     # explode for the probe side).
     assert MIN_DF == 2, "min!=max shortcut encodes exactly df >= 2"
-    hits = repeated_cross_doc(exploded, ("h1", "h2")).select(
+    hits = repeated_cross_doc(exploded, ("h1", "h2")).selectExpr(
         "doc_id",
-        F.col("start").cast("long").alias("start"),
-        (F.col("start") + (SPAN_K - 1)).cast("long").alias("e"),
+        "CAST(start AS LONG) AS start",
+        f"CAST(start + {SPAN_K - 1} AS LONG) AS e",
     )
     w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        "OVER (PARTITION BY doc_id ORDER BY start "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
     w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        "OVER (PARTITION BY doc_id ORDER BY start "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    marked = hits.withColumn(
-        "is_new",
-        F.when(
-            F.col("start") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("island", F.sum("is_new").over(w_cum))
+    marked = hits.selectExpr(
+        "doc_id", "start", "e",
+        f"CASE WHEN start > coalesce(max(e) {w_prev}, -1) "
+        "THEN 1 ELSE 0 END AS is_new",
+    ).selectExpr("doc_id", "start", "e", f"sum(is_new) {w_cum} AS island")
     return (
         marked.groupBy("doc_id", "island")
         .agg(
-            F.min("start").cast("bigint").alias("span_start"),
-            F.max("e").cast("bigint").alias("span_end"),
-            (F.max("e") - F.min("start") + 1).cast("bigint").alias("span_tokens"),
-            F.count("*").cast("bigint").alias("n_windows"),
+            F.expr("CAST(min(start) AS BIGINT)").alias("span_start"),
+            F.expr("CAST(max(e) AS BIGINT)").alias("span_end"),
+            F.expr("CAST(max(e) - min(start) + 1 AS BIGINT)").alias("span_tokens"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
         # No global sort: the differential hash is order-insensitive, and
