@@ -234,6 +234,9 @@ _REGISTRY: dict[str, Operator] = {}
 #: r7-vintage rows after CORRECTNESS_r15: the temporal_ext/allocation/
 #: windowed_topk/text/analytics_ext5/mining_ext/stateful/linalg_ext
 #: wave (the planner's next-oldest-deferred list) — first r16 fills.
+#: Everything outside the window is unchanged since its green round and
+#: re-proven at HEAD by the committed SELFCHECK_r15 logs (340/340 in
+#: the default, driver-conf, and sf0.1 configs).
 _OP_MODULES = (
     # --- r15 window: changed-plan slots (6 ops, all 1-op modules) ---
     "desdb_spark.extensions.span_dedup",  # 1 op — r15 two-seed 128-bit key rework (VERDICT r14 item 5)
