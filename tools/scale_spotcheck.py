@@ -42,8 +42,17 @@ from desdb_spark.registry import all_operators  # noqa: E402
 from desdb_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DERIVED = "/tmp/desdb_scale/sf1.0"
 REPLICAS = 10
+
+
+def derived_dir(replicas: int = REPLICAS) -> str:
+    """Path of the derived corpus for a replica count (10 → sf1.0 — the
+    exact pre-r15 path, so bench.py's sf1 arm reuses the same corpus)."""
+    return f"/tmp/desdb_scale/sf{replicas / 10}"
+
+
+#: The default 10× corpus — bench.py's sf1 arm imports this.
+DERIVED = derived_dir()
 OPS = [
     "dedup_cluster_components",
     "dedup_ngram_jaccard",
@@ -61,14 +70,15 @@ OPS = [
 ]
 
 
-def build_derived() -> None:
+def build_derived(replicas: int = REPLICAS) -> None:
     import duckdb
 
-    os.makedirs(DERIVED, exist_ok=True)
+    dest = derived_dir(replicas)
+    os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     # tables no spot-checked op scales over: straight copies
     for t in "region nation customer supplier part".split():
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DERIVED}/{t}.parquet")
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{dest}/{t}.parquet")
     # pagerank's graph comes from orders+lineitem: replica k offsets the
     # keys so the customer-supplier graph becomes 10 disjoint copies
     con.execute(f"""
@@ -77,8 +87,8 @@ def build_derived() -> None:
                 o.o_orderkey + k.k * 100000000 AS o_orderkey,
                 o.o_custkey + k.k * 10000000 AS o_custkey)
             FROM read_parquet('{SRC}/orders.parquet') o,
-                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
-        ) TO '{DERIVED}/orders.parquet' (FORMAT PARQUET)
+                 (SELECT unnest(generate_series(0, {replicas - 1})) AS k) k
+        ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
         COPY (
@@ -86,8 +96,8 @@ def build_derived() -> None:
                 l.l_orderkey + k.k * 100000000 AS l_orderkey,
                 l.l_suppkey + k.k * 1000000 AS l_suppkey)
             FROM read_parquet('{SRC}/lineitem.parquet') l,
-                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
-        ) TO '{DERIVED}/lineitem.parquet' (FORMAT PARQUET)
+                 (SELECT unnest(generate_series(0, {replicas - 1})) AS k) k
+        ) TO '{dest}/lineitem.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
         COPY (
@@ -97,8 +107,8 @@ def build_derived() -> None:
                              || '_' || k.k END AS text,
                    d.lang, d.source, d.n_chars
             FROM read_parquet('{SRC}/documents.parquet') d,
-                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
-        ) TO '{DERIVED}/documents.parquet' (FORMAT PARQUET)
+                 (SELECT unnest(generate_series(0, {replicas - 1})) AS k) k
+        ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
         COPY (
@@ -112,8 +122,8 @@ def build_derived() -> None:
                    END AS embedding,
                    e.label
             FROM read_parquet('{SRC}/embeddings.parquet') e,
-                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
-        ) TO '{DERIVED}/embeddings.parquet' (FORMAT PARQUET)
+                 (SELECT unnest(generate_series(0, {replicas - 1})) AS k) k
+        ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
         COPY (
@@ -121,8 +131,8 @@ def build_derived() -> None:
                    e.user_id + k.k * 10000000 AS user_id,
                    e.event_type, e.value, e.props
             FROM read_parquet('{SRC}/events.parquet') e,
-                 (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS k) k
-        ) TO '{DERIVED}/events.parquet' (FORMAT PARQUET)
+                 (SELECT unnest(generate_series(0, {replicas - 1})) AS k) k
+        ) TO '{dest}/events.parquet' (FORMAT PARQUET)
     """)
 
 
@@ -131,6 +141,11 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--append", action="store_true",
                     help="append to --out instead of truncating")
+    ap.add_argument("--replicas", type=int, default=REPLICAS,
+                    help="scale multiplier: N disjoint replicas of sf0.1 "
+                         "(default 10 = the sf1.0 arm; 30 gives a second "
+                         "scaling point so the wall-vs-rows trend is a "
+                         "curve, not a single ratio)")
     ap.add_argument("names", nargs="*",
                     help="operator names to spot-check (default: the "
                          "slow-by-design exact/iterative set)")
@@ -146,11 +161,14 @@ def main() -> None:
             out.write(line + "\n")
             out.flush()
 
-    emit("# scale spot-check: sf0.1 fixtures vs derived 10x (see "
+    n_rep = args.replicas
+    dest = derived_dir(n_rep)
+    big = f"sf{n_rep / 10:g}x"
+    emit(f"# scale spot-check: sf0.1 fixtures vs derived {n_rep}x (see "
          "tools/scale_spotcheck.py header for the derivation)")
     t0 = time.perf_counter()
-    build_derived()
-    emit(f"derived dataset built under {DERIVED} "
+    build_derived(n_rep)
+    emit(f"derived dataset built under {dest} "
          f"({time.perf_counter() - t0:.1f}s)")
     # local-mode default is a 1 GB driver JVM; the 10x edge sets
     # (cluster_components materializes ~30M edges via localCheckpoint)
@@ -163,16 +181,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     ops = all_operators()
+    # Sub-quadratic sanity line: wall ratio for N x rows should sit far
+    # under the N^2 a quadratic algorithm would pay; N^2/2 is the same
+    # midline the original 10x arm used (50).
+    threshold = n_rep * n_rep / 2
     for name in OPS:
         times = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1.0x", DERIVED)):
+        for label, sf_dir in (("sf0.1", SRC), (big, dest)):
             t0 = time.perf_counter()
             n = ops[name].fn(spark, sf_dir).count()
             times[label] = time.perf_counter() - t0
             emit(f"rows  {name} @ {label}: {n} rows ({times[label]:.1f}s)")
-        ratio = times["sf1.0x"] / max(times["sf0.1"], 1e-9)
-        emit(f"ratio {name}: {ratio:.1f}x wall for 10.0x rows "
-             f"({'sub-quadratic OK' if ratio < 50 else 'CHECK'})")
+        ratio = times[big] / max(times["sf0.1"], 1e-9)
+        emit(f"ratio {name}: {ratio:.1f}x wall for {n_rep}.0x rows "
+             f"({'sub-quadratic OK' if ratio < threshold else 'CHECK'})")
     if args.out:
         out.close()
 
