@@ -62,13 +62,20 @@ def test_assume_round_is_an_explicit_parameter():
     )
 
 
-def test_exact_fill_finds_multi_module_combinations():
-    from tools.plan_window import _exact_fill
+def test_pack_fills_finds_multi_module_combinations():
+    from tools.plan_window import _pack_fills
 
     mk = lambda name, n, v: {"module": name, "ops": [f"{name}.{i}" for i in range(n)], "rows_only": [], "vintage": v}  # noqa: E731
-    remaining = [mk("a", 3, 5), mk("b", 4, 6), mk("c", 2, 7), mk("d", 7, 8)]
+    fills = [mk("a", 3, 5), mk("b", 4, 6), mk("c", 2, 7), mk("d", 7, 8)]
     # no single module has 5 ops, but a(3)+c(2) fits — oldest-biased
-    combo = _exact_fill(remaining, 5)
-    assert combo is not None and sorted(d["module"] for d in combo) == ["a", "c"]
-    # impossible gap -> None (caller reports short_by instead)
-    assert _exact_fill(remaining, 1) is None
+    combo = _pack_fills(fills, 5)
+    assert [d["module"] for d in combo] == ["a", "c"]
+    # impossible exact gap -> maximal partial (caller reports short_by)
+    assert _pack_fills(fills, 1) == []
+    # the review repro: greedy-then-patch returned 4/5 for sizes [4,3,2]
+    # into 5 slots because everything it deferred exceeded the final
+    # gap; the knapsack must find 3+2 = exactly 5.
+    g = [mk("g4", 4, 1), mk("g3", 3, 2), mk("g2", 2, 3)]
+    combo = _pack_fills(g, 5)
+    assert sum(len(d["ops"]) for d in combo) == 5
+    assert [d["module"] for d in combo] == ["g3", "g2"]

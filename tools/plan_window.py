@@ -88,22 +88,40 @@ def module_vintages(assume_current_window_round: int | None = None) -> list[dict
     return list(mods.values())
 
 
-def _exact_fill(remaining: list[dict], gap: int) -> list[dict] | None:
-    """Subset of ``remaining`` whose op counts sum to exactly ``gap``
-    (ADVICE r14: a single same-size module is not always available when
-    a multi-module combination fits). Subset-sum over the (small) module
-    sizes, scanning oldest-first so the chosen combination is biased
-    toward the oldest vintages; None when no exact combination exists."""
-    reach: dict[int, list[dict]] = {0: []}
-    for d in remaining:
-        n = len(d["ops"])
-        for s in sorted(reach, reverse=True):
-            t = s + n
-            if t <= gap and t not in reach:
-                reach[t] = reach[s] + [d]
-        if gap in reach:
-            return reach[gap]
-    return None
+def _pack_fills(fills: list[dict], budget: int) -> list[dict]:
+    """Subset of ``fills`` maximizing filled slots within ``budget``,
+    preferring the OLDEST modules among equally-full solutions (r15,
+    post-review fix of the ADVICE r14 item: the previous shape greedily
+    packed oldest-first and then ran subset-sum over the leftovers —
+    dead code, since everything the greedy loop deferred is strictly
+    larger than the final gap; sizes [4,3,2] into 5 slots returned 4/5
+    when 3+2 fit exactly). 0/1 knapsack with value = size over the
+    (small: ~150 modules × ≤50 slots) instance; reconstruction walks
+    oldest-first and includes a module whenever an optimal completion
+    exists with it, so the result is the vintage-ordered subset a
+    hand-planner would pick."""
+    sizes = [len(d["ops"]) for d in fills]
+    n = len(fills)
+    # dp[i][b] = max slots fillable from fills[i:] with budget b.
+    dp = [[0] * (budget + 1) for _ in range(n + 1)]
+    for i in range(n - 1, -1, -1):
+        w = sizes[i]
+        row, nxt = dp[i], dp[i + 1]
+        for b in range(budget + 1):
+            best = nxt[b]
+            if w <= b:
+                cand = w + nxt[b - w]
+                if cand > best:
+                    best = cand
+            row[b] = best
+    out: list[dict] = []
+    b = budget
+    for i in range(n):
+        w = sizes[i]
+        if w <= b and w + dp[i + 1][b - w] == dp[i][b]:
+            out.append(fills[i])
+            b -= w
+    return out
 
 
 def propose(
@@ -136,26 +154,11 @@ def propose(
         (d for d in mods if d["module"] not in used),
         key=lambda d: d["vintage"],
     )
-    deferred: list[str] = []
-    for d in fills:
-        n = len(d["ops"])
-        if total + n <= WINDOW:
-            picked.append(d)
-            used.add(d["module"])
-            total += n
-        else:
-            deferred.append(d["module"])
-    if total < WINDOW:
-        # exact-fit completion: the oldest-biased not-yet-picked subset
-        # summing to exactly the remaining gap (single module or a
-        # combination — ADVICE r14).
-        combo = _exact_fill(
-            [d for d in fills if d["module"] not in used], WINDOW - total
-        )
-        for d in combo or ():
-            picked.append(d)
-            used.add(d["module"])
-            total += len(d["ops"])
+    chosen = _pack_fills(fills, WINDOW - total)
+    chosen_names = {d["module"] for d in chosen}
+    picked.extend(chosen)
+    total += sum(len(d["ops"]) for d in chosen)
+    deferred = [d["module"] for d in fills if d["module"] not in chosen_names]
     return {
         "total": total,
         "short_by": WINDOW - total,
