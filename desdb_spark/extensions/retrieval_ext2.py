@@ -187,6 +187,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(len(QUERY_TERMS))
         ],
     ).first()
+    if tot.n == 0:
+        # Empty corpus (e.g. a filtered-to-nothing partition): avgdl is
+        # undefined and sum(dl) is NULL — return the empty result with
+        # the contract schema instead of a NoneType arithmetic crash
+        # (r15 empty-input probe).
+        return per.selectExpr(
+            "doc_id",
+            "CAST(0 AS BIGINT) AS n_terms",
+            "CAST(0 AS BIGINT) AS score_micros",
+        ).limit(0)
     n_docs, avgdl = tot.n, tot.s / tot.n
     # Scoring as ONE SQL projection string. Arithmetic order mirrors the
     # retired Column tree exactly (left-associative, same grouping), so

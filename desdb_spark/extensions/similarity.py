@@ -168,7 +168,15 @@ def _embedding_index(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     ).toPandas()
     ids = idx["vec_id"].to_numpy()
-    M = np.stack(idx["emb"].to_numpy())
+    if len(idx) == 0:
+        # Empty embeddings table (e.g. a filtered-to-nothing partition):
+        # np.stack([]) raises. Build a well-formed zero-row index — the
+        # Arrow kernels never execute (the query side is the same empty
+        # table, so no batches arrive), every consumer returns its empty
+        # contract schema instead of crashing (r15 empty-input probe).
+        M = np.zeros((0, 0))
+    else:
+        M = np.stack(idx["emb"].to_numpy())
     norms = np.linalg.norm(M, axis=1)
     labels = idx["label"].to_numpy()
     bc = spark.sparkContext.broadcast((ids, M, norms, labels))

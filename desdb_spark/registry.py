@@ -237,6 +237,15 @@ _REGISTRY: dict[str, Operator] = {}
 #: Everything outside the window is unchanged since its green round and
 #: re-proven at HEAD by the committed SELFCHECK_r15 logs (340/340 in
 #: the default, driver-conf, and sf0.1 configs).
+#: ONE documented post-pin exception (the ADVICE r11 transparency
+#: rule): extensions.similarity changed late in r15 — a zero-row guard
+#: in the shared _embedding_index collect (np.stack([]) crashed six
+#: consumers on empty input; tests/test_empty_inputs.py pins the fixed
+#: contract). The guard is a degenerate-input branch: on any non-empty
+#: table the collected index, plans, and outputs are byte-identical,
+#: and the module's four registered ops are re-proven at HEAD by the
+#: regenerated SELFCHECK_r15 sf0.01 logs. First r16 window candidates
+#: alongside the oldest-r7 fills.
 _OP_MODULES = (
     # --- r15 window: changed-plan slots (6 ops, all 1-op modules) ---
     "desdb_spark.extensions.span_dedup",  # 1 op — r15 two-seed 128-bit key rework (VERDICT r14 item 5)
