@@ -105,3 +105,43 @@ def test_pipeline_ops_handle_empty_input(spark, empty_sf_dir, name):
     df = all_operators()[name].fn(spark, empty_sf_dir)
     assert df.count() >= 0
     assert df.schema.fieldNames(), name
+
+
+#: Text-pipeline subset re-probed against NULL/empty-string text — real
+#: corpora carry both; the fixtures don't. The r15 probe found all 18
+#: sampled curation ops already treat a NULL text as an empty/absent
+#: document (dropped from token grains, zero-count in summaries) — the
+#: sane semantics — so this pins that no future rewrite turns a NULL
+#: into an AnsiCast crash or a NULL group key explosion.
+NULL_TEXT_SAMPLE = [
+    "text_bm25_search", "dedup_exact_substring_spans",
+    "docs_dedup_lines_global", "dedup_near_minhash",
+    "pipeline_quality_filter", "text_token_stats",
+    "docs_quality_gopher_rules", "dedup_ngram_jaccard",
+]
+
+
+@pytest.fixture(scope="module")
+def nulltext_sf_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("nulltext_fixture"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+                .when(F.col("doc_id") % 5 == 0, F.lit(""))
+                .otherwise(F.col("text")),
+            )
+        df.write.parquet(f"{dst}/{t}.parquet")
+    return dst
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_SAMPLE)
+def test_text_ops_handle_null_and_empty_text(spark, nulltext_sf_dir, name):
+    df = all_operators()[name].fn(spark, nulltext_sf_dir)
+    assert df.count() >= 0
+    assert df.schema.fieldNames(), name
