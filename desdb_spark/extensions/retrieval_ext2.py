@@ -187,11 +187,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(len(QUERY_TERMS))
         ],
     ).first()
-    if tot.n == 0:
-        # Empty corpus (e.g. a filtered-to-nothing partition): avgdl is
-        # undefined and sum(dl) is NULL — return the empty result with
-        # the contract schema instead of a NoneType arithmetic crash
-        # (r15 empty-input probe).
+    if tot.n == 0 or tot.s is None:
+        # Degenerate corpus: zero rows, OR rows present but every text
+        # NULL (size(NULL) is NULL under ANSI, so dl is NULL on every
+        # row and sum(dl) is NULL — the r15 review's repro). avgdl is
+        # undefined either way — return the empty result with the
+        # contract schema instead of a NoneType arithmetic crash.
         return per.selectExpr(
             "doc_id",
             "CAST(0 AS BIGINT) AS n_terms",

@@ -164,9 +164,17 @@ def _embedding_index(spark: SparkSession, sf_dir: str):
             "the broadcast-index tier collects the index to the driver; "
             "callers fall back to the LSH-bucketed kernel at this scale"
         )
-    idx = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
-    ).toPandas()
+    # NULL vectors have no cosine: drop them from the index (r15 review —
+    # the vector analog of NULL text; np.stack over None rows raised).
+    # The oracles agree: list_cosine_similarity(NULL, x) is NULL, which
+    # a >= threshold predicate filters and a DESC LIMIT never surfaces.
+    idx = (
+        e.where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+        )
+        .toPandas()
+    )
     ids = idx["vec_id"].to_numpy()
     if len(idx) == 0:
         # Empty embeddings table (e.g. a filtered-to-nothing partition):
@@ -286,7 +294,8 @@ def knn_cosine_topk(
     # in parallel against the broadcast index.
     nparts = spark.sparkContext.defaultParallelism
     blocks = (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        e.where(F.col("embedding").isNotNull())  # NULL vectors: no cosine
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .repartition(nparts)
         .mapInPandas(block_topk, schema="vec_a bigint, vec_b bigint, cos_sim double")
     )
@@ -402,7 +411,8 @@ def _gemm_pairs_ge(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
 
     nparts = spark.sparkContext.defaultParallelism
     return (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        e.where(F.col("embedding").isNotNull())  # NULL vectors: no cosine
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .repartition(nparts)
         .mapInPandas(block_pairs, schema="vec_a bigint, vec_b bigint, cos_sim double")
     )
@@ -536,6 +546,10 @@ def _bucketed_pairs(
     import pandas as pd
 
     assert (threshold is None) != (local_k is None), "exactly one mode"
+    # NULL vectors have no cosine and would crash the bucket kernel's
+    # np.stack; filtered HERE (not in _banded_sigs) so ann_lsh's module
+    # keeps its unchanged plan (r15 review).
+    e = e.where(F.col("embedding").isNotNull())
     if bands is None or bits is None:
         g_bands, g_bits = _fallback_geometry(n_rows or 0)
         bands = bands if bands is not None else g_bands

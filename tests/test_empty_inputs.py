@@ -82,14 +82,26 @@ REQUIRES_NONEMPTY_INPUT = {
 }
 
 
+SRC = "/root/testdata/sf0.001"
+
+
+def build_empty_fixture(spark, dst: str) -> str:
+    """Zero-row copy of every fixture table (same schemas). The ONE
+    builder shared by this module's fixture and tools/empty_probe.py,
+    so the committed census log and the sampled tests can never drift
+    onto different inputs (r15 review)."""
+    for t in TABLES:
+        spark.read.parquet(f"{SRC}/{t}.parquet").limit(0).write.parquet(
+            f"{dst}/{t}.parquet"
+        )
+    return dst
+
+
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, tmp_path_factory):
-    src = "/root/testdata/sf0.001"
-    dst = str(tmp_path_factory.mktemp("empty_fixture"))
-    for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet")
-        df.limit(0).write.parquet(f"{dst}/{t}.parquet")
-    return dst
+    return build_empty_fixture(
+        spark, str(tmp_path_factory.mktemp("empty_fixture"))
+    )
 
 
 def test_contract_lists_are_well_formed():
@@ -129,10 +141,9 @@ NULL_TEXT_SAMPLE = [
 def nulltext_sf_dir(spark, tmp_path_factory):
     from pyspark.sql import functions as F
 
-    src = "/root/testdata/sf0.001"
     dst = str(tmp_path_factory.mktemp("nulltext_fixture"))
     for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
         if t == "documents":
             df = df.withColumn(
                 "text",
@@ -148,4 +159,60 @@ def nulltext_sf_dir(spark, tmp_path_factory):
 def test_text_ops_handle_null_and_empty_text(spark, nulltext_sf_dir, name):
     df = all_operators()[name].fn(spark, nulltext_sf_dir)
     assert df.count() >= 0
+    assert df.schema.fieldNames(), name
+
+
+def test_null_text_docs_are_treated_as_absent(spark, nulltext_sf_dir):
+    """The SEMANTIC pin behind the header's claim (r15 review: the
+    crash-freedom asserts alone were vacuous): line dedup's per-doc
+    summary must cover EXACTLY the documents that still have tokens —
+    every NULL-text and empty-text doc absent, every real doc present."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{nulltext_sf_dir}/documents.parquet")
+    with_tokens = {
+        r.doc_id
+        for r in docs.where(
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")) > 0
+        ).collect()
+    }
+    out = {
+        r.doc_id
+        for r in all_operators()["docs_dedup_lines_global"]
+        .fn(spark, nulltext_sf_dir)
+        .collect()
+    }
+    assert out == with_tokens
+    assert with_tokens, "fixture must keep some real documents"
+
+
+@pytest.fixture(scope="module")
+def all_degenerate_sf_dir(spark, tmp_path_factory):
+    """Rows PRESENT but every text NULL and every embedding NULL — the
+    class the r15 review's repros crashed: size(NULL) is NULL under
+    ANSI so corpus sums go NULL, and np.stack over None rows raises."""
+    from pyspark.sql import functions as F
+
+    dst = str(tmp_path_factory.mktemp("degenerate_fixture"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn("text", F.lit(None).cast("string"))
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding", F.lit(None).cast(dict(df.dtypes)["embedding"])
+            )
+        df.write.parquet(f"{dst}/{t}.parquet")
+    return dst
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_bm25_search", "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
+     "dedup_embedding_cosine", "docs_dedup_lines_global",
+     "dedup_exact_substring_spans"],
+)
+def test_all_null_payload_yields_empty_result(spark, all_degenerate_sf_dir, name):
+    df = all_operators()[name].fn(spark, all_degenerate_sf_dir)
+    assert df.count() == 0, name
     assert df.schema.fieldNames(), name

@@ -28,18 +28,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO_ROOT)
 
 from desdb_spark.registry import all_operators  # noqa: E402
-from desdb_spark.session import TABLES, get_spark  # noqa: E402
-
-SRC = "/root/testdata/sf0.001"
-
-
-def build_empty_fixture(spark) -> str:
-    dst = tempfile.mkdtemp(prefix="desdb_empty_fixture_")
-    for t in TABLES:
-        spark.read.parquet(f"{SRC}/{t}.parquet").limit(0).write.parquet(
-            f"{dst}/{t}.parquet"
-        )
-    return dst
+from desdb_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -56,11 +45,18 @@ def main() -> None:
 
     spark = get_spark("empty_probe", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    dst = build_empty_fixture(spark)
     ops = all_operators()
-    # The contract list lives next to the sampled tests; importing it
-    # here keeps tool and test pinned to the same census.
-    from tests.test_empty_inputs import REQUIRES_NONEMPTY_INPUT
+    # The contract list AND the fixture builder live next to the sampled
+    # tests; importing both keeps tool and test pinned to the same
+    # census over the same inputs (r15 review).
+    from tests.test_empty_inputs import (
+        REQUIRES_NONEMPTY_INPUT,
+        build_empty_fixture,
+    )
+
+    dst = build_empty_fixture(
+        spark, tempfile.mkdtemp(prefix="desdb_empty_fixture_")
+    )
 
     emit(f"# empty-input census over {len(ops)} registered operators "
          "(zero-row fixtures; see tools/empty_probe.py)")

@@ -14,8 +14,11 @@ at MODULE granularity (a module's ops register together). This tool:
 2. aggregates to per-module vintage (min over the module's ops);
 3. proposes a window: the caller's changed modules lead (use
    ``--changed-since GIT_REF`` to detect them from the working tree, or
-   pass names), then never-checked modules, then oldest-vintage fills,
-   greedily packed to exactly 50 with an exact-fit completion pass.
+   pass names), then the maximal fill of never-checked / oldest-vintage
+   modules — a 0/1 knapsack over module sizes, oldest-preferred among
+   equally-full solutions (it may pass over an oldest module whose size
+   blocks a fuller combination), with an explicit short-by-N warning
+   when no subset reaches 50.
 
 The proposal is ADVISORY — the committed window is whatever
 ``_OP_MODULES`` orders and ``tests/test_registry.py::test_r*_window_pinned``
@@ -127,10 +130,11 @@ def _pack_fills(fills: list[dict], budget: int) -> list[dict]:
 def propose(
     changed: list[str], assume_current_window_round: int | None = None
 ) -> dict:
-    """Window proposal: changed modules first (caller-ordered), then
-    never-checked (vintage 0), then oldest-vintage fills, completed to
-    exactly WINDOW slots by an exact-fit subset when one exists; a
-    still-short window is reported via ``short_by`` instead of being
+    """Window proposal: changed modules first (caller-ordered), then the
+    MAXIMAL knapsack fill over the remaining modules (never-checked sort
+    as vintage 0, so they lead the fill preference; _pack_fills may skip
+    an older module whose size blocks a fuller combination); a window no
+    subset can complete is reported via ``short_by`` instead of being
     silently assumed complete (ADVICE r14)."""
     mods = module_vintages(assume_current_window_round)
     by_name = {d["module"]: d for d in mods}

@@ -163,9 +163,10 @@ def main() -> None:
 
     n_rep = args.replicas
     dest = derived_dir(n_rep)
-    # Label format matches derived_dir exactly (10 → "sf1.0x") so
-    # every committed log since r8 stays grep-comparable round-over-
-    # round (post-review fix: a :g label drifted to "sf1x"/"sf3").
+    # Label uses the same n_rep/10 float rendering as derived_dir's
+    # path suffix (10 → label "sf1.0x", dir ".../sf1.0") so every
+    # committed log since r8 stays grep-comparable round-over-round
+    # (post-review fix: a :g label drifted to "sf1x"/"sf3").
     big = f"sf{n_rep / 10}x"
     emit(f"# scale spot-check: sf0.1 fixtures vs derived {n_rep}x (see "
          "tools/scale_spotcheck.py header for the derivation)")
