@@ -151,7 +151,10 @@ def emb_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     nparts = spark.sparkContext.defaultParallelism
-    vecs = e.select(
+    # NULL vectors have no cosine (r16 review): the shared index already
+    # drops them, but the QUERY side feeds np.stack directly — a mixed or
+    # all-NULL batch raised. Same contract as knn_cosine_topk's query arm.
+    vecs = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
     forward = (

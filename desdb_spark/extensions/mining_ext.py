@@ -93,8 +93,16 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bc = _embedding_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    anchors = e.where(F.col("vec_id") % ANCHOR_MOD == 0).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    # NULL vectors have no cosine (r16 review): the shared index drops
+    # them, and the anchor/query side must too — np.stack over None rows
+    # raises. Same contract as knn_cosine_topk's query arm.
+    anchors = (
+        e.where(F.col("vec_id") % ANCHOR_MOD == 0)
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
     )
 
     def block_negatives(batches):

@@ -24,6 +24,12 @@ from desdb_spark.session import load_table
 
 #: Same planted query as text_boolean_search, served disjunctively.
 QUERY_TERMS = ("table", "query", "join")
+# Terms are interpolated into SQL text (both the oracle and the
+# selectExpr strings below) without escaping; a quote would break parsing
+# far from the edit site (r16 ADVICE). Fail loudly at import instead.
+assert all("'" not in t for t in QUERY_TERMS), (
+    "QUERY_TERMS must not contain single quotes — they embed in SQL text"
+)
 K1 = 1.2
 B = 0.75
 TOP_N = 20

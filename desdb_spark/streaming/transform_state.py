@@ -89,18 +89,25 @@ class _LocalValueState:
 
     def __init__(self) -> None:
         self._value = None
+        # Existence is a separate flag, NOT inferred from the value being
+        # non-None (r16 ADVICE): the real ValueState reports exists()==True
+        # after update(None) until clear() — inferring from the value would
+        # let the emulator validate semantics the live runner rejects.
+        self._set = False
 
     def exists(self) -> bool:
-        return self._value is not None
+        return self._set
 
     def get(self):
         return self._value
 
     def update(self, value) -> None:
         self._value = value
+        self._set = True
 
     def clear(self) -> None:
         self._value = None
+        self._set = False
 
 
 class _LocalHandle:

@@ -210,7 +210,10 @@ def all_degenerate_sf_dir(spark, tmp_path_factory):
     "name",
     ["text_bm25_search", "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
      "dedup_embedding_cosine", "docs_dedup_lines_global",
-     "dedup_exact_substring_spans"],
+     "dedup_exact_substring_spans",
+     # r16 (ADVICE): the two index consumers whose QUERY side fed
+     # np.stack unfiltered — now guarded like knn_cosine_topk's arm.
+     "emb_bitext_mine_margin", "knn_hard_negatives"],
 )
 def test_all_null_payload_yields_empty_result(spark, all_degenerate_sf_dir, name):
     df = all_operators()[name].fn(spark, all_degenerate_sf_dir)

@@ -127,6 +127,90 @@ def test_transform_with_state_profile_emulated(spark, tables):
         assert len(counts) == 3 and counts == sorted(counts), (uid, counts)
 
 
+def test_local_value_state_exists_tracks_update_not_value():
+    """r16 (ADVICE): the real ValueState reports exists()==True after ANY
+    update — including update(None) — until clear(); the emulator's slot
+    must track existence with a sentinel, not infer it from the value,
+    or it could validate processor logic the live runner rejects."""
+    from desdb_spark.streaming.transform_state import _LocalValueState
+
+    s = _LocalValueState()
+    assert not s.exists()
+    s.update(None)
+    assert s.exists(), "update(None) must still mark the state as set"
+    assert s.get() is None
+    s.clear()
+    assert not s.exists()
+    s.update((1, 2))
+    assert s.exists() and s.get() == (1, 2)
+
+
+def test_transform_with_state_emulation_agrees_with_live_runner(spark, tables):
+    """r16 (VERDICT r15 item 5): where the live transformWithState runner
+    CAN start, the emulator and the runner must agree on the same input —
+    the guard that keeps `emulate_transform_with_state` an honest stand-in
+    rather than a parallel semantics. Skip-guarded the same way as the
+    live arm (the emulated test above runs everywhere regardless)."""
+    import pytest
+
+    from desdb_spark.streaming import transform_state
+
+    if not transform_state.is_available():
+        pytest.skip("google.protobuf unavailable: live runner cannot start "
+                    "here, so emulation-vs-live agreement is unverifiable "
+                    "in this container (emulated arm still runs above)")
+    from desdb_spark.session import normalize_events_ts
+    from desdb_spark.streaming.runner import run_available_now, stage_file_source
+    from desdb_spark.streaming.stateful import ROCKSDB_PROVIDER, _PROVIDER_KEY
+    from desdb_spark.streaming.transform_state import (
+        emulate_transform_with_state,
+        make_profile_processor,
+    )
+
+    events = (
+        tables["events"]
+        .select(
+            "user_id",
+            F.round(F.col("value") * 10_000, 0).cast("long").alias("value_q"),
+        )
+        .toPandas()
+    )
+    emitted = emulate_transform_with_state(
+        make_profile_processor,
+        [((uid,), grp) for uid, grp in events.groupby("user_id")],
+    )
+    emu = {
+        int(e["user_id"].iloc[0]): (
+            int(e["n_events"].iloc[0]),
+            float(e["sum_value"].iloc[0]),
+        )
+        for e in emitted
+    }
+
+    prior = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    try:
+        stage = stage_file_source(f"{SF_DIR}/events.parquet", "tws_agree_")
+        schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        ).select("user_id", "value")
+        out = run_available_now(
+            spark,
+            transform_state.transform_with_state_profile(stream),
+            "tws_agree",
+            "update",
+            stage_dir=stage,
+        )
+        live = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
+    assert emu == live
+
+
 def test_transform_with_state_profile(spark, tables):
     """transformWithStateInPandas twin of the profile op — the LIVE
     streaming-runner arm, runs only where the runner's protobuf
