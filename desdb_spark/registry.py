@@ -246,62 +246,124 @@ _REGISTRY: dict[str, Operator] = {}
 #: and the module's four registered ops are re-proven at HEAD by the
 #: regenerated SELFCHECK_r15 sf0.01 logs. First r16 window candidates
 #: alongside the oldest-r7 fills.
+#:
+#: Round 16 window rationale (VERDICT r15 item 1 — executes the planner
+#: proposal verbatim: tools/plan_window.py with the three changed
+#: modules passed explicitly; knapsack exact-fit 50/50), slot priority
+#: unchanged: changed-since-checked > never-checked (none) >
+#: oldest-green.
+#:   * 8 slots, changed plans this round: similarity (4 ops — the late-
+#:     r15 zero-row _embedding_index guard, the documented post-pin
+#:     exception above; ann_ivf_kmeans is rows-only, module rider),
+#:     bitext_mine (1) and mining_ext (3 — knn_hard_negatives) gained
+#:     query-side NULL-embedding filters in r16 (ADVICE r15 items 1/2);
+#:     mining_ext doubles as an oldest-r7 rotation subject, and its
+#:     emb_whiten_project is the window's second rows-only slot.
+#:   * 14 slots, the ENTIRE remaining r7-vintage tail: temporal_ext,
+#:     allocation, windowed_topk, text (7), analytics_ext5 (2),
+#:     stateful, linalg_ext. After CORRECTNESS_r16 no op's newest
+#:     driver row predates r8.
+#:   * 28 slots, oldest-green r8 fills (knapsack exact-fit): skyline,
+#:     tokenizer_ext, attribution (2), stats_catalog (3),
+#:     stats_inference (2), funnel_ext, experiment_ext (2),
+#:     analytics_ext2 (2), sweepline_ext (2), monitor_ext2 (2),
+#:     analytics_ext3 (2), aggregates_ext2 (2), resampling_ext,
+#:     analytics_ext4 (2), markov_ext, safe_funcs, hierarchy_ext.
+#:     Deferred next-oldest (first r17 fills): pagination_ext,
+#:     streaming.outer_join, compaction, dedup_incremental, then the
+#:     calibration_ext/observability/boilerplate_ext/seasonal_ext wave.
+#: Window rows-only occupancy: 2 (ann_ivf_kmeans, emb_whiten_project) —
+#: module riders of changed-plan slots, each with a property pin named
+#: in tools/gen_survey_status.ROWS_ONLY_EVIDENCE (VERDICT r15 item 3:
+#: the window artifact now lists the pin per rows-only slot — see
+#: tools/plan_window.py's ROWS_ONLY_EVIDENCE annotation).
+#: Sums to EXACTLY 50 (tests/test_registry.py::test_r16_window_pinned).
+#: Changed-plan exception list after this rotation: EMPTY. Everything
+#: outside the window is unchanged since its green round and re-proven
+#: at HEAD by the committed SELFCHECK_r16 logs.
 _OP_MODULES = (
-    # --- r15 window: changed-plan slots (6 ops, all 1-op modules) ---
-    "desdb_spark.extensions.span_dedup",  # 1 op — r15 two-seed 128-bit key rework (VERDICT r14 item 5)
-    "desdb_spark.extensions.line_dedup",  # 1 op — r15 two-seed 128-bit key rework (same item)
-    "desdb_spark.extensions.retrieval_ext2",  # 1 op — r15 selectExpr plan-build rework (VERDICT r14 item 2)
-    "desdb_spark.extensions.ann_pq",  # 1 op — oracle path changed: exports re-rooted under _scratch/ (ADVICE r14)
-    "desdb_spark.extensions.ann_serving",  # 1 op — same
-    "desdb_spark.extensions.ann_eval",  # 1 op — same
-    # --- r15 window: the entire remaining r6-vintage backlog (12 ops) ---
-    "desdb_spark.streaming.foreach",  # 1 op — r6 row
-    "desdb_spark.sources.formats_ext2",  # 1 op — r6
-    "desdb_spark.extensions.timeseries_ext",  # 2 ops — r6
-    "desdb_spark.sources.lake_ext",  # 1 op — r6
-    "desdb_spark.operators.diagnostics",  # 2 ops — r6 (both rows-only by design: plan-introspection reports)
-    "desdb_spark.sources.ingest_ext",  # 2 ops — r6 (source_csv_malformed_audit rows-only)
-    "desdb_spark.plans.lineage",  # 1 op — r6
-    "desdb_spark.extensions.quality_gates",  # 2 ops — r6
-    # --- r15 window: oldest-green r7 fills (32 ops) ---
-    "desdb_spark.operators.relational_ext9",  # 3 ops — r7
-    "desdb_spark.extensions.retrieval_ext",  # 3 ops — r7
-    "desdb_spark.sources.formats_ext3",  # 1 op — r7
-    "desdb_spark.functions.modern_types",  # 2 ops — r7
-    "desdb_spark.extensions.curriculum",  # 1 op — r7
-    "desdb_spark.operators.joins_ext2",  # 2 ops — r7
-    "desdb_spark.extensions.sampling_ext",  # 2 ops — r7
-    "desdb_spark.extensions.corpus_stats",  # 3 ops — r7
-    "desdb_spark.extensions.graph_ext",  # 2 ops — r7
-    "desdb_spark.extensions.sketches_ext",  # 2 ops — r7 (both rows-only: sketch estimates, property-pinned)
-    "desdb_spark.extensions.linkage_ext",  # 1 op — r7
-    "desdb_spark.sources.layout_ext",  # 1 op — r7
-    "desdb_spark.operators.incremental",  # 1 op — r7
-    "desdb_spark.extensions.constraints",  # 3 ops — r7
-    "desdb_spark.streaming.resume",  # 1 op — r7
-    "desdb_spark.operators.reconcile",  # 1 op — r7
-    "desdb_spark.sources.schema_evolution",  # 1 op — r7
-    "desdb_spark.streaming.static_join",  # 1 op — r7
-    "desdb_spark.operators.cdc",  # 1 op — r7; slot 50
-    # --- end of r15 window. Everything below holds a driver row from
-    # the round named in SURVEY §2C (the r14 window modules lead — their
-    # rows are CORRECTNESS_r14-fresh), code unchanged since, re-proven
-    # at HEAD by the committed full-registry selfcheck logs; prior
-    # relative order preserved.
-    "desdb_spark.operators.joins_ext",  # r14 rows
-    "desdb_spark.operators.temporal",  # r14 rows
-    "desdb_spark.extensions.quality_ext",  # r14 rows
-    "desdb_spark.operators.relational_ext",  # r14 rows
-    "desdb_spark.operators.relational_ext7",  # r14 rows
-    "desdb_spark.operators.relational_ext6",  # r14 rows
-    "desdb_spark.extensions.text_ext",  # r14 rows
-    "desdb_spark.extensions.stats_monitor",  # r14 rows
-    "desdb_spark.sources.formats_ext",  # r14 rows
-    "desdb_spark.operators.relational_ext11",  # r14 rows
-    "desdb_spark.operators.relational_ext8",  # r14 rows
-    "desdb_spark.operators.relational_ext10",  # r14 rows
-    "desdb_spark.extensions.dedup_ext",  # r14 rows
-    "desdb_spark.streaming.joins",  # r14 rows
+    # --- r16 window: changed-plan slots (8 ops) ---
+    "desdb_spark.extensions.similarity",  # 4 ops — late-r15 empty-index guard (post-pin exception); ann_ivf_kmeans rows-only rider
+    "desdb_spark.extensions.bitext_mine",  # 1 op — r16 query-side NULL-embedding filter (ADVICE r15)
+    "desdb_spark.extensions.mining_ext",  # 3 ops — r16 anchor-side NULL filter (ADVICE r15); also oldest-r7; emb_whiten_project rows-only
+    # --- r16 window: the entire remaining r7-vintage tail (14 ops) ---
+    "desdb_spark.operators.temporal_ext",  # 1 op — r7
+    "desdb_spark.operators.allocation",  # 1 op — r7
+    "desdb_spark.streaming.windowed_topk",  # 1 op — r7
+    "desdb_spark.extensions.text",  # 7 ops — r7
+    "desdb_spark.extensions.analytics_ext5",  # 2 ops — r7
+    "desdb_spark.streaming.stateful",  # 1 op — r7
+    "desdb_spark.extensions.linalg_ext",  # 1 op — r7
+    # --- r16 window: oldest-green r8 fills (28 ops, knapsack exact-fit) ---
+    "desdb_spark.extensions.skyline",  # 1 op — r8
+    "desdb_spark.extensions.tokenizer_ext",  # 1 op — r8
+    "desdb_spark.extensions.attribution",  # 2 ops — r8
+    "desdb_spark.operators.stats_catalog",  # 3 ops — r8
+    "desdb_spark.extensions.stats_inference",  # 2 ops — r8
+    "desdb_spark.extensions.funnel_ext",  # 1 op — r8
+    "desdb_spark.extensions.experiment_ext",  # 2 ops — r8
+    "desdb_spark.extensions.analytics_ext2",  # 2 ops — r8
+    "desdb_spark.extensions.sweepline_ext",  # 2 ops — r8
+    "desdb_spark.extensions.monitor_ext2",  # 2 ops — r8
+    "desdb_spark.extensions.analytics_ext3",  # 2 ops — r8
+    "desdb_spark.operators.aggregates_ext2",  # 2 ops — r8
+    "desdb_spark.extensions.resampling_ext",  # 1 op — r8
+    "desdb_spark.extensions.analytics_ext4",  # 2 ops — r8
+    "desdb_spark.extensions.markov_ext",  # 1 op — r8
+    "desdb_spark.functions.safe_funcs",  # 1 op — r8
+    "desdb_spark.operators.hierarchy_ext",  # 1 op — r8; slot 50
+    # --- end of r16 window. Everything below holds a driver row from
+    # the round named in SURVEY §2C (the r15 window modules lead —
+    # their rows are CORRECTNESS_r15-fresh), code unchanged since,
+    # re-proven at HEAD by the committed full-registry selfcheck logs;
+    # prior relative order preserved.
+    "desdb_spark.extensions.span_dedup",
+    "desdb_spark.extensions.line_dedup",
+    "desdb_spark.extensions.retrieval_ext2",
+    "desdb_spark.extensions.ann_pq",
+    "desdb_spark.extensions.ann_serving",
+    "desdb_spark.extensions.ann_eval",
+    "desdb_spark.streaming.foreach",
+    "desdb_spark.sources.formats_ext2",
+    "desdb_spark.extensions.timeseries_ext",
+    "desdb_spark.sources.lake_ext",
+    "desdb_spark.operators.diagnostics",
+    "desdb_spark.sources.ingest_ext",
+    "desdb_spark.plans.lineage",
+    "desdb_spark.extensions.quality_gates",
+    "desdb_spark.operators.relational_ext9",
+    "desdb_spark.extensions.retrieval_ext",
+    "desdb_spark.sources.formats_ext3",
+    "desdb_spark.functions.modern_types",
+    "desdb_spark.extensions.curriculum",
+    "desdb_spark.operators.joins_ext2",
+    "desdb_spark.extensions.sampling_ext",
+    "desdb_spark.extensions.corpus_stats",
+    "desdb_spark.extensions.graph_ext",
+    "desdb_spark.extensions.sketches_ext",
+    "desdb_spark.extensions.linkage_ext",
+    "desdb_spark.sources.layout_ext",
+    "desdb_spark.operators.incremental",
+    "desdb_spark.extensions.constraints",
+    "desdb_spark.streaming.resume",
+    "desdb_spark.operators.reconcile",
+    "desdb_spark.sources.schema_evolution",
+    "desdb_spark.streaming.static_join",
+    "desdb_spark.operators.cdc",
+    "desdb_spark.operators.joins_ext",
+    "desdb_spark.operators.temporal",
+    "desdb_spark.extensions.quality_ext",
+    "desdb_spark.operators.relational_ext",
+    "desdb_spark.operators.relational_ext7",
+    "desdb_spark.operators.relational_ext6",
+    "desdb_spark.extensions.text_ext",
+    "desdb_spark.extensions.stats_monitor",
+    "desdb_spark.sources.formats_ext",
+    "desdb_spark.operators.relational_ext11",
+    "desdb_spark.operators.relational_ext8",
+    "desdb_spark.operators.relational_ext10",
+    "desdb_spark.extensions.dedup_ext",
+    "desdb_spark.streaming.joins",
     "desdb_spark.extensions.dedup_near",
     "desdb_spark.extensions.pipeline_ext",
     "desdb_spark.sources.pyds_sink",
@@ -318,7 +380,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.dedup_components",
     "desdb_spark.extensions.dedup_eval",
     "desdb_spark.extensions.dsir_ext",
-    "desdb_spark.extensions.similarity",
     "desdb_spark.extensions.ann_lsh",
     "desdb_spark.extensions.dedup_containment",
     "desdb_spark.extensions.graph_pagerank",
@@ -344,7 +405,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.shard_budget",
     "desdb_spark.extensions.loop_detect",
     "desdb_spark.extensions.doremi_ext",
-    "desdb_spark.extensions.bitext_mine",
     "desdb_spark.extensions.bloom_dedup",
     "desdb_spark.extensions.multimodal",
     "desdb_spark.sources.filecatalog",
@@ -384,23 +444,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.multimodal_vad",
     "desdb_spark.operators.asof_nearest",
     "desdb_spark.operators.rolling_regression",
-    "desdb_spark.extensions.skyline",
-    "desdb_spark.extensions.tokenizer_ext",
-    "desdb_spark.extensions.attribution",
-    "desdb_spark.operators.stats_catalog",
-    "desdb_spark.extensions.stats_inference",
-    "desdb_spark.extensions.funnel_ext",
-    "desdb_spark.extensions.experiment_ext",
-    "desdb_spark.extensions.analytics_ext2",
-    "desdb_spark.extensions.sweepline_ext",
-    "desdb_spark.extensions.monitor_ext2",
-    "desdb_spark.extensions.analytics_ext3",
-    "desdb_spark.operators.aggregates_ext2",
-    "desdb_spark.extensions.resampling_ext",
-    "desdb_spark.extensions.analytics_ext4",
-    "desdb_spark.extensions.markov_ext",
-    "desdb_spark.functions.safe_funcs",
-    "desdb_spark.operators.hierarchy_ext",
     "desdb_spark.operators.pagination_ext",
     "desdb_spark.streaming.outer_join",
     "desdb_spark.sources.compaction",
@@ -415,14 +458,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.decontam_ext",
     "desdb_spark.extensions.engagement_ext",
     "desdb_spark.sources.sinks",
-    "desdb_spark.operators.temporal_ext",
-    "desdb_spark.operators.allocation",
-    "desdb_spark.streaming.windowed_topk",
-    "desdb_spark.extensions.text",
-    "desdb_spark.extensions.analytics_ext5",
-    "desdb_spark.extensions.mining_ext",
-    "desdb_spark.streaming.stateful",
-    "desdb_spark.extensions.linalg_ext",
 )
 
 

@@ -267,66 +267,63 @@ def test_registry_order_import_pollution_proof():
 #: join_bucketed_colocated (see the registry rationale block for the
 #: remaining-backlog arithmetic: 27 pre-r6 rows remain, all unchanged
 #: since their green round and re-proven by the HEAD selfcheck logs).
-R15_WINDOW = [
-    # changed-plan slots (6 ops, all 1-op modules): the two-seed key
-    # reworks, the bm25 selectExpr rework, and the ANN trio whose
-    # oracle paths re-rooted under _scratch/exports (ADVICE r14)
-    "dedup_exact_substring_spans", "docs_dedup_lines_global",
-    "text_bm25_search",
-    "ann_pq_codebook_stats", "ann_query_topk", "ann_recall_report",
-    # the entire remaining r6-vintage backlog (12 ops)
-    "stream_foreachbatch_upsert", "source_text_roundtrip",
-    "events_ohlc_bars", "events_interarrival_stats",
-    "join_partition_pruned_scan",
-    "diag_partition_balance", "diag_file_layout",
-    "source_binaryfile_scan", "source_csv_malformed_audit",
-    "lineage_walk_recursive_cte",
-    "corpus_quality_gate_report", "docs_dup_rate_by_source",
-    # oldest-green r7 fills (32 ops)
-    "join_lateral_topn", "agg_collect_sorted_list",
-    "scalar_higher_order_funcs",
-    "text_inverted_index", "text_boolean_search", "docs_chunk_sliding",
-    "source_xml_roundtrip", "scalar_variant_json", "scalar_map_funcs",
-    "docs_curriculum_buckets",
-    "join_bloom_runtime_filter", "join_interval_overlap",
-    "sample_priority_weighted", "sample_fixed_n_per_group",
-    "corpus_zipf_slope", "corpus_label_entropy", "docs_winsorized_stats",
-    "graph_degree_stats", "graph_triangle_count",
-    "agg_hll_sketch_union", "agg_freq_items_sketch",
-    "linkage_blocked_fuzzy", "layout_zorder_stats",
-    "agg_incremental_merge",
-    "quality_constraint_audit", "stat_mad_outliers", "split_kfold_assign",
-    "stream_resume_exactly_once", "diff_snapshot_reconcile",
-    "source_schema_evolution_merge", "stream_static_enrich",
-    "cdc_apply_tombstones",
+R16_WINDOW = [
+    # changed-plan slots (8 ops): similarity's late-r15 empty-index
+    # guard (the documented post-pin exception), and the r16 query-side
+    # NULL-embedding filters in bitext_mine / mining_ext (ADVICE r15)
+    "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
+    "dedup_embedding_cosine", "ann_ivf_kmeans",
+    "emb_bitext_mine_margin",
+    "knn_hard_negatives", "emb_whiten_project", "corpus_temperature_mix",
+    # the entire remaining r7-vintage tail (14 ops)
+    "join_pit_versioned", "alloc_largest_remainder",
+    "stream_windowed_topk_users",
+    "text_token_stats", "text_lang_profile", "text_quality_score",
+    "text_langid_ngram", "text_fingerprint", "pipeline_quality_filter",
+    "text_langid_confusion",
+    "window_max_drawdown", "analytics_abc_classes",
+    "stream_stateful_profile", "emb_gram_matrix",
+    # oldest-green r8 fills (28 ops, knapsack exact-fit)
+    "analytics_skyline_2d", "text_bpe_pair_freq",
+    "events_attribution_last_touch", "events_attribution_time_to_convert",
+    "diag_column_stats", "diag_join_key_skew", "pipeline_curate_end2end",
+    "stat_linear_regression", "stat_welch_ttest",
+    "events_funnel_ordered",
+    "exp_srm_check", "exp_cuped_adjusted",
+    "events_decay_score", "analytics_revenue_concentration",
+    "events_concurrency_curve", "window_rolling_median",
+    "stat_cusum_changepoint", "text_unigram_logprob",
+    "stat_ks_two_sample", "analytics_basket_lift",
+    "agg_weighted_median", "corpus_source_jaccard",
+    "stat_jackknife_mean_ci",
+    "text_char_entropy", "analytics_growth_accounting",
+    "events_markov_entropy_rate",
+    "scalar_try_funcs",
+    "window_share_of_parent",
 ]
 
-#: Rows-only ops inside the r15 window — not module riders this round
-#: but rotation subjects in their own right: the diagnostics pair and
-#: ingest's malformed-audit are r6-vintage, the sketch pair r7-vintage,
-#: and rows-only rows age under the same union-coverage obligation as
-#: hash rows. Property evidence is pinned per op in
-#: tools/gen_survey_status.ROWS_ONLY_EVIDENCE.
-_R15_ROWS_ONLY = {
-    "diag_partition_balance", "diag_file_layout",
-    "source_csv_malformed_audit",
-    "agg_hll_sketch_union", "agg_freq_items_sketch",
+#: Rows-only ops inside the r16 window — both module riders of
+#: changed-plan slots this round (similarity / mining_ext). Property
+#: evidence is pinned per op in tools/gen_survey_status.ROWS_ONLY_EVIDENCE
+#: and echoed in the planner's window artifact (VERDICT r15 item 3).
+_R16_ROWS_ONLY = {
+    "ann_ivf_kmeans", "emb_whiten_project",
 }
 
 
-def test_r15_window_pinned():
+def test_r16_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R15_WINDOW, (
-        "driver window drifted from the documented r15 rotation plan; "
-        "if intentional, update R15_WINDOW in the same commit"
+    assert window == R16_WINDOW, (
+        "driver window drifted from the documented r16 rotation plan; "
+        "if intentional, update R16_WINDOW in the same commit"
     )
     # Rows-only slots are limited to the documented set — any OTHER
     # rows-only op appearing in the window wastes a hash slot.
     ops = all_operators()
     rows_only = {n for n in window if ops[n].oracle is None}
-    assert rows_only == _R15_ROWS_ONLY, (
+    assert rows_only == _R16_ROWS_ONLY, (
         f"unexpected rows-only window occupancy: "
-        f"{sorted(rows_only ^ _R15_ROWS_ONLY)}"
+        f"{sorted(rows_only ^ _R16_ROWS_ONLY)}"
     )
 
 

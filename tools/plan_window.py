@@ -206,12 +206,21 @@ def main() -> None:
             "not-yet-picked module combination fits the gap exactly; "
             "hand-finish before pinning"
         )
+    # Rows-only window slots carry weaker driver evidence by construction
+    # (spark_rows > 0, no hash); VERDICT r15 item 3: the window artifact
+    # must name each such slot's property-pin pytest so the correlation
+    # is auditable in one hop, not via SURVEY §2C.
+    from tools.gen_survey_status import ROWS_ONLY_EVIDENCE
+
     for d in prop["window"]:
         tag = f" rows-only: {d['rows_only']}" if d["rows_only"] else ""
         print(
             f"    \"{d['module']}\",  # {len(d['ops'])} ops — newest row "
             f"r{d['vintage']}{tag}"
         )
+        for ro in d["rows_only"]:
+            pin = ROWS_ONLY_EVIDENCE.get(ro, "MISSING — add to ROWS_ONLY_EVIDENCE")
+            print(f"        # rows-only evidence: {ro} -> {pin}")
     if prop["first_deferred"]:
         print("next-oldest deferred:", ", ".join(prop["first_deferred"]))
 
