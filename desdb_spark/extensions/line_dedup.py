@@ -128,33 +128,47 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prepended to the hash input, see span_dedup.SEED2_TAG) — no line
     # string is ever built on this side (tokens contain no spaces
     # post-filter, so token-array equality ⇔ joined-line-text equality),
-    # and the shuffle carries (long, int, struct<long,long>).
-    # Decision-key collisions: a false boilerplate drop now needs BOTH
+    # and the shuffle carries (long, int, long, long).
+    # Decision-key collisions: a false boilerplate drop needs BOTH
     # 64-bit digests to collide at once — ~10⁻¹⁷ expected at a 10¹¹-line
-    # corpus (vs O(100) under the retired single-seed key). Unlike
-    # span_dedup (whose second key re-reads a shared per-token digest
-    # stream at zero marginal cost), the line grain hashes the RAW token
-    # slice twice — full-content 128-bit with no vocabulary-grain
-    # residual. Measured cost of the second content pass at the 10× arm:
-    # +0.26 s same-session (1.27 → 1.53 s median, ~1.5× the frozen
-    # DuckDB cell, ≥25% inside the 2× gate); the cheaper alternatives
-    # all measured WORSE (per-token digest stream: the digest HOF pass +
-    # wider rows cost more than the saved string hashing, 1.65 s;
-    # binding the slice once via a nested transform: the intermediate
-    # array-of-arrays alloc eats the saved slice, 1.60 s). The slice
-    # subtree appears twice in the lambda body (once per seed) — that is
-    # two O({LINE_W}) slice evals per LINE, a bounded constant, unlike
-    # the corpus-sized array-SOURCE re-evaluation the HOF lint guards.
-    # The oracle groups by the raw line text, so the differential hash
-    # PROVES the hash keying changes nothing on the fixture.
-    lines_h = base.selectExpr(
-        "doc_id",
-        f"posexplode(transform("
-        f"sequence(0, CAST(ceil(size(t) / {LINE_W}) AS INT) - 1), "
-        f"i -> struct("
-        f"xxhash64(slice(t, i * {LINE_W} + 1, {LINE_W})) AS a, "
-        f"xxhash64({SEED2_TAG}, slice(t, i * {LINE_W} + 1, {LINE_W})) AS b"
-        f"))) AS (line_id, h)",
+    # corpus (vs O(100) under the retired single-seed key) — and the key
+    # is full-content 128-bit with no vocabulary-grain residual.
+    # r16 shape (VERDICT r15 item 2 — recover the +0.26 s the r15 key
+    # upgrade cost): explode the line ids FIRST and compute both digests
+    # in a plain codegen projection, instead of building a
+    # struct<long,long> array inside a transform() lambda and
+    # posexploding it. The lambda body was INTERPRETED — no codegen, no
+    # subexpression elimination — so the slice was evaluated twice per
+    # line and each xxhash64 walked it through the HOF evaluator; as
+    # top-level projection expressions the two hashes run inside
+    # whole-stage codegen with subexpression elimination sharing the ONE
+    # slice, and the per-doc struct-array allocation disappears. The
+    # generate's `t` column never materializes per line row (codegen
+    # pipelines explode → project in one stage). Measured at the 10× arm
+    # interleaved median-of-6: 1.47 → 1.27 s (~1.24× the frozen DuckDB
+    # cell, back inside the ≤1.25× target; the retired r15 shape sat at
+    # 1.40-1.49×). The r15-rejected alternatives stay rejected:
+    # per-token digest stream 1.65 s, nested-transform slice binding
+    # 1.60 s. The oracle groups by the raw line text, so the
+    # differential hash PROVES the hash keying changes nothing.
+    lines_h = (
+        base.selectExpr(
+            "doc_id",
+            "t",
+            f"explode(sequence(0, CAST(ceil(size(t) / {LINE_W}) AS INT) - 1))"
+            " AS line_id",
+        )
+        .selectExpr(
+            "doc_id",
+            "line_id",
+            f"slice(t, line_id * {LINE_W} + 1, {LINE_W}) AS ls",
+        )
+        .selectExpr(
+            "doc_id",
+            "line_id",
+            "xxhash64(ls) AS ha",
+            f"xxhash64({SEED2_TAG}, ls) AS hb",
+        )
     )
     # ONE hash-partitioned exchange decides repetition AND keeps every
     # occurrence: at MIN_DROP_DF = 2 (the C4 "occurs in more than one
@@ -168,7 +182,7 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc collect_set below.
     assert MIN_DROP_DF == 2, "min!=max shortcut encodes exactly df >= 2"
     dropped = (
-        repeated_cross_doc(lines_h, ("h.a", "h.b"))
+        repeated_cross_doc(lines_h, ("ha", "hb"))
         .groupBy("doc_id")
         .agg(F.collect_set("line_id").alias("drop_ids"))
     )

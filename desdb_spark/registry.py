@@ -248,28 +248,32 @@ _REGISTRY: dict[str, Operator] = {}
 #: alongside the oldest-r7 fills.
 #:
 #: Round 16 window rationale (VERDICT r15 item 1 — executes the planner
-#: proposal verbatim: tools/plan_window.py with the three changed
-#: modules passed explicitly; knapsack exact-fit 50/50), slot priority
-#: unchanged: changed-since-checked > never-checked (none) >
-#: oldest-green.
-#:   * 8 slots, changed plans this round: similarity (4 ops — the late-
+#: proposal: tools/plan_window.py with the changed modules passed
+#: explicitly; knapsack exact-fit 50/50), slot priority unchanged:
+#: changed-since-checked > never-checked (none) > oldest-green.
+#:   * 9 slots, changed plans this round: similarity (4 ops — the late-
 #:     r15 zero-row _embedding_index guard, the documented post-pin
 #:     exception above; ann_ivf_kmeans is rows-only, module rider),
 #:     bitext_mine (1) and mining_ext (3 — knn_hard_negatives) gained
-#:     query-side NULL-embedding filters in r16 (ADVICE r15 items 1/2);
+#:     query-side NULL-embedding filters in r16 (ADVICE r15 items 1/2;
 #:     mining_ext doubles as an oldest-r7 rotation subject, and its
-#:     emb_whiten_project is the window's second rows-only slot.
+#:     emb_whiten_project is the window's second rows-only slot), and
+#:     line_dedup (1 — the r16 explode-first codegen line-key rework,
+#:     VERDICT r15 item 2: same 128-bit key, hashes moved out of the
+#:     interpreted HOF lambda into a codegen projection, 1.47 → 1.27 s
+#:     at the 10× arm ≈ 1.24× frozen).
 #:   * 14 slots, the ENTIRE remaining r7-vintage tail: temporal_ext,
 #:     allocation, windowed_topk, text (7), analytics_ext5 (2),
 #:     stateful, linalg_ext. After CORRECTNESS_r16 no op's newest
 #:     driver row predates r8.
-#:   * 28 slots, oldest-green r8 fills (knapsack exact-fit): skyline,
+#:   * 27 slots, oldest-green r8 fills (knapsack exact-fit): skyline,
 #:     tokenizer_ext, attribution (2), stats_catalog (3),
 #:     stats_inference (2), funnel_ext, experiment_ext (2),
 #:     analytics_ext2 (2), sweepline_ext (2), monitor_ext2 (2),
 #:     analytics_ext3 (2), aggregates_ext2 (2), resampling_ext,
-#:     analytics_ext4 (2), markov_ext, safe_funcs, hierarchy_ext.
-#:     Deferred next-oldest (first r17 fills): pagination_ext,
+#:     analytics_ext4 (2), markov_ext, safe_funcs.
+#:     Deferred next-oldest (first r17 fills): hierarchy_ext (displaced
+#:     by the line_dedup changed-plan slot), pagination_ext,
 #:     streaming.outer_join, compaction, dedup_incremental, then the
 #:     calibration_ext/observability/boilerplate_ext/seasonal_ext wave.
 #: Window rows-only occupancy: 2 (ann_ivf_kmeans, emb_whiten_project) —
@@ -282,10 +286,11 @@ _REGISTRY: dict[str, Operator] = {}
 #: outside the window is unchanged since its green round and re-proven
 #: at HEAD by the committed SELFCHECK_r16 logs.
 _OP_MODULES = (
-    # --- r16 window: changed-plan slots (8 ops) ---
+    # --- r16 window: changed-plan slots (9 ops) ---
     "desdb_spark.extensions.similarity",  # 4 ops — late-r15 empty-index guard (post-pin exception); ann_ivf_kmeans rows-only rider
     "desdb_spark.extensions.bitext_mine",  # 1 op — r16 query-side NULL-embedding filter (ADVICE r15)
     "desdb_spark.extensions.mining_ext",  # 3 ops — r16 anchor-side NULL filter (ADVICE r15); also oldest-r7; emb_whiten_project rows-only
+    "desdb_spark.extensions.line_dedup",  # 1 op — r16 explode-first codegen line-key rework (VERDICT r15 item 2)
     # --- r16 window: the entire remaining r7-vintage tail (14 ops) ---
     "desdb_spark.operators.temporal_ext",  # 1 op — r7
     "desdb_spark.operators.allocation",  # 1 op — r7
@@ -310,15 +315,13 @@ _OP_MODULES = (
     "desdb_spark.extensions.resampling_ext",  # 1 op — r8
     "desdb_spark.extensions.analytics_ext4",  # 2 ops — r8
     "desdb_spark.extensions.markov_ext",  # 1 op — r8
-    "desdb_spark.functions.safe_funcs",  # 1 op — r8
-    "desdb_spark.operators.hierarchy_ext",  # 1 op — r8; slot 50
+    "desdb_spark.functions.safe_funcs",  # 1 op — r8; slot 50 (hierarchy_ext displaced to r17 by the line_dedup changed-plan slot)
     # --- end of r16 window. Everything below holds a driver row from
     # the round named in SURVEY §2C (the r15 window modules lead —
     # their rows are CORRECTNESS_r15-fresh), code unchanged since,
     # re-proven at HEAD by the committed full-registry selfcheck logs;
     # prior relative order preserved.
     "desdb_spark.extensions.span_dedup",
-    "desdb_spark.extensions.line_dedup",
     "desdb_spark.extensions.retrieval_ext2",
     "desdb_spark.extensions.ann_pq",
     "desdb_spark.extensions.ann_serving",
@@ -444,6 +447,7 @@ _OP_MODULES = (
     "desdb_spark.extensions.multimodal_vad",
     "desdb_spark.operators.asof_nearest",
     "desdb_spark.operators.rolling_regression",
+    "desdb_spark.operators.hierarchy_ext",
     "desdb_spark.operators.pagination_ext",
     "desdb_spark.streaming.outer_join",
     "desdb_spark.sources.compaction",

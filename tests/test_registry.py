@@ -268,13 +268,16 @@ def test_registry_order_import_pollution_proof():
 #: remaining-backlog arithmetic: 27 pre-r6 rows remain, all unchanged
 #: since their green round and re-proven by the HEAD selfcheck logs).
 R16_WINDOW = [
-    # changed-plan slots (8 ops): similarity's late-r15 empty-index
-    # guard (the documented post-pin exception), and the r16 query-side
-    # NULL-embedding filters in bitext_mine / mining_ext (ADVICE r15)
+    # changed-plan slots (9 ops): similarity's late-r15 empty-index
+    # guard (the documented post-pin exception), the r16 query-side
+    # NULL-embedding filters in bitext_mine / mining_ext (ADVICE r15),
+    # and line_dedup's explode-first codegen key rework (VERDICT r15
+    # item 2) — which displaced hierarchy_ext's r8 fill to r17
     "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
     "dedup_embedding_cosine", "ann_ivf_kmeans",
     "emb_bitext_mine_margin",
     "knn_hard_negatives", "emb_whiten_project", "corpus_temperature_mix",
+    "docs_dedup_lines_global",
     # the entire remaining r7-vintage tail (14 ops)
     "join_pit_versioned", "alloc_largest_remainder",
     "stream_windowed_topk_users",
@@ -283,7 +286,7 @@ R16_WINDOW = [
     "text_langid_confusion",
     "window_max_drawdown", "analytics_abc_classes",
     "stream_stateful_profile", "emb_gram_matrix",
-    # oldest-green r8 fills (28 ops, knapsack exact-fit)
+    # oldest-green r8 fills (27 ops, knapsack exact-fit)
     "analytics_skyline_2d", "text_bpe_pair_freq",
     "events_attribution_last_touch", "events_attribution_time_to_convert",
     "diag_column_stats", "diag_join_key_skew", "pipeline_curate_end2end",
@@ -299,7 +302,6 @@ R16_WINDOW = [
     "text_char_entropy", "analytics_growth_accounting",
     "events_markov_entropy_rate",
     "scalar_try_funcs",
-    "window_share_of_parent",
 ]
 
 #: Rows-only ops inside the r16 window — both module riders of
