@@ -67,6 +67,14 @@ OPS = [
     "dedup_minhash_eval",
     "ann_ivf_kmeans",
     "graph_pagerank_topk",
+    # r16 (VERDICT r15 item 4): the r7-vintage families rotating through
+    # the r16 driver window predate the sf1/sf3 arms — one representative
+    # each so the 30× point covers a stateful stream fold (RocksDB-less
+    # applyInPandasWithState over staged files), the d²-partial Gram
+    # matrix, and the broadcast/LSH-tiered hard-negative miner.
+    "stream_stateful_profile",
+    "emb_gram_matrix",
+    "knn_hard_negatives",
 ]
 
 
