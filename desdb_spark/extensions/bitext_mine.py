@@ -46,11 +46,17 @@ MARGIN_T = 1.05
     "emb_bitext_mine_margin",
     oracle=f"""
         WITH sa AS (
+            -- NULL embeddings excluded on both sides (r16 review),
+            -- matching the Spark plan's query-side isNotNull filter:
+            -- this per-anchor top-1 oracle would otherwise emit a
+            -- NULL-margin row per NULL anchor.
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings WHERE label = {ANCHOR_LABEL}
+            FROM embeddings
+            WHERE label = {ANCHOR_LABEL} AND embedding IS NOT NULL
         ), sb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings WHERE label = {CAND_LABEL}
+            FROM embeddings
+            WHERE label = {CAND_LABEL} AND embedding IS NOT NULL
         ), ab AS (
             SELECT a.vec_id AS aid, b.vec_id AS bid,
                    round(list_cosine_similarity(a.e, b.e), 6) AS c

@@ -42,8 +42,14 @@ BUDGET_TOKENS = 1_000_000
     "knn_hard_negatives",
     oracle=f"""
         WITH anchors AS (
+            -- NULL embeddings have no cosine: excluded on BOTH sides,
+            -- matching the Spark plan's query-side filter and the
+            -- shared index's NULL drop (r16 review — this per-anchor
+            -- rn=1 oracle would otherwise still emit a NULL-cos row
+            -- per NULL anchor, unlike the threshold/LIMIT oracles
+            -- where NULL cosines self-filter).
             SELECT vec_id, embedding, label FROM embeddings
-            WHERE vec_id % {ANCHOR_MOD} = 0
+            WHERE vec_id % {ANCHOR_MOD} = 0 AND embedding IS NOT NULL
         ), scored AS (
             SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
                    b.vec_id AS negative_id,
@@ -57,14 +63,16 @@ BUDGET_TOKENS = 1_000_000
                            CAST(b.embedding AS DOUBLE[])), 6) DESC,
                            b.vec_id) AS rn
             FROM anchors a JOIN embeddings b
-              ON b.label <> a.label
+              ON b.label <> a.label AND b.embedding IS NOT NULL
         )
         SELECT anchor_id, anchor_label, negative_id, cos_sim
         FROM scored WHERE rn = 1
     """,
     group="mining_ext",
 )
-def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_hard_negatives(
+    spark: SparkSession, sf_dir: str, max_exact_rows: int | None = None
+) -> DataFrame:
     """For every anchor (deterministic 1-in-{ANCHOR_MOD} sample of
     embeddings), the single most-similar OTHER-label embedding — the
     hard negative a contrastive batch builder pairs it with.
@@ -77,11 +85,16 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride the shared ``_embedding_index`` broadcast (VERDICT r8 item 6 —
     no second driver materialization), so this op's driver footprint is
     exactly the knn tier's, governed by the same MAX_EXACT_INDEX_ROWS
-    cap; past the cap the fallback is the same LSH-bucketed kernel with
-    the label mask applied inside each bucket (a per-bucket argmax is a
-    valid hard negative — contrastive batch builders need A hard
-    negative, not THE global argmax, and bucket recall is the
-    documented LSH geometry's). Rounding and tie-breaks follow the knn
+    cap; past the cap ``_bucketed_hard_negatives`` below runs — the
+    LSH-bucketed kernel with the label mask applied inside each bucket
+    (a per-bucket argmax is a valid hard negative — contrastive batch
+    builders need A hard negative, not THE global argmax, and bucket
+    recall is the documented LSH geometry's; wired r16, forced-tier
+    pin in tests/test_mining_ext.py — every emitted pair exact and
+    cross-label, fixture recall vs the exact argmax pinned). Pass
+    ``max_exact_rows=0`` to force the fallback tier under external
+    evidence, the knn_cosine_topk_forced_lsh pattern.
+    Rounding and tie-breaks follow the knn
     ops: half-away-from-zero at 6 dp in the kernel (DuckDB-compatible),
     then smallest candidate id among rounded ties — the argmax runs on
     the ROUNDED matrix, so it is the oracle's (rounded desc, id asc)
@@ -89,8 +102,15 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from desdb_spark.extensions.similarity import _embedding_index
+    from desdb_spark.extensions.similarity import (
+        MAX_EXACT_INDEX_ROWS,
+        _embedding_index,
+        _embeddings_count,
+    )
 
+    cap = MAX_EXACT_INDEX_ROWS if max_exact_rows is None else max_exact_rows
+    if _embeddings_count(spark, sf_dir) > cap:
+        return _bucketed_hard_negatives(spark, sf_dir)
     bc = _embedding_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     # NULL vectors have no cosine (r16 review): the shared index drops
@@ -144,6 +164,99 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Past-the-cap tier of ``knn_hard_negatives``: per-bucket
+    label-masked argmax over LSH buckets, then a cross-band best per
+    anchor. No driver collect anywhere — each (band, sig) bucket runs
+    its own blocked GEMM as an ``applyInPandas`` group, anchors only on
+    the query side, and the cross-band reduce is one window over
+    |anchors × bands| rows at most.
+
+    Geometry is the shared ``_fallback_geometry`` (expected bucket
+    occupancy ≈ TARGET_BUCKET_ROWS, so per-bucket compute is ~TARGET²
+    at any corpus size); determinism matches the exact tier — rounded
+    cosines half-away at 6 dp, argmax on the ROUNDED matrix, smallest
+    negative_id among ties, and the cross-band winner picked by
+    (rounded cos DESC, negative_id ASC). Recall contract: an anchor is
+    served iff it shares ≥1 band with any other-label vector; the
+    emitted pair's cosine is EXACT (within-bucket dense kernel), only
+    candidate coverage is approximate — the forced-tier pytest pins
+    both properties on the fixture.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from desdb_spark.extensions.similarity import (
+        KERNEL_BLOCK_ROWS,
+        _banded_sigs,
+        _embeddings_count,
+        _fallback_geometry,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    bands, bits = _fallback_geometry(_embeddings_count(spark, sf_dir))
+    sigs = _banded_sigs(e, bands, bits, extra_cols=("label",))
+
+    def bucket_kernel(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "anchor_id": pd.Series(dtype="int64"),
+                "anchor_label": pd.Series(dtype="int32"),
+                "negative_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        ids = pdf["id"].to_numpy()
+        a_idx = np.nonzero(ids % ANCHOR_MOD == 0)[0]
+        if len(a_idx) == 0 or len(pdf) < 2:
+            return empty
+        labels = pdf["label"].to_numpy()
+        M = np.stack(pdf["emb"].to_numpy())
+        nrm = np.linalg.norm(M, axis=1)
+        rows = []
+        # Blocked anchor rows: resident scores stay block × bucket even
+        # in a skewed bucket (the _bucketed_pairs discipline).
+        for lo in range(0, len(a_idx), KERNEL_BLOCK_ROWS):
+            sel = a_idx[lo : lo + KERNEL_BLOCK_ROWS]
+            S = (M[sel] @ M.T) / np.outer(nrm[sel], nrm)
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            S[labels[sel][:, None] == labels[None, :]] = -2.0
+            for r in range(S.shape[0]):
+                row = S[r]
+                m = row.max()
+                if m < -1.5:  # no other-label vector in this bucket
+                    continue
+                cand = np.nonzero(row == m)[0]
+                j = cand[np.argmin(ids[cand])]
+                rows.append((ids[sel[r]], labels[sel[r]], ids[j], row[j]))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows,
+            columns=["anchor_id", "anchor_label", "negative_id", "cos_sim"],
+        )
+
+    per_band = sigs.groupBy("band", "sig").applyInPandas(
+        bucket_kernel,
+        schema="anchor_id bigint, anchor_label int, negative_id bigint, "
+        "cos_sim double",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        per_band.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("anchor_id")
+    )
+
+
 @register("emb_whiten_project", group="mining_ext")  # rows-only: float matrix math
 def emb_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whiten the embedding table (PCA-whitening via the covariance's
@@ -161,8 +274,21 @@ def emb_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from desdb_spark.extensions.linalg_ext import gram_matrix
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors carry nothing to whiten and would crash the
+    # projection's np.stack; they must also be excluded from n, or the
+    # mean/covariance denominators count rows the sums never saw (r16
+    # review — the same NULL-vector contract the module's other two ops
+    # adopted this round).
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     n = e.count()
+    if n == 0:
+        # Degenerate fit (empty corpus or every embedding NULL): raising
+        # is this op's documented contract class (REQUIRES_NONEMPTY_INPUT
+        # in tests/test_empty_inputs.py) — make it a clean signal instead
+        # of max() over an empty sequence.
+        raise ValueError("emb_whiten_project: no non-NULL embeddings to fit")
     # Per-dimension mean: posexplode + groupBy(dim) — 64 partial sums per
     # task via map-side combine, never an array-of-arrays buffer.
     mean_rows = (

@@ -485,8 +485,17 @@ def lsh_signature(
     return F.concat(*bits)
 
 
-def _banded_sigs(e: DataFrame, bands: int, bits: int, dim: int = 64) -> DataFrame:
-    """(id, emb, band, sig) — one row per (vector, band), sig = sign bits.
+def _banded_sigs(
+    e: DataFrame,
+    bands: int,
+    bits: int,
+    dim: int = 64,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, emb, band, sig[, extra...]) — one row per (vector, band),
+    sig = sign bits. ``extra_cols`` rides payload columns through to the
+    bucket kernels (r16: knn_hard_negatives' fallback needs ``label``);
+    empty by default so every existing caller's plan is unchanged.
 
     r12c: the integer-micro quantization is bound to a projected column
     first, so the bands·bits plane dots read a BoundReference instead of
@@ -497,10 +506,12 @@ def _banded_sigs(e: DataFrame, bands: int, bits: int, dim: int = 64) -> DataFram
         F.col("vec_id").alias("id"),
         emb.alias("emb"),
         quantize_embedding(emb).alias("eq"),
+        *extra_cols,
     )
     return eq.select(
         "id",
         "emb",
+        *extra_cols,
         F.posexplode(
             F.array(
                 *[

@@ -299,7 +299,7 @@ _OP_MODULES = (
     "desdb_spark.extensions.analytics_ext5",  # 2 ops — r7
     "desdb_spark.streaming.stateful",  # 1 op — r7
     "desdb_spark.extensions.linalg_ext",  # 1 op — r7
-    # --- r16 window: oldest-green r8 fills (28 ops, knapsack exact-fit) ---
+    # --- r16 window: oldest-green r8 fills (27 ops, knapsack exact-fit) ---
     "desdb_spark.extensions.skyline",  # 1 op — r8
     "desdb_spark.extensions.tokenizer_ext",  # 1 op — r8
     "desdb_spark.extensions.attribution",  # 2 ops — r8

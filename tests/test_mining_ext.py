@@ -54,6 +54,42 @@ def test_hard_negatives_match_numpy_bruteforce(spark):
         assert labels[list(ids).index(want_id)] != labels[ai]
 
 
+def test_hard_negatives_forced_lsh_tier(spark):
+    """The past-the-cap tier under external evidence (r16 — the
+    knn_cosine_topk_forced_lsh pattern): max_exact_rows=0 forces the
+    label-masked bucketed kernel. Contract pinned: every emitted pair
+    is cross-label with the EXACT rounded cosine of that pair (bucket
+    kernels are dense/exact; only candidate coverage is approximate),
+    bounded above by the exact tier's argmax, and at fixture scale the
+    LSH geometry recovers the exact result in full — the same
+    every-top-pair-shares-a-band regime the forced knn test pins."""
+    ids, labels, X = _load_embeddings(spark)
+    S = (X @ X.T) / np.outer(
+        np.linalg.norm(X, axis=1), np.linalg.norm(X, axis=1)
+    )
+    S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+    pos = {v: i for i, v in enumerate(ids)}
+    forced = {
+        r.anchor_id: (r.anchor_label, r.negative_id, r.cos_sim)
+        for r in knn_hard_negatives(spark, SF_DIR, max_exact_rows=0).collect()
+    }
+    exact = {
+        r.anchor_id: (r.anchor_label, r.negative_id, r.cos_sim)
+        for r in knn_hard_negatives(spark, SF_DIR).collect()
+    }
+    assert forced, "forced tier returned nothing"
+    for aid, (alab, nid, cos) in forced.items():
+        # cross-label and the pair's cosine is the exact rounded value
+        assert labels[pos[nid]] != alab, (aid, nid)
+        assert cos == S[pos[aid], pos[nid]], (aid, nid)
+        # never better than the exact argmax
+        assert cos <= exact[aid][2], (aid, cos, exact[aid])
+    # Fixture-scale recall: the adaptive geometry (16 bands x 2 bits at
+    # this n) puts every anchor's argmax in a shared band — full
+    # agreement, the measured value this test freezes.
+    assert forced == exact
+
+
 def test_whitening_gives_identity_covariance(spark):
     rows = emb_whiten_project(spark, SF_DIR).collect()
     assert len(rows) == 64
