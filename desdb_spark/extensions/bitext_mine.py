@@ -97,14 +97,13 @@ def emb_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin ≥ {MARGIN_T}."""
     import numpy as np
 
-    from desdb_spark.extensions.similarity import _embedding_index
+    from desdb_spark.extensions.similarity import (
+        _embedding_index,
+        rounded_cosine_block as _rounded_cos_block,
+    )
 
     bc = _embedding_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-
-    def _rounded_cos_block(Q, nq_norms, M, m_norms):
-        S = (Q @ M.T) / np.outer(nq_norms, m_norms)
-        return np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
 
     def _topk_mean(row, ids, k):
         order = np.lexsort((ids, -row))[:k]

@@ -22,11 +22,15 @@ Three ops a contrastive-training pipeline runs right after dedup:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
 from desdb_spark.session import load_table
+
+_LOG = logging.getLogger(__name__)
 
 #: Deterministic anchor predicate: every 50th vec_id is an anchor.
 ANCHOR_MOD = 50
@@ -71,7 +75,10 @@ BUDGET_TOKENS = 1_000_000
     group="mining_ext",
 )
 def knn_hard_negatives(
-    spark: SparkSession, sf_dir: str, max_exact_rows: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_exact_rows: int | None = None,
+    allow_approx_fallback: bool = True,
 ) -> DataFrame:
     """For every anchor (deterministic 1-in-{ANCHOR_MOD} sample of
     embeddings), the single most-similar OTHER-label embedding — the
@@ -106,10 +113,29 @@ def knn_hard_negatives(
         MAX_EXACT_INDEX_ROWS,
         _embedding_index,
         _embeddings_count,
+        rounded_cosine_block,
     )
 
     cap = MAX_EXACT_INDEX_ROWS if max_exact_rows is None else max_exact_rows
-    if _embeddings_count(spark, sf_dir) > cap:
+    n = _embeddings_count(spark, sf_dir)
+    if n > cap:
+        # The family convention at the tier boundary (r16 review —
+        # dedup_embedding_cosine's discipline): never go approximate
+        # silently. Per-bucket argmaxes are valid hard negatives, but
+        # anchors sharing no band with an other-label vector drop out,
+        # so the caller must be able to tell.
+        if not allow_approx_fallback:
+            raise ValueError(
+                f"embeddings has {n} rows > cap {cap} and "
+                "allow_approx_fallback=False: refusing the approximate tier"
+            )
+        _LOG.warning(
+            "knn_hard_negatives: %d rows exceeds the exact-tier cap (%d); "
+            "switching to the approximate LSH-bucketed tier (per-bucket "
+            "argmax; anchors with no cross-label band-mate are dropped)",
+            n,
+            cap,
+        )
         return _bucketed_hard_negatives(spark, sf_dir)
     bc = _embedding_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
@@ -135,8 +161,9 @@ def knn_hard_negatives(
             q_ids = pdf["vec_id"].to_numpy()
             q_labels = pdf["label"].to_numpy()
             Q = np.stack(pdf["emb"].to_numpy())
-            S = (Q @ b_M.T) / np.outer(np.linalg.norm(Q, axis=1), b_norms)
-            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            S = rounded_cosine_block(
+                Q, np.linalg.norm(Q, axis=1), b_M, b_norms
+            )
             S[q_labels[:, None] == b_labels[None, :]] = -2.0
             out = {"anchor_id": [], "anchor_label": [], "negative_id": [],
                    "cos_sim": []}
@@ -144,6 +171,14 @@ def knn_hard_negatives(
                 row = S[r]
                 # Among max-rounded-sim candidates, smallest id wins.
                 m = row.max()
+                if m < -1.5:
+                    # No other-label candidate exists (single-label
+                    # corpus, or every cross-label cosine scrubbed):
+                    # emit nothing, matching the oracle's inner join on
+                    # label <> label and the bucketed tier's guard (r16
+                    # review — this tier used to emit a same-label row
+                    # with the -2 sentinel as its 'cosine').
+                    continue
                 cand = np.nonzero(row == m)[0]
                 j = cand[np.argmin(b_ids[cand])]
                 out["anchor_id"].append(q_ids[r])
@@ -192,6 +227,7 @@ def _bucketed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         _banded_sigs,
         _embeddings_count,
         _fallback_geometry,
+        rounded_cosine_block,
     )
 
     e = load_table(spark, sf_dir, "embeddings").where(
@@ -223,8 +259,7 @@ def _bucketed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in a skewed bucket (the _bucketed_pairs discipline).
         for lo in range(0, len(a_idx), KERNEL_BLOCK_ROWS):
             sel = a_idx[lo : lo + KERNEL_BLOCK_ROWS]
-            S = (M[sel] @ M.T) / np.outer(nrm[sel], nrm)
-            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            S = rounded_cosine_block(M[sel], nrm[sel], M, nrm)
             S[labels[sel][:, None] == labels[None, :]] = -2.0
             for r in range(S.shape[0]):
                 row = S[r]

@@ -97,6 +97,30 @@ TARGET_BUCKET_ROWS = 8192
 KERNEL_BLOCK_ROWS = 2048
 
 
+def rounded_cosine_block(Q, q_norms, M, m_norms):
+    """Dense rounded-cosine score block — THE one implementation of the
+    cross-engine determinism contract (r16 review: it existed as 6
+    hand-copies across the kernel modules): GEMM, DuckDB-compatible
+    round-half-away-from-zero at 6 dp, then a non-finite scrub. A
+    zero-norm vector (all-zeros embedding — valid non-NULL data) yields
+    0/0 = NaN, which previously poisoned downstream selection (NaN
+    fails every comparison, so ``row.max()`` goes NaN and an
+    argmax-over-empty-candidates raises; ``np.partition`` sorts NaN as
+    LARGEST, corrupting top-k cuts). NaN maps to the -2.0 'no cosine'
+    sentinel — below any real cosine, so thresholds, top-k partitions,
+    and argmaxes all ignore it, the same convention the label masks
+    use. The vector-contract extension of the NULL filter: NULL and
+    zero-norm vectors alike have no cosine.
+    """
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = (Q @ M.T) / np.outer(q_norms, m_norms)
+    S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+    S[~np.isfinite(S)] = -2.0
+    return S
+
+
 def _fallback_geometry(n_rows: int) -> tuple[int, int]:
     """(bands, bits) for the past-the-cap LSH tier, sized from the corpus.
 
@@ -266,9 +290,9 @@ def knn_cosine_topk(
                 continue
             q_ids = pdf["vec_id"].to_numpy()
             Q = np.stack(pdf["emb"].to_numpy())
-            S = (Q @ b_M.T) / np.outer(np.linalg.norm(Q, axis=1), b_norms)
-            # DuckDB-compatible round-half-away-from-zero at 6 dp.
-            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            S = rounded_cosine_block(
+                Q, np.linalg.norm(Q, axis=1), b_M, b_norms
+            )
             # a < b only (no self/dup pairs): invalidate the rest in place
             # (cosine is always >= -1, so -2 never wins a top-k slot).
             S[q_ids[:, None] >= b_ids[None, :]] = -2.0
@@ -401,8 +425,9 @@ def _gemm_pairs_ge(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
                 continue
             q_ids = pdf["vec_id"].to_numpy()
             Q = np.stack(pdf["emb"].to_numpy())
-            S = (Q @ b_M.T) / np.outer(np.linalg.norm(Q, axis=1), b_norms)
-            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            S = rounded_cosine_block(
+                Q, np.linalg.norm(Q, axis=1), b_M, b_norms
+            )
             keep = (S >= threshold) & (q_ids[:, None] < b_ids[None, :])
             qi, bj = np.nonzero(keep)
             yield pd.DataFrame(
@@ -578,8 +603,7 @@ def _bucketed_pairs(
         out_a, out_b, out_s = [], [], []
         for lo in range(0, len(ids), KERNEL_BLOCK_ROWS):
             hi = min(lo + KERNEL_BLOCK_ROWS, len(ids))
-            S = (M[lo:hi] @ M.T) / np.outer(nrm[lo:hi], nrm)
-            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            S = rounded_cosine_block(M[lo:hi], nrm[lo:hi], M, nrm)
             keep = ids[lo:hi, None] < ids[None, :]
             if threshold is not None:
                 keep &= S >= threshold

@@ -90,6 +90,65 @@ def test_hard_negatives_forced_lsh_tier(spark):
     assert forced == exact
 
 
+def test_zero_norm_embedding_has_no_cosine(spark, tmp_path):
+    """r16 review: an all-zeros embedding is valid non-NULL data whose
+    cosine is 0/0 = NaN; before the shared rounded_cosine_block scrub it
+    crashed the hard-negative argmax (NaN fails every comparison, so the
+    candidate set went empty) and could poison top-k partition cuts (NaN
+    sorts LARGEST under np.partition). Contract: NULL and zero-norm
+    vectors alike have no cosine — kernels run to completion and the
+    zero vector never appears on either side of an emitted pair."""
+    import shutil
+
+    from desdb_spark.extensions.similarity import (
+        knn_cosine_topk,
+        rounded_cosine_block,
+    )
+    from desdb_spark.session import TABLES
+
+    # Unit: the scrub maps the NaN row/column to the -2 sentinel.
+    Q = np.array([[0.0, 0.0], [1.0, 0.0]])
+    S = rounded_cosine_block(Q, np.linalg.norm(Q, axis=1), Q,
+                             np.linalg.norm(Q, axis=1))
+    assert S[0, 0] == -2.0 and S[0, 1] == -2.0 and S[1, 0] == -2.0
+    assert S[1, 1] == 1.0
+
+    # Integration: plant a zero vector on an anchor id and a non-anchor.
+    import os
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "zero_fixture")
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        if t == "embeddings":
+            df = spark.read.parquet(f"{src}/{t}.parquet")
+            dim = df.selectExpr("size(embedding) AS d").first().d
+            zero = F.array_repeat(
+                F.lit(0.0).cast(dict(df.dtypes)["embedding"][6:-1]), dim
+            )
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id").isin(0, 1), zero).otherwise(
+                    F.col("embedding")
+                ),
+            )
+            df.write.parquet(f"{dst}/{t}.parquet")
+        else:
+            shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    zero_ids = {0, 1}
+    for df in (
+        knn_hard_negatives(spark, dst),
+        knn_hard_negatives(spark, dst, max_exact_rows=0),
+        knn_cosine_topk(spark, dst),
+    ):
+        rows = df.collect()
+        assert rows, "kernel returned nothing on the planted fixture"
+        for r in rows:
+            ids_in_row = {getattr(r, c) for c in r.__fields__
+                          if c.endswith("_id") or c.startswith("vec_")}
+            assert not (ids_in_row & zero_ids), r
+
+
 def test_whitening_gives_identity_covariance(spark):
     rows = emb_whiten_project(spark, SF_DIR).collect()
     assert len(rows) == 64
