@@ -87,6 +87,8 @@ def emb_truncation_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall=1.0 anchor proving the reference set is consistent."""
     import numpy as np
 
+    from desdb_spark.extensions.similarity import rounded_cosine_block
+
     e = load_table(spark, sf_dir, "embeddings")
     emb = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -109,11 +111,15 @@ def emb_truncation_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             frames = []
             for d in DIMS:
                 Md, Qd = M[:, :d], qm[:, :d]
-                S = (Md @ Qd.T) / np.outer(
-                    np.linalg.norm(Md, axis=1), np.linalg.norm(Qd, axis=1)
+                # Shared rounding kernel (r16): one implementation of the
+                # half-away-6dp contract, and a truncated prefix that is
+                # all-zeros (possible even for a non-zero full vector)
+                # scrubs to the -2 sentinel instead of flowing NaN into
+                # the rank comparison downstream.
+                S = rounded_cosine_block(
+                    Md, np.linalg.norm(Md, axis=1),
+                    Qd, np.linalg.norm(Qd, axis=1),
                 )
-                # DuckDB-compatible round-half-away-from-zero at 6 dp
-                S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
                 ii, jj = np.nonzero(ids[:, None] != qi[None, :])
                 frames.append(
                     pd.DataFrame(

@@ -282,7 +282,15 @@ _REGISTRY: dict[str, Operator] = {}
 #: the window artifact now lists the pin per rows-only slot — see
 #: tools/plan_window.py's ROWS_ONLY_EVIDENCE annotation).
 #: Sums to EXACTLY 50 (tests/test_registry.py::test_r16_window_pinned).
-#: Changed-plan exception list after this rotation: EMPTY. Everything
+#: ONE documented post-pin exception (the ADVICE r11 transparency
+#: rule): extensions.matryoshka_ext's cosine kernel switched to the
+#: shared rounded_cosine_block helper late in r16 (the r16 review's
+#: zero-norm/no-cosine contract — six hand-copies of the half-away-6dp
+#: rounding collapsed to one implementation). On any fixture without
+#: an all-zeros truncation prefix the scores are byte-identical, and
+#: emb_truncation_recall_curve is re-proven at HEAD by the regenerated
+#: SELFCHECK_r16 logs; first r17 window candidate.
+#: Changed-plan exception list otherwise: EMPTY. Everything else
 #: outside the window is unchanged since its green round and re-proven
 #: at HEAD by the committed SELFCHECK_r16 logs.
 _OP_MODULES = (
