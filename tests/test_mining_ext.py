@@ -90,6 +90,28 @@ def test_hard_negatives_forced_lsh_tier(spark):
     assert forced == exact
 
 
+def test_rounded_cosine_block_half_away_on_negative_boundaries():
+    """The shared kernel's rounding is half-AWAY-from-zero at 6 dp (the
+    DuckDB-compatible convention every oracle assumes): -x.xxxxx5 moves
+    AWAY from zero, not toward it (banker's/floor rounding would differ
+    exactly on these boundaries and silently red a hash somewhere)."""
+    from desdb_spark.extensions.similarity import rounded_cosine_block
+
+    # Unit vectors scaled so the cosine lands exactly on a .5 ulp at
+    # 6 dp: cos = dot because all norms are 1.
+    def cos_of(x):
+        Q = np.array([[1.0, 0.0]])
+        M = np.array([[x, np.sqrt(1 - x * x)]])
+        return rounded_cosine_block(
+            Q, np.array([1.0]), M, np.linalg.norm(M, axis=1)
+        )[0, 0]
+
+    assert cos_of(0.1234565) == 0.123457  # positive half rounds up
+    assert cos_of(-0.1234565) == -0.123457  # negative half rounds AWAY
+    assert cos_of(0.1234564) == 0.123456
+    assert cos_of(-0.1234564) == -0.123456
+
+
 def test_zero_norm_embedding_has_no_cosine(spark, tmp_path):
     """r16 review: an all-zeros embedding is valid non-NULL data whose
     cosine is 0/0 = NaN; before the shared rounded_cosine_block scrub it
