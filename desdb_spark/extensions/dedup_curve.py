@@ -107,6 +107,17 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     #   n_docs_removed(t) = total_docs − n_docs_kept(t)
     #   n_pairs(t)       = Σ_{X~Y qualifying, X<Y} c_X·c_Y
     #                      + Σ_X C(c_X, 2)            (within, every t)
+    # r16 (optimization round): the checkpoint additionally carries the
+    # per-class HASHED token set (`toksh`) — verification intersects
+    # 64-bit digests instead of strings. Phase-profiled at sf0.1 with the
+    # noop sink: the verify pass over the 6.6M candidate pairs dropped
+    # from 2.5 s (string array_intersect) to 0.95 s (long array_intersect
+    # + explicit broadcast below); same-session A/B, identical output.
+    # Collision story: same birthday reasoning as the class-identity hash
+    # above — a wrong intersection size needs two DISTINCT tokens of one
+    # candidate pair's union to share an xxhash64, P ≈ |union|²/2⁶⁵ ≈
+    # 10⁻¹⁴ per pair, and the differential hash against the raw-string
+    # DuckDB oracle pins the fixture behavior.
     classes = (
         ensure_parallelism(d)
         .select(
@@ -118,7 +129,13 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").cast("bigint").alias("c"),
             F.min_by("toks", "doc_id").alias("toks"),
         )
-        .select("id", "c", "toks", F.size("toks").alias("n"))
+        .select(
+            "id",
+            "c",
+            "toks",
+            F.size("toks").alias("n"),
+            F.expr("transform(toks, t -> xxhash64(t))").alias("toksh"),
+        )
         .localCheckpoint()
     )
     # Three bounded driver scalars in one action.
@@ -135,13 +152,20 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     cand = ensure_parallelism(
         prefix_filtered_pairs(reps, t_num=1, t_den=2, id_col="id")
     )
-    sa = classes.alias("sa")
-    sb = classes.alias("sb")
+    # Verify-side metadata ONLY (id, c, n, toksh — never the string
+    # arrays): ~4k rows of longs, explicitly broadcast so the 6.6M-pair
+    # candidate stream is NEVER shuffled by id_a/id_b (guide §3.1 — the
+    # estimate-driven planner got this right on the fixture, but the
+    # explicit hint makes it scale-independent, and the narrow build
+    # side keeps the broadcast KB-sized per thousand classes).
+    meta = classes.select("id", "c", "n", "toksh")
+    sa = meta.alias("sa")
+    sb = meta.alias("sb")
     # Single-eval integer grid test (r11): (100+pct)·i ≥ pct·(nₐ+n_b).
-    i = F.size(F.array_intersect("sa.toks", "sb.toks"))
+    i = F.size(F.array_intersect("sa.toksh", "sb.toksh"))
     pairs = (
-        cand.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
+        cand.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
@@ -151,56 +175,88 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("sa.n") + F.col("sb.n")).alias("s"),
         )
     )
-    fanned = pairs.select(
-        "id_a",
-        "id_b",
-        "c_a",
-        "c_b",
-        F.explode(F.array(*[F.lit(p) for p in GRID_PCT])).alias("pct"),
-        "i",
-        "s",
-    ).where((100 + F.col("pct")) * F.col("i") >= F.col("pct") * F.col("s"))
-    # Qualifying pairs are sparse post-threshold; checkpoint so the two
-    # consumers below don't re-run candidate generation + verify.
-    fanned = fanned.localCheckpoint()
-    cross = fanned.groupBy("pct").agg(
-        F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("cross_pairs")
+    # r16: NO grid fan, NO checkpoint, ONE pass. The integer test
+    # (100+pct)·i ≥ pct·s is monotone DECREASING in pct, so a pair's
+    # qualifying grid points are a PREFIX of the ascending grid — fully
+    # described by one small int `lvl` (5 codegen comparisons per pair).
+    # The old shape exploded each pair across its qualifying pcts (11.0M
+    # rows at sf0.1), localCheckpointed that, and fed it to TWO consumers
+    # (a global pct aggregate + a 22M-row union→groupBy for loser
+    # minima). Both consumers collapse into ONE aggregation at class
+    # grain: explode each pair into its two directed edges inline (codegen
+    # explode — no union, so candidate gen + verify run exactly once) and
+    # groupBy the edge source with 5 conditional mins (loser test per
+    # grid rank) + 5 conditional sums (cross-pair weight per lvl; each
+    # pair counted twice, halved below). Partial aggregation reduces the
+    # 13.2M edges to ~#classes rows per task before the only shuffle, so
+    # shuffle bytes are O(classes), not O(pairs). Same-session idle
+    # sf0.1 evidence: fresh-JVM phase profile had verify+fan+checkpoint
+    # at 23.6 s plus final aggs 4.4 s; the whole op went 21.1 s → 12.1 s
+    # (min of 3 warm runs) with the oracle hash unchanged in all three
+    # selfcheck configs.
+    lvl = sum(
+        ((100 + p) * F.col("i") >= p * F.col("s")).cast("int") for p in GRID_PCT
     )
-    # A class min is REMOVED at t iff some qualifying neighbor class has
-    # a smaller id; neighbor ids ARE the neighbor minima.
-    losers = (
-        fanned.select("pct", F.col("id_b").alias("x"), F.col("id_a").alias("nb"))
-        .unionByName(
-            fanned.select(
-                "pct", F.col("id_a").alias("x"), F.col("id_b").alias("nb")
-            )
-        )
-        .groupBy("pct", "x")
-        .agg(F.min("nb").alias("nbmin"))
-        .where(F.col("nbmin") < F.col("x"))
-        .groupBy("pct")
-        .agg(F.count("*").cast("bigint").alias("lost_minima"))
-    )
-    # Every grid row must appear even if a pct has zero qualifying
-    # CROSS pairs (within-class J=1 pairs exist at every threshold).
-    grid = spark.createDataFrame([(p,) for p in GRID_PCT], "pct int")
-    return (
-        grid.join(cross, "pct", "left")
-        .join(losers, "pct", "left")
+    ranks = range(1, len(GRID_PCT) + 1)
+    edges = (
+        pairs.withColumn("lvl", lvl)
+        .where(F.col("lvl") > 0)
+        .withColumn("w", (F.col("c_a") * F.col("c_b")).cast("bigint"))
         .select(
-            F.col("pct").cast("bigint").alias("pct"),
-            (F.lit(within) + F.coalesce(F.col("cross_pairs"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_pairs"),
-            (
-                F.lit(total - n_classes)
-                + F.coalesce(F.col("lost_minima"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("n_docs_removed"),
-            (F.lit(n_classes) - F.coalesce(F.col("lost_minima"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_docs_kept"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("x"), F.col("id_b").alias("nb")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("x"), F.col("id_a").alias("nb")
+                    ),
+                )
+            ).alias("e"),
+            "lvl",
+            "w",
         )
-        .orderBy("pct")
+        .select("e.x", "e.nb", "lvl", "w")
     )
+    perx = edges.groupBy("x").agg(
+        *[
+            F.min(F.when(F.col("lvl") >= r, F.col("nb"))).alias(f"m{r}")
+            for r in ranks
+        ],
+        *[
+            F.sum(F.when(F.col("lvl") == r, F.col("w"))).alias(f"s{r}")
+            for r in ranks
+        ],
+    )
+    # One bounded driver row (the same fitted-scalar pattern as
+    # total/ncls/within above): per rank, how many class minima lose to a
+    # smaller qualifying neighbor, and twice the qualifying cross-pair
+    # weight at exactly that lvl.
+    fin = perx.agg(
+        *[
+            F.sum((F.col(f"m{r}") < F.col("x")).cast("bigint")).alias(
+                f"lost{r}"
+            )
+            for r in ranks
+        ],
+        *[F.sum(f"s{r}").alias(f"g{r}") for r in ranks],
+    ).first()
+    lost = [int(fin[f"lost{r}"] or 0) for r in ranks]
+    gsum = [int(fin[f"g{r}"] or 0) for r in ranks]
+    rows = []
+    for idx, p in enumerate(GRID_PCT):
+        # Pairs qualifying at pct GRID_PCT[idx] are exactly lvl > idx:
+        # suffix-sum the per-lvl weights (each pair appeared twice).
+        cross = sum(gsum[idx:]) // 2
+        rows.append(
+            (
+                p,
+                within + cross,
+                (total - n_classes) + lost[idx],
+                n_classes - lost[idx],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "pct bigint, n_pairs bigint, n_docs_removed bigint, n_docs_kept bigint",
+    ).orderBy("pct")
