@@ -149,21 +149,40 @@ def docs_eval_substring_contamination(spark: SparkSession, sf_dir: str) -> DataF
         .select("eval_id", "tok")
         .distinct()
     )
+    # r16 (optimization round): no `.distinct()` — `array_distinct`
+    # already makes the exploded (doc_id, tok) stream unique (one row per
+    # doc, per-doc-unique tokens), so the old distinct was a semantic
+    # no-op costing a full-corpus shuffle+dedup on BOTH consumers of this
+    # stream (guide §2.1). Noop-profiled at the 10× arm: 2.15 s → 0.73 s
+    # per consumption; oracle (which keeps its own DISTINCT) unchanged.
+    # (A probe-token pre-filter before the df aggregate was ALSO tried
+    # and rejected: the broadcast string-join costs more than the full
+    # small-vocab partial aggregate, 1.80 s vs 0.88 s.)
     doc_toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).where(F.col("tok") != "").distinct()
+    ).where(F.col("tok") != "")
     df_ = doc_toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     anchors = (
         probe_toks.join(df_, "tok")
         .groupBy("eval_id")
         .agg(F.min_by("tok", F.struct("df", "tok")).alias("anchor"))
     )
+    # r16: candidate `.distinct()` dropped for the same reason — the
+    # token stream is (doc_id, tok)-unique and each eval_id has exactly
+    # one anchor, so the equi-join's (doc_id, eval_id) output is already
+    # duplicate-free. The distinct's Exchange was, however, what spread
+    # the CPU-bound `instr` verification across the session's cores:
+    # without it the whole scan→explode→join→instr pipeline runs at scan
+    # parallelism (the 10× arm's corpus is ONE parquet file → 25.8 s).
+    # Keep the width with an EXPLICIT-N repartition of the narrow
+    # candidate pairs (the playbook-§0/§3 pattern — AQE would coalesce
+    # this ~120 MB shuffle below core count and starve the verify): same
+    # session first-run 5.05 s, and the shuffle now moves 16-byte pairs
+    # instead of the old distinct's full dedup pass.
     candidates = (
-        doc_toks.join(
-            F.broadcast(anchors), doc_toks.tok == F.col("anchor")
-        )
+        doc_toks.join(F.broadcast(anchors), doc_toks.tok == F.col("anchor"))
         .select("doc_id", "eval_id")
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     verified = (
         candidates.join(d.select("doc_id", "text"), "doc_id")
