@@ -194,9 +194,36 @@ BASELINE_LLM_SF1_SEC = {
 #: ~2000-char tail window even after rc/terminator framing.
 COMPACT_LINE_CAP = 1800
 
-DETAIL_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-)
+#: r17 evidence hygiene (VERDICT r16 items 1-2): BENCH_DETAIL.json at HEAD
+#: must always be the reference 32-core run — the r16 snapshot committed an
+#: 8-core validation run into it and the sha-to-sha retention comparison
+#: read as a phantom 2× regression. Low-core validation runs now route to
+#: a suffixed detail file automatically, and every detail dict carries a
+#: ``cpus`` stamp so the artifact is self-describing.
+REFERENCE_CPUS = 32
+
+
+def bench_cpus() -> int:
+    """Core count this run measures under ($SPARK_GRAFT_CPUS, else all)."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        return int(env) if env else (os.cpu_count() or REFERENCE_CPUS)
+    except ValueError:
+        return os.cpu_count() or REFERENCE_CPUS
+
+
+def detail_path() -> str:
+    """BENCH_DETAIL.json for the reference core count, BENCH_DETAIL_c{N}.json
+    for any other — so a validation run can never overwrite the positional
+    32-core evidence at HEAD."""
+    n = bench_cpus()
+    name = (
+        "BENCH_DETAIL.json" if n == REFERENCE_CPUS else f"BENCH_DETAIL_c{n}.json"
+    )
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
+DETAIL_PATH = detail_path()
 
 
 def git_sha() -> str:
@@ -254,7 +281,17 @@ def compact_line(result: dict) -> dict:
         "sf": result["sf"],
         "sha": result.get("sha"),
         "load_note": result.get("load_note"),
+        "cpus": result.get("cpus"),
         "queries": headline,
+        # r17 (VERDICT r16 item 7): the per-query floor-adjusted cells ride
+        # the driver-parsed line so a round-over-round diff can separate a
+        # machine band shift (raw cells move, adjusted cells flat) from a
+        # plan change (both move) without judge archaeology.
+        "queries_floor_adj": {
+            k: v
+            for k, v in result.get("queries_floor_adj", {}).items()
+            if isinstance(v, float)
+        },
         "floor_sec": result.get("floor_sec"),
         "floor_after_sec": result.get("floor_after_sec"),
         "cold_first_action_sec": result.get("cold_first_action_sec"),
@@ -290,6 +327,7 @@ def compact_line(result: dict) -> dict:
     # dropped. The provenance stamp (sha/load_note) is ~40 chars and
     # never shed — without it the artifact loses its code identity.
     for unit in (
+        ("queries_floor_adj",),
         ("ratio_sameday", "baseline_sameday_total_sec"),
         ("cold_first_action_sec",),
         ("baseline_total_sec",),
@@ -715,6 +753,7 @@ def main() -> None:
     # so a commit message's bench claim can be checked against the
     # driver-run BENCH_r{N}.json instead of diverging silently.
     result["sha"] = git_sha()
+    result["cpus"] = bench_cpus()
     result["load_note"] = (
         f"{'loaded' if floor_ratio > FLOOR_TOLERANCE else 'idle'}"
         f"@{floor_ratio}x_floor"

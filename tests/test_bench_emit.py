@@ -66,6 +66,7 @@ def _worst_case_result(with_errors: bool) -> dict:
         "floor_ratio_vs_historical": 1.43,
         "sha": "abcdef0+dirty",
         "load_note": "loaded@99.99x_floor",
+        "cpus": 32,
     }
     if with_errors:
         result["op_errors"] = [f"{'y' * 60}_{i}_error" for i in range(8)]
@@ -91,6 +92,24 @@ def test_compact_line_keeps_headline_queries_when_clean():
     # All 11 headline cells present as floats; error strings never leak in.
     assert set(compact["queries"]) == set(bench.HEADLINE)
     assert all(isinstance(v, float) for v in compact["queries"].values())
+
+
+def test_compact_line_carries_floor_adjusted_cells_and_cpus():
+    """r17 (VERDICT r16 items 2/7): the driver-parsed line carries the
+    per-query floor-adjusted cells (band-shift vs plan-change separation)
+    and the core-count stamp; both survive a clean compaction."""
+    compact = bench.compact_line(_worst_case_result(with_errors=False))
+    assert compact["cpus"] == 32
+    assert set(compact["queries_floor_adj"]) == set(bench.HEADLINE)
+
+
+def test_detail_path_routes_by_core_count(monkeypatch):
+    """VERDICT r16 item 1: a low-core validation run must never overwrite
+    the positional 32-core BENCH_DETAIL.json."""
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench.detail_path().endswith("BENCH_DETAIL_c8.json")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert bench.detail_path().endswith("BENCH_DETAIL.json")
 
 
 def test_compact_drop_order_sheds_sf1_before_headline():

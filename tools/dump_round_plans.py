@@ -11,6 +11,8 @@ Usage: python tools/dump_round_plans.py --tag before [--round 16] [ops...]
 from __future__ import annotations
 
 import argparse
+import contextlib
+import io
 import os
 import sys
 
@@ -63,9 +65,14 @@ def main() -> None:
             "spark.sql.shuffle.partitions", "4" if name in HEADLINE else "32"
         )
         df = ops[name].fn(spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # ADVICE r16: capture the public df.explain("formatted") output
+        # instead of reaching into private JVM internals (PythonSQLUtils /
+        # _jdf) — the private hop is unavailable under Spark Connect and
+        # fragile across versions; explain() prints the same string.
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         header = f"# {name} @ sf0.1 — explain('formatted'), tag={args.tag}\n"
         if name in EAGER_NOTE:
             header += (
