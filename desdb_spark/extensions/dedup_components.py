@@ -262,13 +262,13 @@ def dup_edges(d: DataFrame) -> DataFrame:
     # concat_ws re-stringifies the set — tokens carry no spaces, so
     # prefix_tokens' re-split reproduces it exactly (dedup_curve's
     # precedent).
-    cand = ensure_parallelism(
-        prefix_filtered_pairs(
-            crep.select("id", F.concat_ws(" ", "toks").alias("text")),
-            t_num=4,
-            t_den=5,
-            id_col="id",
-        )
+    # r17: the kernel exits at explicit full width now (its pair-dedup
+    # exchange) — the ensure_parallelism wrapper was a second shuffle.
+    cand = prefix_filtered_pairs(
+        crep.select("id", F.concat_ws(" ", "toks").alias("text")),
+        t_num=4,
+        t_den=5,
+        id_col="id",
     )
     sa = crep.alias("sa")
     sb = crep.alias("sb")

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from desdb_spark.extensions.dedup import prefix_filtered_pairs
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, values_frame
 
 #: Jaccard grid in integer percent (lowest first = the candidate bound).
 GRID_PCT = (50, 60, 70, 80, 90)
@@ -138,20 +138,24 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .localCheckpoint()
     )
-    # Three bounded driver scalars in one action.
+    # Three bounded driver scalars — r17: no separate action; the 1-row
+    # aggregate cross-joins onto the fin aggregate below so the whole op
+    # runs ONE materializing action (the classes checkpoint above is
+    # already eager, so this job carried nothing else).
     tot = classes.agg(
         F.sum("c").alias("docs"),
         F.count("*").alias("ncls"),
         F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("within"),
-    ).first()
-    total, n_classes, within = int(tot.docs), int(tot.ncls), int(tot.within)
+    )
     # Candidate generation over class representatives (one doc per
     # class; concat_ws re-stringifies the token set — tokens carry no
     # spaces, so prefix_tokens' re-split reproduces the set exactly).
+    # r17: no ensure_parallelism wrapper — the kernel's explicit-width
+    # pair-dedup exchange already leaves the stream at full width, and
+    # the wrapper's keyless repartition was a second full shuffle of the
+    # 6.6M-pair stream (~0.8 s at sf0.1).
     reps = classes.select("id", F.concat_ws(" ", "toks").alias("text"))
-    cand = ensure_parallelism(
-        prefix_filtered_pairs(reps, t_num=1, t_den=2, id_col="id")
-    )
+    cand = prefix_filtered_pairs(reps, t_num=1, t_den=2, id_col="id")
     # Verify-side metadata ONLY (id, c, n, toksh — never the string
     # arrays): ~4k rows of longs, explicitly broadcast so the 6.6M-pair
     # candidate stream is NEVER shuffled by id_a/id_b (guide §3.1 — the
@@ -198,9 +202,18 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         ((100 + p) * F.col("i") >= p * F.col("s")).cast("int") for p in GRID_PCT
     )
     ranks = range(1, len(GRID_PCT) + 1)
+    # r17: NO `where(lvl > 0)` pre-filter. PushDownPredicate substitutes a
+    # filter straight through projections with no expression-cost guard, so
+    # the lvl>0 test re-evaluated the array_intersect per row on the filter
+    # side AND again in the surviving projection — the verify+aggregate
+    # phase measured 6.7 s with the filter vs 1.2 s without (sf0.1, same
+    # session, noop-isolated; guide §4.4's duplication mechanism, here via
+    # filter pushdown rather than UDF copy-down). The filter is
+    # semantically redundant: every downstream aggregate is conditional on
+    # lvl ≥ r (r ≥ 1), so lvl=0 edges contribute NULL to every min/sum and
+    # the fitted scalars are bit-identical (probe-verified equal).
     edges = (
         pairs.withColumn("lvl", lvl)
-        .where(F.col("lvl") > 0)
         .withColumn("w", (F.col("c_a") * F.col("c_b")).cast("bigint"))
         .select(
             F.explode(
@@ -232,15 +245,20 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     # total/ncls/within above): per rank, how many class minima lose to a
     # smaller qualifying neighbor, and twice the qualifying cross-pair
     # weight at exactly that lvl.
-    fin = perx.agg(
-        *[
-            F.sum((F.col(f"m{r}") < F.col("x")).cast("bigint")).alias(
-                f"lost{r}"
-            )
-            for r in ranks
-        ],
-        *[F.sum(f"s{r}").alias(f"g{r}") for r in ranks],
-    ).first()
+    fin = (
+        perx.agg(
+            *[
+                F.sum((F.col(f"m{r}") < F.col("x")).cast("bigint")).alias(
+                    f"lost{r}"
+                )
+                for r in ranks
+            ],
+            *[F.sum(f"s{r}").alias(f"g{r}") for r in ranks],
+        )
+        .crossJoin(tot)
+        .first()
+    )
+    total, n_classes, within = int(fin.docs), int(fin.ncls), int(fin.within)
     lost = [int(fin[f"lost{r}"] or 0) for r in ranks]
     gsum = [int(fin[f"g{r}"] or 0) for r in ranks]
     rows = []
@@ -256,7 +274,10 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
                 n_classes - lost[idx],
             )
         )
-    return spark.createDataFrame(
+    # r17: inline VALUES instead of createDataFrame — the parallelize path
+    # cost 1.4-3 s of job overhead for these 5 rows (see values_frame).
+    return values_frame(
+        spark,
         rows,
         "pct bigint, n_pairs bigint, n_docs_removed bigint, n_docs_kept bigint",
     ).orderBy("pct")

@@ -155,6 +155,44 @@ def pin_session_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
+def values_frame(spark: SparkSession, rows: list[tuple], ddl: str) -> DataFrame:
+    """Tiny literal result frame via an inline SQL ``VALUES`` scan.
+
+    r17: ``spark.createDataFrame(list, ddl)`` routes small fitted-scalar
+    results through RDD ``parallelize`` + per-row schema verification and
+    costs 1.4-3 s of job/py4j overhead PER CALL even for 5 rows (measured
+    at the bench session confs; an ``orderBy`` on the parallelized frame
+    adds another ~1.3 s). The same rows as an inline ``VALUES`` string
+    plan as a ``LocalRelation`` — zero jobs, ~0.2 s to materialize, and a
+    later ``orderBy`` stays floor-bound. Driver-scale safe by contract:
+    callers only emit bounded fitted-scalar grids (a handful of rows).
+
+    Supported cell types: int, bool, str, None — the exact-integer
+    discipline the hashed outputs already follow. Floats are rejected
+    (decimal-literal parsing would silently change double semantics;
+    embed ``CAST('<repr>' AS DOUBLE)`` yourself if ever needed).
+    """
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    cols = [c.strip().split(None, 1) for c in ddl.split(",")]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        raise TypeError(f"values_frame: unsupported literal {type(v).__name__}")
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    names = ", ".join(n for n, _ in cols)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({names})")
+
+
 def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize the events timestamp column to a session-TZ ``timestamp``,
     whatever the parquet reader surfaced it as.
