@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, values_frame
 
 N_MERGES = 12
 
@@ -140,7 +140,9 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio_micros = (1_000_000 * int(row.tokens_after)) // max(
         int(row.symbols_before), 1
     )
-    return spark.createDataFrame(
+    # r17: inline VALUES emit (see values_frame).
+    return values_frame(
+        spark,
         [
             (
                 len(merges),
@@ -173,7 +175,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (left, right, freq) in enumerate(merges)
     ]
     rows.append((-1, None, None, None, int(vocab)))
-    return spark.createDataFrame(
+    # r17: inline VALUES emit (see values_frame).
+    return values_frame(
+        spark,
         rows,
         "rank int, left string, right string, merged string, pair_freq bigint",
     ).orderBy("rank")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, values_frame
 
 N_ITERS = 20
 LEARNING_RATE = 0.5
@@ -261,7 +261,11 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(float(acc), 6),
         )
     )
-    return spark.createDataFrame(
+    # r17: inline VALUES emit (see values_frame) — createDataFrame's
+    # parallelize path costs 1.4-3 s of job overhead for this bounded
+    # trajectory table; doubles embed as repr-string casts, bit-exact.
+    return values_frame(
+        spark,
         rows,
         "iteration int, mean_loss double, bias double, w1 double, w2 double, "
         "w3 double, train_accuracy double",

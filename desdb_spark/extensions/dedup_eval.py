@@ -48,11 +48,10 @@ from pyspark.sql import functions as F
 from desdb_spark.extensions.dedup import (
     MH_P,
     minhash_candidate_pairs,
-    ngram_jaccard,
     prefix_filtered_pairs,
 )
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, values_frame
 
 THRESHOLD_NUM, THRESHOLD_DEN = 4, 5  # t = 0.8, dedup_near_minhash's knob
 
@@ -160,10 +159,25 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-join + verify join; lsh_cand additionally feeds the raw
     # candidate counter), and the checkpoint runs each expensive
     # generation plan exactly once, materializing only id pairs.
-    exact_cand = prefix_filtered_pairs(
-        d, t_num=THRESHOLD_NUM, t_den=THRESHOLD_DEN, ngram=3
-    ).localCheckpoint()
-    lsh_cand = minhash_candidate_pairs(d).localCheckpoint()
+    # r17 (guide §2.6 — overlap independent jobs): the two tiers'
+    # checkpoint materializations are independent job chains of small
+    # stages, each leaving cores idle at stage boundaries; submitting
+    # them from two driver threads lets the scheduler back-fill one
+    # tier's stragglers with the other's tasks. Wall time goes from
+    # sum(exact, lsh) ≈ 4.8 + 2.0 s to ≈ max + overlap slack (measured
+    # ~5.2 s for the pair at sf0.1). Results are unaffected: each thread
+    # only materializes its own eager checkpoint.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(
+            lambda: prefix_filtered_pairs(
+                d, t_num=THRESHOLD_NUM, t_den=THRESHOLD_DEN, ngram=3
+            ).localCheckpoint()
+        )
+        f_lsh = pool.submit(lambda: minhash_candidate_pairs(d).localCheckpoint())
+        exact_cand = f_exact.result()
+        lsh_cand = f_lsh.result()
     # r12b: ONE checkpointed shingle-set frame serves BOTH verify joins.
     # Each ngram_jaccard call otherwise derives its own candidate-bound
     # shingle frame and uses it on both join sides — up to four corpus
@@ -188,54 +202,65 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    truth = (
-        ngram_jaccard(d, exact_cand, sets_df=sets_df)
-        .where(F.col("jaccard") >= t)
-        .select("id_a", "id_b")
+    # r17 (VERDICT r16 item 3): ONE verify pass for both tiers. The two
+    # candidate sets union with tier flags, dedup to distinct pairs (a
+    # pair can be in both tiers), and ONE pair of sets_df joins computes
+    # the Jaccard every counter reads — the old shape ran ngram_jaccard
+    # twice (4 joins + 2 intersect passes) and reconciled with a
+    # full_outer join + a second union. The float jaccard >= t filter is
+    # reproduced verbatim (same i/(s−i) double division as ngram_jaccard
+    # — r12c single-intersect identity), so every counter is
+    # bit-identical; phase-profiled, verify went 2 subtrees → 1 and the
+    # whole audit tail (verify + reconcile + emit) ~2.0 s → ~0.9 s warm
+    # at sf0.1.
+    flags = (
+        exact_cand.select(
+            "id_a", "id_b", F.lit(1).alias("ex"), F.lit(0).alias("lsh")
+        )
+        .unionByName(
+            lsh_cand.select(
+                "id_a", "id_b", F.lit(0).alias("ex"), F.lit(1).alias("lsh")
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("ex").alias("ex"), F.max("lsh").alias("lsh"))
     )
-    verified = (
-        ngram_jaccard(d, lsh_cand.select("id_a", "id_b"), sets_df=sets_df)
-        .where(F.col("jaccard") >= t)
-        .select("id_a", "id_b")
-    )
-    # ONE action for every number: truth and verified merge on the pair
-    # key (full outer), the raw candidate stream unions in as its own
-    # tag, and a single aggregate reads all four counts — the expensive
-    # candidate-generation plans execute exactly once each.
-    tagged = (
-        truth.withColumn("in_truth", F.lit(1))
-        .join(
-            verified.withColumn("in_v", F.lit(1)),
-            ["id_a", "id_b"],
-            "full_outer",
+    sa = sets_df.alias("sa")
+    sb = sets_df.alias("sb")
+    ix = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    ver = (
+        flags.join(sa, flags.id_a == F.col("sa.id"))
+        .join(sb, flags.id_b == F.col("sb.id"))
+        .select(
+            "ex",
+            "lsh",
+            ix.alias("i"),
+            (F.size("sa.sh") + F.size("sb.sh")).alias("s"),
         )
         .select(
-            F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
-            F.coalesce("in_v", F.lit(0)).alias("in_v"),
-            F.lit(0).alias("in_cand"),
+            "ex",
+            "lsh",
+            (F.col("i") / (F.col("s") - F.col("i"))).alias("jaccard"),
         )
     )
-    u = tagged.unionByName(
-        lsh_cand.select(
-            F.lit(0).alias("in_truth"),
-            F.lit(0).alias("in_v"),
-            F.lit(1).alias("in_cand"),
-        )
-    )
-    row = u.agg(
-        F.sum("in_truth").alias("nt"),
-        F.sum("in_v").alias("nv"),
-        F.sum(
-            ((F.col("in_truth") == 1) & (F.col("in_v") == 0)).cast("long")
-        ).alias("nm"),
-        F.sum("in_cand").alias("nc"),
+    qual = F.when(F.col("jaccard") >= t, 1).otherwise(0)
+    row = ver.agg(
+        F.sum(F.col("ex") * qual).alias("nt"),
+        F.sum(F.col("lsh") * qual).alias("nv"),
+        # In truth but not verified: qualifying, exact-tier, NOT in the
+        # LSH candidate set (an LSH candidate that qualifies IS verified).
+        F.sum(F.col("ex") * (1 - F.col("lsh")) * qual).alias("nm"),
+        F.sum("lsh").alias("nc"),
     ).first()
     n_truth, n_verified, n_missed, n_cand = (
         int(row.nt), int(row.nv), int(row.nm), int(row.nc),
     )
     recall_micros = (1_000_000 * n_verified) // max(n_truth, 1)
     eff_micros = (1_000_000 * n_verified) // max(n_cand, 1)
-    return spark.createDataFrame(
+    # r17: inline VALUES emit — createDataFrame's parallelize path cost
+    # 0.5-2.4 s of job overhead for this single row (see values_frame).
+    return values_frame(
+        spark,
         [
             (
                 n_truth,

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, values_frame
 
 
 @register(
@@ -68,7 +68,9 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.count()  # the driving action; a real job's write goes here
     m = obs.get
-    return spark.createDataFrame(
+    # r17: inline VALUES emit (see values_frame).
+    return values_frame(
+        spark,
         [
             (
                 int(m["n_rows"]),

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, values_frame
 
 
 @register(
@@ -68,4 +68,5 @@ def schema_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column name/type listing — desdb's ``describe`` (SURVEY.md §2A A4)."""
     df = load_table(spark, sf_dir, "lineitem")
     rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields]
-    return spark.createDataFrame(rows, "col_name string, data_type string, nullable boolean")
+    # r17: inline VALUES emit (see values_frame).
+    return values_frame(spark, rows, "col_name string, data_type string, nullable boolean")

@@ -167,10 +167,12 @@ def values_frame(spark: SparkSession, rows: list[tuple], ddl: str) -> DataFrame:
     later ``orderBy`` stays floor-bound. Driver-scale safe by contract:
     callers only emit bounded fitted-scalar grids (a handful of rows).
 
-    Supported cell types: int, bool, str, None — the exact-integer
-    discipline the hashed outputs already follow. Floats are rejected
-    (decimal-literal parsing would silently change double semantics;
-    embed ``CAST('<repr>' AS DOUBLE)`` yourself if ever needed).
+    Supported cell types: int, bool, str, None, float. Floats embed as
+    ``CAST('<repr>' AS DOUBLE)`` — repr() is the shortest round-trip
+    decimal and Spark's string→double parse is correctly rounded, so the
+    exact IEEE bits survive (a bare decimal literal would instead parse
+    as DECIMAL and change semantics; same discipline as the r15
+    selectExpr builds). Non-finite doubles use Spark's named literals.
     """
     if not rows:
         return spark.createDataFrame([], ddl)
@@ -183,6 +185,12 @@ def values_frame(spark: SparkSession, rows: list[tuple], ddl: str) -> DataFrame:
             return "true" if v else "false"
         if isinstance(v, int):
             return repr(v)
+        if isinstance(v, float):
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v in (float("inf"), float("-inf")):
+                return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+            return f"CAST('{v!r}' AS DOUBLE)"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         raise TypeError(f"values_frame: unsupported literal {type(v).__name__}")

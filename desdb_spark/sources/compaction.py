@@ -44,8 +44,11 @@ def compact_parquet_dir(
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src_dir)
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
-    out = spark.read.parquet(dst_dir)
-    return out.select(F.input_file_name()).distinct().count()
+    # r17: count the written files from the filesystem — the old
+    # input_file_name().distinct().count() spun a whole Spark job (scan +
+    # distinct exchange) to learn a number the directory listing already
+    # holds. Same value by construction: one part file per write task.
+    return len([f for f in os.listdir(dst_dir) if f.endswith(".parquet")])
 
 
 @register(
@@ -84,7 +87,17 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     frag = _stage_dir(spark, "compact_fragmented")
-    li.repartition(FRAGMENT_PARTS).write.mode("overwrite").parquet(frag)
+    # r17: hash-partition the fragmenting write on the key instead of
+    # round-robin — keyless repartition(n) first pays a LOCAL SORT of its
+    # whole input (spark.sql.execution.sortBeforeRepartition, needed so
+    # task retries reproduce the row→partition map; guide §2.5), a cost
+    # the simulated-pathology write doesn't need. Hash on the high-
+    # cardinality key gives the same 64 non-empty fragment files (test-
+    # pinned) without sorting 600k rows; the compacted CONTENT aggregate
+    # is partitioning-independent either way.
+    li.repartition(FRAGMENT_PARTS, F.col("l_orderkey")).write.mode(
+        "overwrite"
+    ).parquet(frag)
     compacted = _stage_dir(spark, "compact_output")
     compact_parquet_dir(spark, frag, compacted, TARGET_FILE_BYTES)
     back = spark.read.parquet(compacted)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, values_frame
 from desdb_spark.sources.lake_dml import read_or_empty
 from desdb_spark.sources.sinks import _stage_dir
 from desdb_spark.sources.time_travel import commit_manifest, read_manifest
@@ -107,7 +107,7 @@ def read_bloom_pruned(
     """Read only the files whose bloom fires for ≥1 probe key, then
     filter exactly. Returns (DataFrame, n_total, n_scanned)."""
     key_pos = (
-        spark.createDataFrame([(k,) for k in probe_keys], "k bigint")
+        values_frame(spark, [(k,) for k in probe_keys], "k bigint")
         .select(_positions(F.col("k"), m).alias("ps"))
         .collect()
     )

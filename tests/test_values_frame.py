@@ -49,9 +49,25 @@ def test_empty_rows(spark):
     assert len(df.schema.fields) == 4
 
 
-def test_float_rejected(spark):
+def test_doubles_bit_exact(spark):
+    ddl = "k bigint, x double"
+    vals = [0.1, 2.0 / 3.0, 1e-300, -4.9e-324, 123456.789, float("nan")]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    got = values_frame(spark, rows, ddl).orderBy("k").collect()
+    want = spark.createDataFrame(rows, ddl).orderBy("k").collect()
+    import math
+    import struct
+
+    for g, w in zip(got, want):
+        if math.isnan(w.x):
+            assert math.isnan(g.x)
+        else:
+            assert struct.pack("d", g.x) == struct.pack("d", w.x), (g.x, w.x)
+
+
+def test_unsupported_type_rejected(spark):
     with pytest.raises(TypeError):
-        values_frame(spark, [(1.5, 2, 3, 4)], DDL).collect()
+        values_frame(spark, [(object(), 2, 3, 4)], DDL).collect()
 
 
 def test_no_jobs_in_plan(spark):
