@@ -294,41 +294,84 @@ _REGISTRY: dict[str, Operator] = {}
 #: outside the window is unchanged since its green round and re-proven
 #: at HEAD by the committed SELFCHECK_r16 logs.
 _OP_MODULES = (
-    # --- r16 window: changed-plan slots (9 ops) ---
-    "desdb_spark.extensions.similarity",  # 4 ops — late-r15 empty-index guard (post-pin exception); ann_ivf_kmeans rows-only rider
-    "desdb_spark.extensions.bitext_mine",  # 1 op — r16 query-side NULL-embedding filter (ADVICE r15)
-    "desdb_spark.extensions.mining_ext",  # 3 ops — r16 anchor-side NULL filter (ADVICE r15); also oldest-r7; emb_whiten_project rows-only
-    "desdb_spark.extensions.line_dedup",  # 1 op — r16 explode-first codegen line-key rework (VERDICT r15 item 2)
-    # --- r16 window: the entire remaining r7-vintage tail (14 ops) ---
-    "desdb_spark.operators.temporal_ext",  # 1 op — r7
-    "desdb_spark.operators.allocation",  # 1 op — r7
-    "desdb_spark.streaming.windowed_topk",  # 1 op — r7
-    "desdb_spark.extensions.text",  # 7 ops — r7
-    "desdb_spark.extensions.analytics_ext5",  # 2 ops — r7
-    "desdb_spark.streaming.stateful",  # 1 op — r7
-    "desdb_spark.extensions.linalg_ext",  # 1 op — r7
-    # --- r16 window: oldest-green r8 fills (27 ops, knapsack exact-fit) ---
-    "desdb_spark.extensions.skyline",  # 1 op — r8
-    "desdb_spark.extensions.tokenizer_ext",  # 1 op — r8
-    "desdb_spark.extensions.attribution",  # 2 ops — r8
-    "desdb_spark.operators.stats_catalog",  # 3 ops — r8
-    "desdb_spark.extensions.stats_inference",  # 2 ops — r8
-    "desdb_spark.extensions.funnel_ext",  # 1 op — r8
-    "desdb_spark.extensions.experiment_ext",  # 2 ops — r8
-    "desdb_spark.extensions.analytics_ext2",  # 2 ops — r8
-    "desdb_spark.extensions.sweepline_ext",  # 2 ops — r8
-    "desdb_spark.extensions.monitor_ext2",  # 2 ops — r8
-    "desdb_spark.extensions.analytics_ext3",  # 2 ops — r8
-    "desdb_spark.operators.aggregates_ext2",  # 2 ops — r8
-    "desdb_spark.extensions.resampling_ext",  # 1 op — r8
-    "desdb_spark.extensions.analytics_ext4",  # 2 ops — r8
-    "desdb_spark.extensions.markov_ext",  # 1 op — r8
-    "desdb_spark.functions.safe_funcs",  # 1 op — r8; slot 50 (hierarchy_ext displaced to r17 by the line_dedup changed-plan slot)
-    # --- end of r16 window. Everything below holds a driver row from
-    # the round named in SURVEY §2C (the r15 window modules lead —
-    # their rows are CORRECTNESS_r15-fresh), code unchanged since,
-    # re-proven at HEAD by the committed full-registry selfcheck logs;
+    # --- r17 window: changed-plan slots (17 ops, 11 modules) ---
+    # This optimization round's plan changes: the prefix-pair kernel's
+    # explicit-width dedup (dedup / dedup_curve / dedup_components /
+    # dedup_eval consumers), the compaction staging rework, and the
+    # values_frame VALUES-emit conversions (scans, observability,
+    # classifier_ext, bpe_train, lake_bloom). matryoshka_ext is the r16
+    # changed-plan exception (shared rounded-cosine kernel) promised a
+    # r17 slot by VERDICT r16 item 8. Rows-only riders: schema_describe,
+    # quality_logreg_train, text_bpe_apply_stats, text_bpe_train_merges
+    # (property pins listed in WINDOW_r17.log).
+    "desdb_spark.extensions.dedup",  # 2 ops — r17 kernel pair-dedup exchange (dedup_ngram_jaccard rider: dedup_exact_docs)
+    "desdb_spark.extensions.dedup_curve",  # 1 op — r17 pushdown-dup fix + VALUES emit + kernel
+    "desdb_spark.extensions.dedup_components",  # 1 op — r17 kernel consumer, wrapper dropped
+    "desdb_spark.extensions.dedup_eval",  # 1 op — r17 single-pass verify + VALUES emit
+    "desdb_spark.sources.compaction",  # 1 op — r17 hash-partitioned staging + FS file count
+    "desdb_spark.operators.scans",  # 4 ops — r17 VALUES emit; schema_describe rows-only rider
+    "desdb_spark.operators.observability",  # 1 op — r17 VALUES emit
+    "desdb_spark.extensions.classifier_ext",  # 2 ops — r17 VALUES emit; quality_logreg_train rows-only
+    "desdb_spark.extensions.bpe_train",  # 2 ops — r17 VALUES emit; both rows-only
+    "desdb_spark.sources.lake_bloom",  # 1 op — r17 VALUES probe frame
+    "desdb_spark.extensions.matryoshka_ext",  # 1 op — r16 shared-kernel exception (VERDICT r16 item 8)
+    # --- r17 window: oldest-green r8 fills (the deferred r16 wave) ---
+    "desdb_spark.operators.hierarchy_ext",  # r8 vintage
+    "desdb_spark.operators.pagination_ext",  # r8 vintage
+    "desdb_spark.streaming.outer_join",  # r8 vintage
+    "desdb_spark.extensions.dedup_incremental",  # r8 vintage
+    "desdb_spark.extensions.calibration_ext",  # r8 vintage
+    "desdb_spark.extensions.boilerplate_ext",  # r8 vintage
+    "desdb_spark.extensions.seasonal_ext",  # r8 vintage
+    "desdb_spark.operators.asof_ext",  # r8 vintage
+    "desdb_spark.extensions.sampling_ext2",  # r8 vintage
+    "desdb_spark.extensions.bot_ext",  # r8 vintage
+    "desdb_spark.extensions.decontam_ext",  # r8 vintage
+    "desdb_spark.extensions.engagement_ext",  # r8 vintage
+    "desdb_spark.sources.sinks",  # r8 vintage
+    # --- r17 window: oldest-green r10 fills (knapsack exact-fit to 50) ---
+    "desdb_spark.extensions.multimodal_decode",  # r10 vintage
+    "desdb_spark.extensions.multimodal_ext",  # r10 vintage
+    "desdb_spark.extensions.dedup_semantic",  # r10 vintage
+    "desdb_spark.extensions.dedup_url",  # r10 vintage
+    "desdb_spark.extensions.decontam_short",  # r10 vintage
+    "desdb_spark.extensions.quality_gopher",  # r10 vintage
+    "desdb_spark.extensions.bootstrap_ext",  # r10 vintage
+    "desdb_spark.sources.time_travel",  # r10 vintage
+    "desdb_spark.sources.lake_dml",  # r10 vintage
+    "desdb_spark.streaming.merge_sink",  # r10 vintage
+    # --- end of r17 window. Everything below holds a driver row from
+    # the round named in SURVEY §2C (the r16 window modules lead —
+    # their rows are CORRECTNESS_r16-fresh), code unchanged since or
+    # re-proven at HEAD by this round's full-registry selfcheck logs;
     # prior relative order preserved.
+    "desdb_spark.extensions.similarity",
+    "desdb_spark.extensions.bitext_mine",
+    "desdb_spark.extensions.mining_ext",
+    "desdb_spark.extensions.line_dedup",
+    "desdb_spark.operators.temporal_ext",
+    "desdb_spark.operators.allocation",
+    "desdb_spark.streaming.windowed_topk",
+    "desdb_spark.extensions.text",
+    "desdb_spark.extensions.analytics_ext5",
+    "desdb_spark.streaming.stateful",
+    "desdb_spark.extensions.linalg_ext",
+    "desdb_spark.extensions.skyline",
+    "desdb_spark.extensions.tokenizer_ext",
+    "desdb_spark.extensions.attribution",
+    "desdb_spark.operators.stats_catalog",
+    "desdb_spark.extensions.stats_inference",
+    "desdb_spark.extensions.funnel_ext",
+    "desdb_spark.extensions.experiment_ext",
+    "desdb_spark.extensions.analytics_ext2",
+    "desdb_spark.extensions.sweepline_ext",
+    "desdb_spark.extensions.monitor_ext2",
+    "desdb_spark.extensions.analytics_ext3",
+    "desdb_spark.operators.aggregates_ext2",
+    "desdb_spark.extensions.resampling_ext",
+    "desdb_spark.extensions.analytics_ext4",
+    "desdb_spark.extensions.markov_ext",
+    "desdb_spark.functions.safe_funcs",
     "desdb_spark.extensions.span_dedup",
     "desdb_spark.extensions.retrieval_ext2",
     "desdb_spark.extensions.ann_pq",
@@ -386,10 +429,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.pipeline_analytics",
     "desdb_spark.extensions.training_prep",
     "desdb_spark.operators.relational_ext2",
-    "desdb_spark.extensions.dedup",
-    "desdb_spark.extensions.dedup_curve",
-    "desdb_spark.extensions.dedup_components",
-    "desdb_spark.extensions.dedup_eval",
     "desdb_spark.extensions.dsir_ext",
     "desdb_spark.extensions.ann_lsh",
     "desdb_spark.extensions.dedup_containment",
@@ -400,9 +439,6 @@ _OP_MODULES = (
     "desdb_spark.functions.scalars",
     "desdb_spark.streaming.windows",
     "desdb_spark.functions.udfs",
-    "desdb_spark.operators.scans",
-    "desdb_spark.extensions.classifier_ext",
-    "desdb_spark.extensions.bpe_train",
     "desdb_spark.extensions.retrieval_ext3",
     "desdb_spark.extensions.semdedup_curve",
     "desdb_spark.extensions.privacy_ext",
@@ -424,16 +460,6 @@ _OP_MODULES = (
     "desdb_spark.operators.joins",
     "desdb_spark.operators.aggregates_ext",
     "desdb_spark.functions.paths",
-    "desdb_spark.extensions.multimodal_decode",
-    "desdb_spark.extensions.multimodal_ext",
-    "desdb_spark.extensions.dedup_semantic",
-    "desdb_spark.extensions.dedup_url",
-    "desdb_spark.extensions.decontam_short",
-    "desdb_spark.extensions.quality_gopher",
-    "desdb_spark.extensions.bootstrap_ext",
-    "desdb_spark.sources.time_travel",
-    "desdb_spark.sources.lake_dml",
-    "desdb_spark.streaming.merge_sink",
     "desdb_spark.sources.lake_maintenance",
     "desdb_spark.extensions.sequence_ext",
     "desdb_spark.sources.lake_ivm",
@@ -442,12 +468,10 @@ _OP_MODULES = (
     "desdb_spark.extensions.multimodal_audio",
     "desdb_spark.extensions.lm_score",
     "desdb_spark.extensions.split_safe",
-    "desdb_spark.sources.lake_bloom",
     "desdb_spark.extensions.ann_binary",
     "desdb_spark.sources.lake_partition_evo",
     "desdb_spark.extensions.novelty_ext",
     "desdb_spark.extensions.multimodal_phash",
-    "desdb_spark.extensions.matryoshka_ext",
     "desdb_spark.operators.asof_tolerance",
     "desdb_spark.extensions.waterfill_ext",
     "desdb_spark.streaming.media_dedup",
@@ -455,21 +479,6 @@ _OP_MODULES = (
     "desdb_spark.extensions.multimodal_vad",
     "desdb_spark.operators.asof_nearest",
     "desdb_spark.operators.rolling_regression",
-    "desdb_spark.operators.hierarchy_ext",
-    "desdb_spark.operators.pagination_ext",
-    "desdb_spark.streaming.outer_join",
-    "desdb_spark.sources.compaction",
-    "desdb_spark.extensions.dedup_incremental",
-    "desdb_spark.extensions.calibration_ext",
-    "desdb_spark.operators.observability",
-    "desdb_spark.extensions.boilerplate_ext",
-    "desdb_spark.extensions.seasonal_ext",
-    "desdb_spark.operators.asof_ext",
-    "desdb_spark.extensions.sampling_ext2",
-    "desdb_spark.extensions.bot_ext",
-    "desdb_spark.extensions.decontam_ext",
-    "desdb_spark.extensions.engagement_ext",
-    "desdb_spark.sources.sinks",
 )
 
 

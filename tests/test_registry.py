@@ -267,65 +267,71 @@ def test_registry_order_import_pollution_proof():
 #: join_bucketed_colocated (see the registry rationale block for the
 #: remaining-backlog arithmetic: 27 pre-r6 rows remain, all unchanged
 #: since their green round and re-proven by the HEAD selfcheck logs).
-R16_WINDOW = [
-    # changed-plan slots (9 ops): similarity's late-r15 empty-index
-    # guard (the documented post-pin exception), the r16 query-side
-    # NULL-embedding filters in bitext_mine / mining_ext (ADVICE r15),
-    # and line_dedup's explode-first codegen key rework (VERDICT r15
-    # item 2) — which displaced hierarchy_ext's r8 fill to r17
-    "knn_cosine_topk", "knn_cosine_topk_forced_lsh",
-    "dedup_embedding_cosine", "ann_ivf_kmeans",
-    "emb_bitext_mine_margin",
-    "knn_hard_negatives", "emb_whiten_project", "corpus_temperature_mix",
-    "docs_dedup_lines_global",
-    # the entire remaining r7-vintage tail (14 ops)
-    "join_pit_versioned", "alloc_largest_remainder",
-    "stream_windowed_topk_users",
-    "text_token_stats", "text_lang_profile", "text_quality_score",
-    "text_langid_ngram", "text_fingerprint", "pipeline_quality_filter",
-    "text_langid_confusion",
-    "window_max_drawdown", "analytics_abc_classes",
-    "stream_stateful_profile", "emb_gram_matrix",
-    # oldest-green r8 fills (27 ops, knapsack exact-fit)
-    "analytics_skyline_2d", "text_bpe_pair_freq",
-    "events_attribution_last_touch", "events_attribution_time_to_convert",
-    "diag_column_stats", "diag_join_key_skew", "pipeline_curate_end2end",
-    "stat_linear_regression", "stat_welch_ttest",
-    "events_funnel_ordered",
-    "exp_srm_check", "exp_cuped_adjusted",
-    "events_decay_score", "analytics_revenue_concentration",
-    "events_concurrency_curve", "window_rolling_median",
-    "stat_cusum_changepoint", "text_unigram_logprob",
-    "stat_ks_two_sample", "analytics_basket_lift",
-    "agg_weighted_median", "corpus_source_jaccard",
-    "stat_jackknife_mean_ci",
-    "text_char_entropy", "analytics_growth_accounting",
-    "events_markov_entropy_rate",
-    "scalar_try_funcs",
+R17_WINDOW = [
+    # changed-plan slots (17 ops, 11 modules): the r17 optimization
+    # round's plan changes — the prefix-pair kernel's explicit-width
+    # dedup (dedup / dedup_curve / dedup_components / dedup_eval), the
+    # compaction staging rework, the values_frame VALUES-emit
+    # conversions (scans / observability / classifier_ext / bpe_train /
+    # lake_bloom) — plus matryoshka_ext, the r16 shared-kernel
+    # changed-plan exception promised a slot by VERDICT r16 item 8.
+    "dedup_exact_docs", "dedup_ngram_jaccard",
+    "dedup_jaccard_retention_curve", "dedup_cluster_components",
+    "dedup_minhash_eval",
+    "sink_compact_small_files",
+    "scan_parquet_full", "scan_projection_pushdown",
+    "scan_predicate_pushdown", "schema_describe",
+    "scan_observed_metrics",
+    "quality_logreg_score_deciles", "quality_logreg_train",
+    "text_bpe_apply_stats", "text_bpe_train_merges",
+    "source_bloom_pruned_read",
+    "emb_truncation_recall_curve",
+    # oldest-green r8 fills (the wave r16 deferred, 14 ops)
+    "window_share_of_parent", "scan_keyset_pagination",
+    "stream_stream_left_outer_join", "stream_stream_full_outer_join",
+    "dedup_incremental_new_batch",
+    "corpus_length_retention_curve", "corpus_length_cutoff_calibrate",
+    "docs_boilerplate_ngrams", "events_seasonal_residual_anomaly",
+    "join_asof_forward", "sample_neyman_allocation",
+    "events_bot_regularity_score", "docs_eval_substring_contamination",
+    "events_dau_wau_stickiness",
+    # oldest-green r10 fills (knapsack exact-fit to 50, 19 ops)
+    "sink_parquet", "sink_csv", "sink_json", "sink_sorted_parquet",
+    "multimodal_decode_features",
+    "multimodal_frame_sample", "multimodal_resample_pixels",
+    "multimodal_resize_batch",
+    "dedup_semantic_embedding", "dedup_url_canonical",
+    "docs_decontam_short_probes", "docs_quality_gopher_rules",
+    "stat_bootstrap_mean_ci",
+    "source_manifest_pruned_read", "source_time_travel_read",
+    "source_merge_upsert", "source_version_diff_cdf",
+    "source_delete_vectors_read", "stream_merge_manifest_table",
 ]
 
-#: Rows-only ops inside the r16 window — both module riders of
-#: changed-plan slots this round (similarity / mining_ext). Property
-#: evidence is pinned per op in tools/gen_survey_status.ROWS_ONLY_EVIDENCE
-#: and echoed in the planner's window artifact (VERDICT r15 item 3).
-_R16_ROWS_ONLY = {
-    "ann_ivf_kmeans", "emb_whiten_project",
+#: Rows-only ops inside the r17 window — all module riders of
+#: changed-plan slots this round (scans / classifier_ext / bpe_train).
+#: Property evidence is pinned per op in
+#: tools/gen_survey_status.ROWS_ONLY_EVIDENCE and echoed in the
+#: planner's window artifact (VERDICT r15 item 3).
+_R17_ROWS_ONLY = {
+    "schema_describe", "quality_logreg_train",
+    "text_bpe_apply_stats", "text_bpe_train_merges",
 }
 
 
-def test_r16_window_pinned():
+def test_r17_window_pinned():
     window = list(all_operators())[:50]
-    assert window == R16_WINDOW, (
-        "driver window drifted from the documented r16 rotation plan; "
-        "if intentional, update R16_WINDOW in the same commit"
+    assert window == R17_WINDOW, (
+        "driver window drifted from the documented r17 rotation plan; "
+        "if intentional, update R17_WINDOW in the same commit"
     )
     # Rows-only slots are limited to the documented set — any OTHER
     # rows-only op appearing in the window wastes a hash slot.
     ops = all_operators()
     rows_only = {n for n in window if ops[n].oracle is None}
-    assert rows_only == _R16_ROWS_ONLY, (
+    assert rows_only == _R17_ROWS_ONLY, (
         f"unexpected rows-only window occupancy: "
-        f"{sorted(rows_only ^ _R16_ROWS_ONLY)}"
+        f"{sorted(rows_only ^ _R17_ROWS_ONLY)}"
     )
 
 
