@@ -133,7 +133,13 @@ def emb_truncation_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    cos = emb.repartition(8, "vec_id").mapInPandas(cos_kernel, _COS_SCHEMA)
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
+    # r17: the literal repartition(8, vec_id) capped the CPU-bound cosine
+    # GEMM at 8 tasks at any scale (and unconditionally shuffled the
+    # embedding payload); the canonical conditional widener shuffles only
+    # an under-split source.
+    cos = ensure_parallelism(emb).mapInPandas(cos_kernel, _COS_SCHEMA)
     w = Window.partitionBy("d", "qid").orderBy(F.col("c").desc(), "vec_id")
     topk = (
         cos.withColumn("rn", F.row_number().over(w))

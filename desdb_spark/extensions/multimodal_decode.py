@@ -56,7 +56,13 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Repartitions by doc_id first — at 100 TB this is the knob that sizes
     decode tasks independently of the upstream file layout.
     """
-    m = media_table(spark, sf_dir).repartition(8, "doc_id")
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
+    # r17: the literal repartition(8, doc_id) capped a 100 TB decode at 8
+    # tasks AND unconditionally shuffled the payload at any scale; the
+    # canonical conditional widener shuffles only a pathologically
+    # under-split source. Per-row kernel, so content is width-independent.
+    m = ensure_parallelism(media_table(spark, sf_dir))
     feats = m.select("doc_id", "media_type", "payload").mapInPandas(
         fake_decode_media, schema=DECODE_SCHEMA
     )

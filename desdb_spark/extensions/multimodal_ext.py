@@ -118,11 +118,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     written by the kernel to object storage and only pointers flow on,
     keeping the shuffle payload-free.
     """
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
     m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
-    frames = (
-        m.select("doc_id", "payload")
-        .repartition(8, "doc_id")
-        .mapInPandas(fake_sample_frames, schema=FRAME_SCHEMA)
+    # r17: the literal repartition(8, doc_id) capped a 100 TB decode at 8
+    # tasks AND unconditionally shuffled the payload bytes at any scale.
+    # ensure_parallelism is the canonical conditional: a well-split
+    # production table flows to the kernel with NO payload shuffle; only
+    # a pathologically under-split source is widened (to the session's
+    # parallelism). Row content is partitioning-independent; the trailing
+    # orderBy fixes the declared order either way.
+    frames = ensure_parallelism(m.select("doc_id", "payload")).mapInPandas(
+        fake_sample_frames, schema=FRAME_SCHEMA
     )
     return frames.orderBy("doc_id", "frame_idx")
 
@@ -242,8 +249,11 @@ def resample_pixels_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield from resample_kernel(iter([pdf]))
 
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
     return (
-        dims.repartition(8, "doc_id")
+        # r17: conditional widening (see multimodal_frame_sample).
+        ensure_parallelism(dims)
         .mapInPandas(synth_and_resample, schema=RESAMPLE_SCHEMA)
         .orderBy("doc_id")
     )
@@ -369,9 +379,11 @@ def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desdb_spark.extensions.multimodal import DECODE_SCHEMA, fake_decode_media
 
     m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    from desdb_spark.extensions.dedup import ensure_parallelism
+
     decoded = (
-        m.select("doc_id", "media_type", "payload")
-        .repartition(8, "doc_id")
+        # r17: conditional widening (see multimodal_frame_sample).
+        ensure_parallelism(m.select("doc_id", "media_type", "payload"))
         .mapInPandas(fake_decode_media, schema=DECODE_SCHEMA)
     )
     return decoded.select(
