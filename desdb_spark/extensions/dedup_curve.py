@@ -40,6 +40,14 @@ from desdb_spark.session import load_table, values_frame
 #: Jaccard grid in integer percent (lowest first = the candidate bound).
 GRID_PCT = (50, 60, 70, 80, 90)
 
+#: Broadcast gate for the verify-side class metadata (ADVICE r16): the
+#: build side is dominated by the toksh digest arrays at 8 B per
+#: distinct token per class; a few hundred MB broadcasts comfortably
+#: (guide §3.1) while multi-GB relations risk the 8 GB cap and the
+#: driver heap. Beyond this bound the hint is dropped and the planner
+#: picks the join strategy.
+MAX_META_BROADCAST_BYTES = 256 * 1024 * 1024
+
 
 @register(
     "dedup_jaccard_retention_curve",
@@ -160,16 +168,27 @@ def dedup_jaccard_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     # arrays): ~4k rows of longs, explicitly broadcast so the 6.6M-pair
     # candidate stream is NEVER shuffled by id_a/id_b (guide §3.1 — the
     # estimate-driven planner got this right on the fixture, but the
-    # explicit hint makes it scale-independent, and the narrow build
-    # side keeps the broadcast KB-sized per thousand classes).
+    # explicit hint makes it scale-independent of row-count estimates).
+    # r17 (ADVICE r16): the hint is GATED on the measured build side —
+    # toksh is ~8 B per distinct token per class, so at corpus scale
+    # (millions of classes × hundreds of tokens) a forced broadcast
+    # could exceed Spark's 8 GB relation cap / the driver heap where the
+    # planner's shuffle join works fine. sum(n) over the checkpointed
+    # classes frame is the EXACT element count (one block-scan action,
+    # ~1 action floor); beyond ~256 MB of digests the hint is dropped
+    # and the join strategy falls back to the planner's choice.
     meta = classes.select("id", "c", "n", "toksh")
+    n_digests = classes.agg(F.sum("n")).first()[0] or 0
+    hint = F.broadcast if n_digests * 8 <= MAX_META_BROADCAST_BYTES else (
+        lambda df: df
+    )
     sa = meta.alias("sa")
     sb = meta.alias("sb")
     # Single-eval integer grid test (r11): (100+pct)·i ≥ pct·(nₐ+n_b).
     i = F.size(F.array_intersect("sa.toksh", "sb.toksh"))
     pairs = (
-        cand.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
+        cand.join(hint(sa), F.col("id_a") == F.col("sa.id"))
+        .join(hint(sb), F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
