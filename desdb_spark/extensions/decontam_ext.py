@@ -110,6 +110,18 @@ def docs_eval_substring_contamination(spark: SparkSession, sf_dir: str) -> DataF
     filtered out of the eval set here (both engines), not silently
     dropped downstream; the char-gram-blocked companion op
     (``docs_decontam_short_probes``) covers them losslessly.
+
+    PRECONDITION (ADVICE r16): ``doc_id`` must be a UNIQUE KEY of
+    ``documents``. The r16 optimization dropped two ``.distinct()``
+    calls as semantic no-ops, and both proofs lean on that uniqueness:
+    the exploded (doc_id, tok) stream is duplicate-free only if each
+    doc_id appears on one row, and the candidate (doc_id, eval_id)
+    stream only if additionally each eval_id has one anchor row. On a
+    corpus with duplicate doc_id rows, ``df`` and ``n_hits`` would
+    silently double-count while the DuckDB oracle (which keeps its
+    DISTINCTs) diverges. The fixture generator guarantees uniqueness
+    (doc_id is the row index; ``tests/test_fixture_keys.py`` pins it);
+    production callers dedup upstream.
     """
     d = load_table(spark, sf_dir, "documents")
     probe_col = F.substring("text", PROBE_START, PROBE_LEN)
