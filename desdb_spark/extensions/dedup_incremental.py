@@ -125,10 +125,17 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", _canon(F.col("text")).alias("h"))
     )
+    # r17 (the ADVICE r16 forced-broadcast class): the digest index grows
+    # with the CORPUS, not the batch — forcing the hint would hit the
+    # 8 GB broadcast cap at scale where the docstring's bucketed join is
+    # the shape. n_corpus is already computed (one digest ≤ 16 B + row
+    # overhead); beyond ~256 MB of digests the planner chooses, which
+    # degrades to a shuffled join instead of a driver OOM.
+    hint = F.broadcast if n_corpus * 16 <= 256 * 1024 * 1024 else (lambda df: df)
     w_batch = Window.partitionBy("h")
     classified = (
         batch.join(
-            F.broadcast(corpus.withColumn("in_corpus", F.lit(True))), "h", "left"
+            hint(corpus.withColumn("in_corpus", F.lit(True))), "h", "left"
         )
         .withColumn("first_in_batch", F.min("doc_id").over(w_batch))
         .select(
