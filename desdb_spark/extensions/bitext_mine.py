@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, maybe_broadcast, table_bytes
 
 #: The two "languages" of the fixture (embedding label values).
 ANCHOR_LABEL = 0
@@ -179,8 +179,15 @@ def emb_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin = F.round(
         2 * F.col("cos_sim") / (F.col("avg_a") + F.col("avg_b")), 4
     )
+    # r17 broadcast gate (ADVICE r16 class): backward is one 16-byte
+    # row per candidate-label vector — linear in the corpus; the
+    # embeddings table's on-disk bytes (≫ backward's, which drops the
+    # vector payload) gate the hint for free.
     return (
-        forward.join(F.broadcast(backward), "match_id")
+        forward.join(
+            maybe_broadcast(backward, table_bytes(sf_dir, "embeddings")),
+            "match_id",
+        )
         .select(
             "anchor_id",
             "match_id",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from desdb_spark.extensions.sampling_ext import weyl_uniform
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, maybe_broadcast, table_bytes
 
 
 @register(
@@ -111,7 +111,12 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = row(
         "ri_orders_customer",
         orders.join(
-            F.broadcast(cust.select("c_custkey")),
+            # r17 broadcast gate (ADVICE r16 class): the RI probe's build
+            # side is EVERY customer key — linear in SF; beyond the cap
+            # the planner's shuffle join replaces a driver OOM.
+            maybe_broadcast(
+                cust.select("c_custkey"), table_bytes(sf_dir, "customer")
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         ).agg(

@@ -273,9 +273,16 @@ def inverted_index_tokens(docs: DataFrame, max_token_df: int | None = None) -> D
     )
     if max_token_df is None:
         return toks
+    # r17 (the ADVICE r16 forced-broadcast class): the KEPT side of the
+    # cap is nearly the whole vocabulary (unbounded), so broadcasting it
+    # inverts at scale. Broadcast the DROPPED side instead — tokens with
+    # df > cap number at most total_occurrences/cap (the heavy-hitter
+    # bound), the small side at any corpus size — and anti-join.
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    rare = df_counts.where(F.col("df") <= max_token_df).select("tok")
-    return toks.join(F.broadcast(rare), "tok").select("doc_id", "tok")
+    hot = df_counts.where(F.col("df") > max_token_df).select("tok")
+    return toks.join(F.broadcast(hot), "tok", "left_anti").select(
+        "doc_id", "tok"
+    )
 
 
 def prefix_tokens(

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table, normalize_events_ts, pin_session_confs
+from desdb_spark.session import (
+    load_table,
+    maybe_broadcast,
+    normalize_events_ts,
+    pin_session_confs,
+    table_bytes,
+)
 
 #: Funnel steps, in required order, and the per-step completion budget.
 STEPS = ("signup", "view", "purchase")
@@ -72,6 +78,7 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_type"
     )
     budget = F.expr(f"INTERVAL {BUDGET_HOURS} HOURS")
+    ev_bytes = table_bytes(sf_dir, "events")
 
     s1 = (
         ev.where(F.col("event_type") == STEPS[0])
@@ -80,14 +87,18 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.where(F.col("event_type") == STEPS[1])
-        .join(F.broadcast(s1), "user_id")
+        # r17 broadcast gate (ADVICE r16 class): milestones are ≤ one
+        # row per user, but user cardinality grows with the corpus; the
+        # events table's on-disk bytes (a large overestimate of the
+        # milestone frame) gate the hint for free.
+        .join(maybe_broadcast(s1, ev_bytes), "user_id")
         .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + budget))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.where(F.col("event_type") == STEPS[2])
-        .join(F.broadcast(s2), "user_id")
+        .join(maybe_broadcast(s2, ev_bytes), "user_id")
         .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + budget))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, maybe_broadcast, table_bytes
 
 #: Bigram weight λ; the (1−λ) remainder goes to the unigram backoff.
 LAMBDA_NUM = 8
@@ -115,7 +115,14 @@ def scored_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    return pairs.join(F.broadcast(probs), ["v", "w"]).select("doc_id", "lp")
+    # r17 broadcast gate (ADVICE r16 class): the stitched model is
+    # bigram-vocabulary-sized — sublinear in the corpus but unbounded,
+    # and in the worst case (no repeated bigrams) the same order as the
+    # text itself. The documents table's on-disk bytes gate the hint;
+    # past the cap the planner joins the model by key.
+    return pairs.join(
+        maybe_broadcast(probs, table_bytes(sf_dir, "documents")), ["v", "w"]
+    ).select("doc_id", "lp")
 
 
 @register(

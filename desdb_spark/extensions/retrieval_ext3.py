@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, maybe_broadcast, table_bytes
 
 #: Vocabulary sizes for the coverage curve. The fixture corpus has a
 #: closed 31-word vocabulary, so the grid tops out at full coverage; at
@@ -229,9 +229,13 @@ def text_collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CAST(c_ab AS DECIMAL(38,0)) * {n_tok} * 1000000"
         " DIV (CAST(c_w1 AS DECIMAL(38,0)) * c_w2) AS BIGINT)"
     )
+    # r17 broadcast gate (ADVICE r16 class): the unigram count tables
+    # are vocabulary-sized (unbounded growth); documents bytes gate the
+    # hint, past the cap the planner joins the counts by key.
+    doc_b = table_bytes(sf_dir, "documents")
     return (
-        c_bi.join(F.broadcast(a), "w1")
-        .join(F.broadcast(b), "w2")
+        c_bi.join(maybe_broadcast(a, doc_b), "w1")
+        .join(maybe_broadcast(b, doc_b), "w2")
         .select(
             "w1",
             "w2",

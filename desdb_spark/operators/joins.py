@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, maybe_broadcast, table_bytes
 
 
 @register(
@@ -60,8 +60,12 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # r17 broadcast gate (ADVICE r16 class): customer grows with SF, so
+    # the hint holds only while the measured table is provably small;
+    # beyond the cap the planner chooses. nation (25 rows) stays forced.
+    cust_b = table_bytes(sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c, cust_b), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -283,11 +287,16 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
+    # r17 broadcast gate (ADVICE r16 class): customer/supplier grow with
+    # SF — the docstring's "customer at fixture scale" caveat made code.
+    # nation/region (25/5 rows) stay forced.
+    cust_b = table_bytes(sf_dir, "customer")
+    supp_b = table_bytes(sf_dir, "supplier")
     return (
         li.join(o_f, li.l_orderkey == o_f.o_orderkey)
-        .join(F.broadcast(c), o_f.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, cust_b), o_f.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s, supp_b),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -319,9 +328,11 @@ def join_lineage_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # r17 broadcast gate (ADVICE r16 class): customer grows with SF.
+    cust_b = table_bytes(sf_dir, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, cust_b), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("item_cnt"))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from desdb_spark.registry import register
-from desdb_spark.session import load_table
+from desdb_spark.session import load_table, maybe_broadcast, table_bytes
 
 
 def _rev():
@@ -354,8 +354,15 @@ def agg_supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # r17 broadcast gate (ADVICE r16 class): the denylist is a supplier
+    # subset, so it grows with SF; the hint holds only while the source
+    # table is provably small, else the planner chooses the anti join.
     return (
-        li.join(F.broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
+        li.join(
+            maybe_broadcast(deny, table_bytes(sf_dir, "supplier")),
+            li.l_suppkey == deny.s_suppkey,
+            "left_anti",
+        )
         .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))

@@ -139,6 +139,61 @@ def clear_table_cache() -> None:
     _TABLE_CACHE.clear()
 
 
+#: Broadcast-gate cap (r17 — the ADVICE r16 forced-broadcast class): a
+#: forced ``F.broadcast`` hint removes the planner's shuffle-join
+#: fallback, so any hint whose build side GROWS with the corpus must be
+#: gated on a measured scale statistic — beyond the cap the hint is
+#: dropped and the planner chooses, which degrades to a shuffle join
+#: instead of an 8 GB-relation-cap error or a driver OOM. 256 MiB of
+#: on-disk build-side bytes keeps the in-memory relation in the
+#: guide-§3.1 "few hundred MB" band with the hard cap far away.
+#: Env-overridable so production can retune it and so the fallback path
+#: is probe-testable at fixture scale (DESDB_MAX_BROADCAST_BYTES=0).
+MAX_BROADCAST_EST_BYTES = int(
+    os.environ.get("DESDB_MAX_BROADCAST_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of one fixture table's parquet files — a free
+    (driver-side stat, no Spark job) monotone scale statistic for
+    broadcast gates. ``None`` when the size is unknowable (non-local
+    path / stat failure), which gates must treat as over-cap: at real
+    scale the data lives where stat fails, and the safe degradation is
+    the planner's join choice, never a forced broadcast."""
+    sizes = [sz for _, _, sz in table_fingerprint(sf_dir, name)]
+    if any(sz is None for sz in sizes):
+        return None
+    return sum(sizes)
+
+
+def dir_bytes(path: str) -> int | None:
+    """``table_bytes`` for an arbitrary local file/directory (engine-
+    written side tables: deletion vectors, staged batches)."""
+    try:
+        if os.path.isfile(path):
+            return os.stat(path).st_size
+        total = 0
+        seen = False
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                total += os.stat(os.path.join(dirpath, f)).st_size
+                seen = True
+        return total if seen else None
+    except OSError:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, est_bytes: int | None) -> DataFrame:
+    """``F.broadcast(df)`` while the measured/estimated build side is
+    provably small; the bare frame (planner's choice) when it is big or
+    unknowable. The hint is a pure planner directive, so gating it can
+    never change results — only the join strategy."""
+    if est_bytes is not None and 0 <= est_bytes <= MAX_BROADCAST_EST_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def pin_session_confs(spark: SparkSession) -> None:
     """Pin runtime-settable confs any fixture read depends on: the driver
     may hand us a session built without UTC timezone / AQE. The UTC pin is

@@ -47,8 +47,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from desdb_spark.session import (
         load_table,
+        maybe_broadcast,
         normalize_events_ts,
         pin_session_confs,
+        table_bytes,
     )
     from desdb_spark.streaming.runner import run_available_now, stage_file_source
 
@@ -58,11 +60,14 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_events_ts(
         spark.readStream.schema(schema).parquet(stage)
     ).select("user_id", "value")
-    dim = F.broadcast(
+    # r17 broadcast gate (ADVICE r16 class): customer grows with SF;
+    # past the cap each micro-batch plans the planner's join instead.
+    dim = maybe_broadcast(
         load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"),
             F.col("c_mktsegment").alias("segment"),
-        )
+        ),
+        table_bytes(sf_dir, "customer"),
     )
     enriched = stream.join(dim, "user_id").select("segment", "value")
     sunk = run_available_now(spark, enriched, "sse_enrich", "append", stage_dir=stage)
